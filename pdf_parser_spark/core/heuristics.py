@@ -1,0 +1,116 @@
+"""Main-content heuristics: line-level boilerplate classification.
+
+The north rule requires boilerplate stripping, header/footer and
+repeated-element removal, and density / link-ratio classification. The
+reference carries these only in embryo (a ``type`` discriminator plus type
+filters, reference pdf_parser.py:102-104 / gea_qa_agent.py:247-249); the
+concrete heuristics here are the graft's generalization, with all thresholds
+in :class:`pdf_parser_spark.config.ExtractionConfig` so the Spark pipeline
+and the pytest oracle share them exactly.
+
+Everything here is deterministic pure Python over single strings — it runs
+inside vectorized pandas UDFs on executors and inside the oracle on the
+driver, and must stay dependency-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pdf_parser_spark.config import ExtractionConfig
+
+# characters that indicate navigation / link boilerplate
+_LINK_TOKEN = re.compile(r"https?://\S+|www\.\S+|\[[^\]]*\]\([^)]*\)|</?a\b[^>]*>")
+_WS = re.compile(r"\s+")
+_ALNUM = re.compile(r"[^\W_]", re.UNICODE)  # letters + digits, any script
+
+
+def normalize_line(line: str) -> str:
+    """Canonical form used for repeated-element (header/footer) mining.
+
+    Lowercase, strip, collapse internal whitespace. Must be expressible in
+    both Spark SQL and plain Python — the Spark side mines repeats with
+    ``lower(trim(regexp_replace(line, '\\s+', ' ')))`` and this function is
+    its exact Python twin.
+    """
+    return _WS.sub(" ", line.strip()).lower()
+
+
+def link_ratio(line: str) -> float:
+    """Fraction of the line's characters occupied by link-ish tokens."""
+    if not line:
+        return 0.0
+    linked = sum(len(m.group(0)) for m in _LINK_TOKEN.finditer(line))
+    return linked / len(line)
+
+
+def alnum_density(line: str) -> float:
+    """Fraction of alphanumeric characters (any script) in the line."""
+    if not line:
+        return 0.0
+    return len(_ALNUM.findall(line)) / len(line)
+
+
+def is_boilerplate_line(line: str, cfg: ExtractionConfig,
+                        repeated: frozenset[str] | set[str] | None = None) -> bool:
+    """True if the line should be stripped from main content.
+
+    A line is boilerplate when any of:
+    - its normalized form was mined as repeated across >= cfg.min_repeat_turns
+      distinct turns of the conversation (header/footer analog),
+    - link-ish tokens occupy more than cfg.max_link_ratio of it,
+    - its alphanumeric density is below cfg.min_line_density (and it is
+      non-empty after stripping — blank lines are kept as structure so that
+      paragraph splitting is unaffected).
+    """
+    stripped = line.strip()
+    if not stripped:
+        return False  # blank lines are structure, not boilerplate
+    if repeated and normalize_line(line) in repeated:
+        return True
+    if link_ratio(stripped) > cfg.max_link_ratio:
+        return True
+    if alnum_density(stripped) < cfg.min_line_density:
+        return True
+    return False
+
+
+def clean_text(text: str, cfg: ExtractionConfig,
+               repeated: frozenset[str] | set[str] | None = None) -> str:
+    """Remove boilerplate lines from a turn's raw text.
+
+    Keeps original line content (and blank lines) for every surviving line so
+    downstream paragraph structure is preserved; only whole lines are ever
+    dropped. Returns the cleaned text (NOT stripped — stripping is the
+    tokenizer's job, mirroring the reference's page_text handling at
+    reference pdf_parser.py:47-53).
+    """
+    if not text:
+        return text
+    kept = [ln for ln in text.split("\n")
+            if not is_boilerplate_line(ln, cfg, repeated)]
+    return "\n".join(kept)
+
+
+def mine_repeated_lines(turn_texts: list[str], cfg: ExtractionConfig) -> frozenset[str]:
+    """Oracle-side repeated-element mining for ONE conversation.
+
+    A normalized line counts once per turn; lines appearing in
+    >= cfg.min_repeat_turns distinct turns are headers/footers. The Spark
+    twin is an explode + groupBy(conv_id, norm_line) +
+    countDistinct(turn_idx) + filter (operators/boilerplate.py) — same
+    normalization, same thresholds.
+    """
+    counts: dict[str, int] = {}
+    for text in turn_texts:
+        if not text:
+            continue
+        seen_this_turn = set()
+        for ln in text.split("\n"):
+            norm = normalize_line(ln)
+            if len(norm) < cfg.min_repeat_line_chars:
+                continue
+            seen_this_turn.add(norm)
+        for norm in seen_this_turn:
+            counts[norm] = counts.get(norm, 0) + 1
+    return frozenset(n for n, c in counts.items() if c >= cfg.min_repeat_turns)
