@@ -1,0 +1,180 @@
+"""Distributed tokenize+merge: transcripts -> extracted chunks.
+
+Two physical strategies for the same logical operator (both reuse the shared
+pure-Python core, so their per-row semantics are identical by construction):
+
+1. ``extract_chunks`` — THE SCALE PATH (default). Exploits the per-turn
+   decomposition theorem (core/merge.py docstring): tokenize + merge run
+   fused inside ONE ``mapInPandas`` — embarrassingly parallel, no grouping of
+   raw text, no conversation ever materialized in one task. The only shuffle
+   is a window over (conv_id) on the *chunk-level* rows (heavy ``text``
+   payload included, but rows are already merged — far fewer and individually
+   bounded by max_chars). Skewed million-turn conversations cost the window
+   a sequential index scan, not memory: Spark's window over rows-unbounded-
+   preceding running sum streams within a sorted partition. At 10^12 turns:
+   map stage scales linearly with input splits; window shuffle moves only
+   extracted chunks.
+
+2. ``extract_chunks_grouped`` — the faithful-orchestration path, mirroring
+   the reference's per-document loop (reference process_pdf_with_chunks,
+   pdf_parser.py:311-347): ``groupBy(conv_id).applyInPandas`` over raw
+   turns, whole conversation merged sequentially in one task. Used in tests
+   as a second, independently-routed implementation to cross-check the scale
+   path; at scale it is skew-exposed (a 10M-turn conversation lands in one
+   task), which is exactly why the scale path exists.
+
+Output schema (the ``extracted`` table):
+  conv_id string, chunk_idx long, turn_idx int, chunk_type string,
+  text string, char_count long, block_count int, block_indices array<long>,
+  table_index int, image_index int, table_cells array<array<string>>
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from pdf_parser_spark.config import ExtractionConfig
+from pdf_parser_spark.core.blocks import tokenize_turn
+from pdf_parser_spark.core.merge import merge_blocks_to_chunks, merge_turn
+from pdf_parser_spark.operators.boilerplate import REPEATED_COL, with_repeated_lines
+
+CHUNK_FIELDS = [
+    StructField("conv_id", StringType()),
+    StructField("chunk_idx", LongType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("chunk_type", StringType()),
+    StructField("text", StringType()),
+    StructField("char_count", LongType()),
+    StructField("block_count", IntegerType()),
+    StructField("block_indices", ArrayType(LongType())),
+    StructField("table_index", IntegerType()),
+    StructField("image_index", IntegerType()),
+    StructField("table_cells", ArrayType(ArrayType(StringType()))),
+]
+
+CHUNK_SCHEMA = StructType(CHUNK_FIELDS)
+
+# intermediate schema of the map-only stage: turn-local indices + block count
+_LOCAL_SCHEMA = StructType(
+    [StructField("conv_id", StringType()),
+     StructField("turn_idx", IntegerType()),
+     StructField("local_chunk_idx", IntegerType()),
+     StructField("chunk_type", StringType()),
+     StructField("text", StringType()),
+     StructField("char_count", LongType()),
+     StructField("block_count", IntegerType()),
+     StructField("local_block_indices", ArrayType(LongType())),
+     StructField("table_index", IntegerType()),
+     StructField("image_index", IntegerType()),
+     StructField("table_cells", ArrayType(ArrayType(StringType()))),
+     StructField("n_blocks", IntegerType())])
+
+
+def _as_repeated(rv) -> frozenset[str] | None:
+    # null array columns can surface from Arrow as None or NaN
+    if rv is None or isinstance(rv, float):
+        return None
+    return frozenset(rv)
+
+
+def _turn_chunk_rows(conv_id: str, turn_idx: int, text, tool, repeated,
+                     cfg: ExtractionConfig) -> list[tuple]:
+    blocks = tokenize_turn(int(turn_idx), text, tool, cfg, repeated)
+    if not blocks:
+        return []
+    rows = []
+    for local_idx, c in enumerate(merge_turn(blocks, cfg)):
+        rows.append((conv_id, int(turn_idx), local_idx, c["chunk_type"],
+                     c["text"], c["char_count"], c["block_count"],
+                     c["block_indices"], c["table_index"], c["image_index"],
+                     c["table_cells"], len(blocks)))
+    return rows
+
+
+def _make_map_fn(cfg: ExtractionConfig, use_repeated: bool):
+    cols = [f.name for f in _LOCAL_SCHEMA.fields]
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            repeated_col = pdf[REPEATED_COL] if use_repeated else None
+            for i in range(len(pdf)):
+                repeated = (_as_repeated(repeated_col.iloc[i])
+                            if repeated_col is not None else None)
+                out.extend(_turn_chunk_rows(
+                    pdf["conv_id"].iloc[i], pdf["turn_idx"].iloc[i],
+                    pdf["text"].iloc[i], pdf["tool"].iloc[i], repeated, cfg))
+            yield pd.DataFrame(out, columns=cols)
+
+    return map_fn
+
+
+def extract_chunks(transcripts: DataFrame,
+                   cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+    """Scale path: fused map-only tokenize+merge, then one narrow window.
+
+    Global index assignment (the "stitch"): within (conv_id) ordered by
+    (turn_idx, local_chunk_idx),
+      chunk_idx   = row_number() - 1
+      block_off   = running sum of n_blocks over turns up to AND INCLUDING
+                    the current turn (counted once per turn via the
+                    local_chunk_idx == 0 row, RANGE frame groups the whole
+                    turn) minus the current turn's n_blocks
+      block_indices = local + block_off
+    """
+    src = with_repeated_lines(transcripts, cfg)
+    local = src.select("conv_id", "turn_idx", "text", "tool", REPEATED_COL) \
+               .mapInPandas(_make_map_fn(cfg, use_repeated=True), _LOCAL_SCHEMA)
+
+    w_rows = Window.partitionBy("conv_id").orderBy("turn_idx", "local_chunk_idx")
+    w_turns = (Window.partitionBy("conv_id").orderBy("turn_idx")
+               .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+
+    counted_once = F.when(F.col("local_chunk_idx") == 0,
+                          F.col("n_blocks")).otherwise(F.lit(0))
+    block_off = (F.sum(counted_once).over(w_turns) - F.col("n_blocks")) \
+        .cast("long")
+
+    return (local
+            .withColumn("chunk_idx", (F.row_number().over(w_rows) - 1).cast("long"))
+            .withColumn("__block_off", block_off)
+            .withColumn("block_indices",
+                        F.transform("local_block_indices",
+                                    lambda x: x + F.col("__block_off")))
+            .select(*[f.name for f in CHUNK_FIELDS]))
+
+
+def extract_chunks_grouped(transcripts: DataFrame,
+                           cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+    """Faithful-orchestration path: whole conversation per task.
+
+    groupBy(conv_id).applyInPandas — sequential within a conversation,
+    parallel across conversations (exactly the reference's document loop,
+    distributed). Cross-checks the scale path in tests.
+    """
+    src = with_repeated_lines(transcripts, cfg)
+
+    def merge_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        repeated = _as_repeated(pdf[REPEATED_COL].iloc[0])
+        blocks = []
+        for _, r in pdf.iterrows():
+            blocks.extend(tokenize_turn(int(r["turn_idx"]), r["text"],
+                                        r["tool"], cfg, repeated))
+        rows = []
+        for idx, c in enumerate(merge_blocks_to_chunks(blocks, cfg)):
+            rows.append((conv_id, idx, c["page"] - 1, c["chunk_type"],
+                         c["text"], c["char_count"], c["block_count"],
+                         c["block_indices"], c["table_index"],
+                         c["image_index"], c["table_cells"]))
+        return pd.DataFrame(rows, columns=[f.name for f in CHUNK_FIELDS])
+
+    return (src.select("conv_id", "turn_idx", "text", "tool", REPEATED_COL)
+            .groupBy("conv_id").applyInPandas(merge_conv, CHUNK_SCHEMA))

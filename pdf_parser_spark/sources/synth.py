@@ -177,6 +177,8 @@ def transcripts_pandas(n_convs: int, seed: int = 42, max_turns: int = 64):
 
     df = pd.DataFrame(generate_transcripts(n_convs, seed, max_turns))
     df["turn_idx"] = df["turn_idx"].astype("int32")
+    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    df["ts"] = df["ts"].astype("datetime64[us]")
     return df
 
 

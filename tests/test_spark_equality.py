@@ -1,0 +1,95 @@
+"""Per-turn equality: Spark pipeline vs pure-Python oracle.
+
+The north-rule correctness gate: the distributed extraction must match the
+reference-semantics oracle exactly — every chunk's text, char_count,
+lineage indices, and type, under stable (conv_id, turn_idx, chunk_idx)
+ordering — in every tokenizer/heuristic mode. The scale path and the
+grouped path take entirely different execution routes (map-only + window
+vs groupBy+applyInPandas), so their agreement with the oracle and each
+other is strong evidence of the orchestration's correctness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_spark.config import (CLEANING_CONFIG, DEFAULT_CONFIG,
+                                     PARAGRAPH_CONFIG, ExtractionConfig)
+from pdf_parser_spark.core.oracle import extract_many
+from pdf_parser_spark.operators.merge import extract_chunks, extract_chunks_grouped
+from pdf_parser_spark.sources.synth import generate_transcripts
+
+
+def _norm_rows(rows) -> list[tuple]:
+    out = []
+    for r in rows:
+        d = r if isinstance(r, dict) else r.asDict()
+        cells = d["table_cells"]
+        if cells is not None:
+            cells = tuple(tuple(row) for row in cells)
+        out.append((d["conv_id"], int(d["chunk_idx"]), int(d["turn_idx"]),
+                    d["chunk_type"], d["text"], int(d["char_count"]),
+                    int(d["block_count"]), tuple(int(i) for i in d["block_indices"]),
+                    d["table_index"], d["image_index"], cells))
+    return sorted(out)
+
+
+CONFIGS = [DEFAULT_CONFIG, PARAGRAPH_CONFIG, CLEANING_CONFIG,
+           ExtractionConfig(tokenizer_mode="paragraphs", max_chars_per_chunk=120),
+           ExtractionConfig(tokenizer_mode="paragraphs", overlap_chars=40,
+                            max_chars_per_chunk=200)]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=["default", "paragraphs", "cleaning",
+                                              "small-chunks", "overlap"])
+def test_scale_path_matches_oracle(spark, transcripts_df, cfg):
+    rows = generate_transcripts(40, seed=42, max_turns=48)
+    expected = _norm_rows(extract_many(rows, cfg))
+    actual = _norm_rows(extract_chunks(transcripts_df, cfg).collect())
+    assert len(actual) == len(expected) and len(actual) > 0
+    assert actual == expected
+
+
+def test_grouped_path_matches_scale_path(spark, transcripts_df):
+    cfg = CLEANING_CONFIG
+    scale = _norm_rows(extract_chunks(transcripts_df, cfg).collect())
+    grouped = _norm_rows(extract_chunks_grouped(transcripts_df, cfg).collect())
+    assert scale == grouped
+
+
+def test_stable_ordering_and_schema(spark, transcripts_df):
+    df = extract_chunks(transcripts_df, DEFAULT_CONFIG)
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "chunk_idx", "turn_idx", "chunk_type", "text",
+        "char_count", "block_count", "block_indices", "table_index",
+        "image_index", "table_cells"]
+    rows = (df.orderBy("conv_id", "chunk_idx")
+              .select("conv_id", "chunk_idx", "turn_idx").collect())
+    # chunk_idx is dense 0..n-1 per conversation; turn_idx non-decreasing
+    seen: dict[str, int] = {}
+    last_turn: dict[str, int] = {}
+    for r in rows:
+        nxt = seen.get(r.conv_id, 0)
+        assert r.chunk_idx == nxt
+        seen[r.conv_id] = nxt + 1
+        assert r.turn_idx >= last_turn.get(r.conv_id, -1)
+        last_turn[r.conv_id] = r.turn_idx
+
+
+def test_metrics_match_oracle(spark, transcripts_df):
+    from pdf_parser_spark.pipeline import extraction_metrics
+
+    rows = generate_transcripts(40, seed=42, max_turns=48)
+    oracle = extract_many(rows, DEFAULT_CONFIG)
+    by_conv: dict[str, list] = {}
+    for c in oracle:
+        by_conv.setdefault(c["conv_id"], []).append(c)
+
+    got = {r["conv_id"]: r.asDict() for r in
+           extraction_metrics(extract_chunks(transcripts_df, DEFAULT_CONFIG)).collect()}
+    assert set(got) == set(by_conv)
+    for conv, chunks in by_conv.items():
+        g = got[conv]
+        assert g["total_chunks"] == len(chunks)
+        assert g["total_chars"] == sum(c["char_count"] for c in chunks)
+        assert g["text_chunks"] == sum(1 for c in chunks if c["chunk_type"] == "text")
