@@ -1,0 +1,66 @@
+"""Resume test (SURVEY.md §5.5): kill after k buckets, restart, outputs
+identical to an uninterrupted run, no bucket reprocessed."""
+
+from __future__ import annotations
+
+from pdf_parser_spark.config import DEFAULT_CONFIG
+from pdf_parser_spark.sources.lineage import (read_extracted, read_lineage,
+                                              run_extraction)
+from pdf_parser_spark.sources.synth import write_transcripts_parquet
+
+
+def _rows(df):
+    return sorted((r.conv_id, r.chunk_idx, r.turn_idx, r.chunk_type, r.text,
+                   r.char_count, tuple(r.block_indices))
+                  for r in df.collect())
+
+
+def test_interrupted_run_resumes_without_reprocessing(spark, tmp_path):
+    src = str(tmp_path / "transcripts.parquet")
+    write_transcripts_parquet(src, n_convs=30, seed=5)
+
+    # uninterrupted reference run
+    full_dir = str(tmp_path / "full")
+    res = run_extraction(spark, src, full_dir, DEFAULT_CONFIG,
+                         n_buckets=8, buckets_per_job=3)
+    assert res.processed_buckets == list(range(8))
+    expected = _rows(read_extracted(spark, full_dir).drop("bucket_id"))
+    assert expected
+
+    # interrupted run: only the first job group completes
+    part_dir = str(tmp_path / "part")
+    res1 = run_extraction(spark, src, part_dir, DEFAULT_CONFIG,
+                          n_buckets=8, buckets_per_job=3, max_jobs=1)
+    assert res1.processed_buckets == [0, 1, 2]
+    lineage1 = {(r.bucket_id, r.finished_ts)
+                for r in read_lineage(spark, part_dir).collect()}
+    assert {b for b, _ in lineage1} == {0, 1, 2}
+
+    # resume completes the remainder and skips done buckets
+    res2 = run_extraction(spark, src, part_dir, DEFAULT_CONFIG,
+                          n_buckets=8, buckets_per_job=3, resume=True)
+    assert res2.skipped_buckets == [0, 1, 2]
+    assert res2.processed_buckets == [3, 4, 5, 6, 7]
+
+    # done buckets were not reprocessed: their lineage rows are unchanged
+    lineage2 = {(r.bucket_id, r.finished_ts)
+                for r in read_lineage(spark, part_dir).collect()}
+    assert lineage1 <= lineage2
+    assert {b for b, _ in lineage2} == set(range(8))
+
+    # final output identical to the uninterrupted run
+    assert _rows(read_extracted(spark, part_dir).drop("bucket_id")) == expected
+
+
+def test_rerun_of_done_bucket_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=12, seed=9)
+    out = str(tmp_path / "out")
+    run_extraction(spark, src, out, DEFAULT_CONFIG, n_buckets=4,
+                   buckets_per_job=4)
+    before = _rows(read_extracted(spark, out).drop("bucket_id"))
+    # simulate the crash-between-data-and-lineage case: force reprocess all
+    run_extraction(spark, src, out, DEFAULT_CONFIG, n_buckets=4,
+                   buckets_per_job=4, resume=False)
+    after = _rows(read_extracted(spark, out).drop("bucket_id"))
+    assert after == before  # dynamic partition overwrite, no duplicates
