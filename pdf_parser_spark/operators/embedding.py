@@ -1,0 +1,95 @@
+"""Batched embedding operator (V1 in SURVEY.md §2.9).
+
+Graft of the reference's embedding service (reference
+embedding_service.py:133-191): batched ``model.encode`` with
+``normalize_embeddings=True``, per-text char token_count, empty-text ->
+error result (reference embedding_service.py:117-127, :225-232).
+
+Spark shape: an ITERATOR pandas UDF (Iterator[pd.Series] ->
+Iterator[pd.Series]) — the encoder is constructed ONCE per executor task,
+then fed Arrow batches; batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (the analog of the
+reference's batch_size=100, embedding_service.py:40).
+
+The sentence-transformers model is not available in this container, so the
+default encoder is a DETERMINISTIC hash-based stub with the same contract
+(unit-normalized float32 vectors of fixed dim). Swapping in a real model is
+one function: pass ``encoder_factory=lambda: SentenceTransformer(...)`` —
+the Spark plumbing (schema, batching, once-per-task init) is identical and
+is what these tests exercise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+DEFAULT_DIM = 64
+
+
+def hash_embed_py(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic unit vector from md5 stream over the text (stub model).
+
+    Empty/None text -> zero vector (the reference returns an error result
+    with no vector for empty text, embedding_service.py:117-127; a zero
+    vector reproduces its downstream zero-similarity masking)."""
+    if not text:
+        return [0.0] * dim
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{i}:{text}".encode("utf-8")).digest()
+        for off in range(0, 16, 4):
+            # map 4 bytes to [-1, 1)
+            u = int.from_bytes(h[off:off + 4], "big") / 2**31 - 1.0
+            vals.append(u)
+            if len(vals) == dim:
+                break
+        i += 1
+    norm = math.sqrt(sum(v * v for v in vals))
+    return [v / norm for v in vals] if norm > 0 else vals
+
+
+class _HashEncoder:
+    def __init__(self, dim: int = DEFAULT_DIM):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        return [hash_embed_py(t, self.dim) for t in texts]
+
+
+def make_embed_udf(dim: int = DEFAULT_DIM,
+                   encoder_factory: Callable[[], object] | None = None):
+    """Iterator pandas UDF: model constructed once, Arrow batches streamed."""
+    factory = encoder_factory or (lambda: _HashEncoder(dim))
+
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        encoder = factory()  # once per task, like a per-executor model load
+        for s in batches:
+            texts = ["" if t is None else str(t) for t in s]
+            yield pd.Series(encoder.encode(texts))
+
+    return pandas_udf(embed, ArrayType(FloatType()))
+
+
+def embed_chunks(chunks: DataFrame, dim: int = DEFAULT_DIM,
+                 text_col: str = "text") -> DataFrame:
+    """Attach embedding + token_count columns to extracted chunks.
+
+    Content selection per type mirrors V2 (reference
+    embedding_service.py:206-218): our ``text`` column already carries the
+    per-type content (joined text / linearized table / image display
+    string). token_count = char length, exactly the reference's counting
+    (embedding_service.py:168: token_count=len(text))."""
+    udf = make_embed_udf(dim)
+    return (chunks
+            .withColumn("embedding", udf(F.col(text_col)))
+            .withColumn("token_count",
+                        F.length(F.coalesce(F.col(text_col), F.lit("")))))

@@ -1,0 +1,144 @@
+"""Retrieval-tier operators: the reference's query surface, Spark-first.
+
+Maps SURVEY.md §2's query operators onto DataFrame primitives:
+- F1/F2/F4 type & page filters -> ``filter``
+- V3 cosine scan -> JVM cosine expression (operators/similarity.py)
+- T1/T2 similarity sort + top-k + rank -> orderBy/limit (Spark plans
+  TakeOrderedAndProject) + row_number
+- J3 page-context expansion -> self equi-join on (conv_id, turn_idx) +
+  left-anti join on id + 0.8x decay (reference gea_qa_agent.py:297-311)
+- J4 context window -> row_number window + range predicate self-join
+  (reference gea_qa_agent.py:399-426)
+- U1/U2 priority union + id-dedup union (reference gea_qa_agent.py:284-295,
+  gea_qa_agent_chroma.py:222-245)
+- C4 md5 chunk ids, C5/C6 keyword scoring, C8 decay, C9 truncation
+  (reference gea_qa_agent.py:109,332-352, gea_rag_agent_openai.py:174)
+
+All scoring/filtering is JVM expressions; the only Python anywhere in the
+retrieval path is the (stub) query-text embedder on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_parser_spark.operators.similarity import cosine
+
+
+def with_chunk_id(chunks: DataFrame) -> Column | DataFrame:
+    """C4: chunk id = md5(f"{conv_id}_{chunk_idx}")[:16] — built-in md5
+    matches hashlib (reference gea_qa_agent.py:109)."""
+    return chunks.withColumn(
+        "id", F.substring(
+            F.md5(F.concat_ws("_", F.col("conv_id"),
+                              F.col("chunk_idx").cast("string"))), 1, 16))
+
+
+def score_by_query(chunks: DataFrame, query_vec: list[float],
+                   emb_col: str = "embedding") -> DataFrame:
+    """V3: cosine vs a broadcast-literal query vector, zero-norm -> 0.0."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return chunks.withColumn(
+        "similarity", F.round(cosine(F.col(emb_col), q), 6))
+
+
+def search_by_text(chunks: DataFrame, query_vec: list[float], top_k: int = 5,
+                   chunk_types: list[str] | None = None) -> DataFrame:
+    """T1+T2+F4: type filter, cosine sort desc, top-k, dense rank column."""
+    scored = score_by_query(chunks, query_vec)
+    if chunk_types:
+        scored = scored.where(F.col("chunk_type").isin(chunk_types))
+    ranked = (scored.orderBy(F.desc("similarity"), F.asc("conv_id"),
+                             F.asc("chunk_idx"))
+                    .limit(top_k)
+                    .withColumn("rank", F.row_number().over(
+                        Window.orderBy(F.desc("similarity"),
+                                       F.asc("conv_id"),
+                                       F.asc("chunk_idx")))))
+    return ranked
+
+
+def expand_page_context(results: DataFrame, chunks: DataFrame,
+                        decay: float = 0.8, top_k: int = 5) -> DataFrame:
+    """J3: for each hit, pull same-(conv, turn) chunks not already present
+    at decay x similarity; U2 dedup; T3 re-sort + truncate."""
+    hits = results.select("id", "conv_id", "turn_idx", "similarity")
+    ctx = (chunks.alias("c")
+           .join(hits.alias("h"),
+                 (F.col("c.conv_id") == F.col("h.conv_id"))
+                 & (F.col("c.turn_idx") == F.col("h.turn_idx")))
+           .select(F.col("c.*"),
+                   F.round(F.col("h.similarity") * decay, 6).alias("similarity"))
+           .join(results.select("id"), "id", "left_anti"))
+    common = [c for c in results.columns
+              if c in set(chunks.columns) | {"similarity"}]
+    merged = results.select(*common).unionByName(ctx.select(*common)) \
+                    .dropDuplicates(["id"])
+    return (merged.orderBy(F.desc("similarity"), F.asc("conv_id"),
+                           F.asc("chunk_idx")).limit(top_k))
+
+
+def context_window(chunks: DataFrame, conv_id: str, chunk_idx: int,
+                   window_size: int = 2) -> DataFrame:
+    """J4: chunks of the same conversation within +-window_size positions."""
+    return (chunks.where((F.col("conv_id") == conv_id)
+                         & (F.col("chunk_idx") >= chunk_idx - window_size)
+                         & (F.col("chunk_idx") <= chunk_idx + window_size))
+            .orderBy("chunk_idx"))
+
+
+def keyword_score(chunks: DataFrame, keywords: list[str],
+                  content_w: float = 0.5, meta_w: float = 0.3,
+                  source_w: float = 0.2) -> DataFrame:
+    """C5/C6: additive keyword scoring — +content_w for a content hit,
+    +meta_w for a type/metadata hit, +source_w for a source (conv_id) hit
+    per keyword (reference gea_qa_agent.py:332-352 weights 0.5/0.3/0.2)."""
+    score = F.lit(0.0)
+    for kw in keywords:
+        k = F.lit(kw.lower())
+        score = score + \
+            F.when(F.contains(F.lower(F.coalesce(F.col("text"), F.lit(""))), k),
+                   F.lit(content_w)).otherwise(F.lit(0.0)) + \
+            F.when(F.contains(F.lower(F.col("chunk_type")), k),
+                   F.lit(meta_w)).otherwise(F.lit(0.0)) + \
+            F.when(F.contains(F.lower(F.col("conv_id")), k),
+                   F.lit(source_w)).otherwise(F.lit(0.0))
+    return chunks.withColumn("keyword_score", F.round(score, 6))
+
+
+def truncate_preview(col: Column, n: int) -> Column:
+    """C9: content[:n] + '...' when longer (reference gea_qa_agent.py:580)."""
+    return F.when(F.length(col) > n,
+                  F.concat(F.substring(col, 1, n), F.lit("..."))) \
+            .otherwise(col)
+
+
+def answer_with_context(chunks: DataFrame, query_vec: list[float],
+                        window_size: int = 2, max_chars: int = 1000,
+                        ) -> DataFrame:
+    """Reference get_answer_with_context (gea_qa_agent.py:533-590):
+    top-1 chunk, same-conversation window around it, contents joined by
+    single spaces in chunk order, truncated to max_chars + '...'.
+
+    Distributed shape: top-1 via ordered take, window via a range self-join
+    keyed on (conv_id) — no driver-side loop; returns a 1-row DataFrame."""
+    top1 = search_by_text(chunks, query_vec, top_k=1) \
+        .select(F.col("conv_id").alias("t_conv"),
+                F.col("chunk_idx").alias("t_idx"), "similarity")
+    ctx = (chunks.alias("c")
+           .join(F.broadcast(top1),
+                 (F.col("c.conv_id") == F.col("t_conv"))
+                 & (F.col("c.chunk_idx") >= F.col("t_idx") - window_size)
+                 & (F.col("c.chunk_idx") <= F.col("t_idx") + window_size)))
+    joined = (ctx.groupBy("t_conv", "t_idx", "similarity")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("c.chunk_idx").alias("i"),
+                                   F.col("c.text").alias("t")))),
+                      lambda s: s["t"]), " ").alias("answer")))
+    return joined.select(
+        F.col("t_conv").alias("conv_id"), F.col("t_idx").alias("chunk_idx"),
+        "similarity", truncate_preview(F.col("answer"), max_chars).alias("answer"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``dot`` / ``l2_norm``: pure JVM expressions built from
+  zip_with + aggregate — no Python in the scoring path, whole-stage
+  codegen applies. Zero-norm masking follows the reference's cosine scan
+  (reference gea_qa_agent.py:365-397): zero-norm rows (or a zero-norm
+  query) score 0.0.
+- ``brute_force_topk``: cosine + TakeOrderedAndProject — the exact-answer
+  baseline (the reference's JSON-store scan, gea_qa_agent.py:243-261).
+- ``sign_lsh_bucket`` + ``ann_topk``: the scale path — random-hyperplane
+  LSH with hyperplanes derived deterministically from a seed, so bucket
+  assignment is reproducible across runs/engines. Probing b buckets means
+  scanning ~n/2^bits * b rows instead of n (the Chroma-HNSW analog,
+  reference gea_qa_agent_chroma.py:162-168, rebuilt as a bucketed scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with zero-norm masking (0.0, like the reference)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     ) -> DataFrame:
+    """Exact top-k by cosine: one scan, TakeOrderedAndProject, no shuffle
+    beyond the final ordered take. Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.withColumn("similarity", F.round(cosine(F.col(emb_col), q), 6))
+    return (scored.orderBy(F.desc("similarity"), F.col(id_col).asc())
+                  .select(id_col, "similarity").limit(k))
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes from md5(seed, plane, chunk)."""
+    planes = []
+    for p in range(n_planes):
+        row: list[float] = []
+        i = 0
+        while len(row) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            for byte in h:
+                for bit in range(8):
+                    row.append(1.0 if (byte >> bit) & 1 else -1.0)
+                    if len(row) == dim:
+                        break
+                if len(row) == dim:
+                    break
+            i += 1
+        planes.append(row)
+    return planes
+
+
+def sign_lsh_bucket(emb_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of <emb, plane_i>; pure expressions."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(emb_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, emb_col: str = "embedding",
+                    n_planes: int = 8, seed: int = 42) -> DataFrame:
+    return df.withColumn(
+        "lsh_bucket", sign_lsh_bucket(F.col(emb_col),
+                                      hyperplanes(dim, n_planes, seed)))
+
+
+def _py_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(vec, p)) >= 0:
+            b |= 1 << i
+    return b
+
+
+def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 8, seed: int = 42, probe_hamming: int = 1,
+             ) -> DataFrame:
+    """Approximate top-k: scan only buckets within ``probe_hamming`` bits of
+    the query's bucket. At 10^12 rows with a bucketed/partitioned embedding
+    table this turns a full scan into partition pruning; here it's a
+    selective filter feeding the same exact cosine ranking."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qb = _py_bucket([float(x) for x in query_vec], planes)
+    candidates = [b for b in range(1 << n_planes)
+                  if bin(b ^ qb).count("1") <= probe_hamming]
+    bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed)
+    return brute_force_topk(
+        bucketed.where(F.col("lsh_bucket").isin(candidates)),
+        query_vec, k, emb_col, id_col)
+
+
+def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket self-join + exact cosine.
+
+    Near-identical vectors share all sign bits with high probability, so
+    the self-join fans out per bucket (n/2^bits rows each), never O(n^2).
+    """
+    bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed) \
+        .select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
+                "lsh_bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .withColumn("similarity",
+                        F.round(cosine(F.col("a.e"), F.col("b.e")), 6))
+            .where(F.col("similarity") >= threshold)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "similarity"))

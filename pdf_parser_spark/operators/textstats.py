@@ -1,0 +1,162 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language ID (n-gram/stopword heuristic), quality scoring, token counting,
+and document fingerprinting over a text column. Everything that CAN be a
+JVM-side column expression IS one (whole-stage codegen, no Python in the
+hot path); only language ID and the rolling-hash fingerprint — genuinely
+per-string loops — are Arrow-batched pandas UDFs backed by shared pure-
+Python functions (same functions the pytest oracles call).
+
+The reference's closest analog is its char-count bookkeeping
+(reference pdf_parser.py:55,138-148) and keyword scoring
+(reference gea_qa_agent.py:332-352); the rest is the graft's
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+# --- token counting (pure expressions; C1-analog guards for null/empty) ---
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count as a JVM expression (0 for null/empty)."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(F.length(trimmed) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word pieces + digits + punctuation runs.
+
+    regexp_count of ``[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]`` — every 1-4
+    letter piece, digit, or symbol counts one token (a cheap, deterministic
+    stand-in for a real BPE vocab; the Spark-side shape — one regexp_count
+    expression, fully codegen'd — is what matters at 100 TB).
+    """
+    return F.coalesce(
+        F.regexp_count(col, F.lit(r"[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]")),
+        F.lit(0))
+
+
+# --- quality features / score (pure expressions) ---
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns, all JVM expressions.
+
+    n_chars, n_tokens, avg_token_len, alnum_ratio, punct_ratio,
+    stopword_ratio, quality_score in [0,1].
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    alnum = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9]", ""))
+    punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    stop_pattern = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    stopwords = F.regexp_count(F.lower(c), F.lit(stop_pattern))
+
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    ntz = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+
+    out = (df
+           .withColumn("n_chars", n_chars)
+           .withColumn("n_tokens", n_tokens)
+           .withColumn("avg_token_len",
+                       F.round((alnum.cast("double") / ntz), 6))
+           .withColumn("alnum_ratio", F.round(alnum / nz, 6))
+           .withColumn("punct_ratio", F.round(punct / nz, 6))
+           .withColumn("stopword_ratio",
+                       F.round(stopwords.cast("double") / ntz, 6)))
+    # bounded additive score: length signal + density - punctuation excess
+    length_sig = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (F.lit(0.4) * length_sig
+             + F.lit(0.4) * F.col("alnum_ratio")
+             + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4,
+                                                  F.lit(1.0))))
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+# --- language ID (shared pure-Python heuristic + Arrow-batched UDF) ---
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "for", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "los", "que", "de", "es", "una", "para"),
+    "fr": ("le", "les", "des", "que", "est", "une", "dans", "pour"),
+}
+
+
+def lang_id_py(text: str | None) -> str:
+    """Heuristic language ID: CJK codepoint share, else stopword votes."""
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk / max(len(text), 1) > 0.05:
+        return "zh"
+    tokens = text.lower().split()
+    if not tokens:
+        return "und"
+    counts = {lang: sum(1 for t in tokens if t in markers)
+              for lang, markers in _LANG_MARKERS.items()}
+    best = max(counts, key=lambda k: (counts[k], k))
+    return best if counts[best] > 0 else "und"
+
+
+def _lang_id_series(s: pd.Series) -> pd.Series:
+    return s.map(lang_id_py)
+
+
+lang_id_udf = pandas_udf(_lang_id_series, StringType())
+
+
+# --- fingerprinting ---
+
+
+def fingerprint_py(text: str | None, window: int = 8) -> str:
+    """Rolling-hash document fingerprint (pure Python, oracle-shared).
+
+    Rabin-Karp over tokens: hash every ``window``-token span, keep the
+    minimum (a winnowing-style representative), hex-encoded.
+    """
+    if not text:
+        return ""
+    tokens = text.split()
+    if not tokens:
+        return ""
+    if len(tokens) < window:
+        spans = [" ".join(tokens)]
+    else:
+        spans = [" ".join(tokens[i:i + window])
+                 for i in range(len(tokens) - window + 1)]
+    return min(hashlib.md5(s.encode("utf-8")).hexdigest() for s in spans)
+
+
+def _fingerprint_series(s: pd.Series) -> pd.Series:
+    return s.map(fingerprint_py)
+
+
+fingerprint_udf = pandas_udf(_fingerprint_series, StringType())
+
+
+def md5_fingerprint(col: Column, length: int = 16) -> Column:
+    """Exact-content fingerprint as a JVM expression — built-in md5 matches
+    hashlib (reference chunk ids: md5(...)[:16], gea_qa_agent.py:109)."""
+    return F.substring(F.md5(F.coalesce(col, F.lit(""))), 1, length)
+
+
+def text_statistics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis projection: quality + lang + fingerprints."""
+    return (quality_features(df, text_col)
+            .withColumn("lang_pred", lang_id_udf(F.col(text_col)))
+            .withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+            .withColumn("content_id", md5_fingerprint(F.col(text_col))))

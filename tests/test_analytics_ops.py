@@ -1,0 +1,244 @@
+"""Tests for the analytics tier: text stats, dedup, similarity, embedding,
+retrieval — each checked against an independent pure-Python/numpy oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.dedup import (duplicate_groups, exact_dedup,
+                                              minhash_lsh_pairs,
+                                              ngram_jaccard_pairs, shingles,
+                                              simhash_dup_pairs, simhash_py,
+                                              simhash_udf)
+from pdf_parser_spark.operators.embedding import (DEFAULT_DIM, embed_chunks,
+                                                  hash_embed_py)
+from pdf_parser_spark.operators.retrieval import (answer_with_context,
+                                                  context_window,
+                                                  expand_page_context,
+                                                  keyword_score,
+                                                  search_by_text,
+                                                  with_chunk_id)
+from pdf_parser_spark.operators.similarity import (ann_topk, brute_force_topk,
+                                                   cosine_dup_pairs,
+                                                   with_lsh_bucket)
+from pdf_parser_spark.operators.textstats import (lang_id_py, text_statistics,
+                                                  token_count)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "der hund ist nicht mit der katze und das ist gut"),
+    (3, "el perro es una mascota que vive para la familia"),
+    (4, "数据 处理 引擎 是 分布式 的 提取 系统"),
+    (5, ""),
+    (6, "completely unrelated text about spark catalyst optimizer internals"),
+    (7, "the quick brown fox jumps over the lazy dog near the river bank"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_token_count_and_quality(spark, docs_df):
+    rows = {r.doc_id: r for r in text_statistics(docs_df).collect()}
+    assert rows[0].n_tokens == 13
+    assert rows[5].n_tokens == 0 and rows[5].quality_score is not None
+    assert 0.0 <= rows[0].quality_score <= 1.0
+    # md5 content id matches hashlib
+    exp = hashlib.md5(DOCS[0][1].encode()).hexdigest()[:16]
+    assert rows[0].content_id == exp
+    # null text behaves like empty
+    one = spark.createDataFrame([(9, None)], "doc_id int, text string")
+    r = text_statistics(one).collect()[0]
+    assert r.n_tokens == 0 and r.fingerprint == ""
+
+
+def test_lang_id(spark, docs_df):
+    rows = {r.doc_id: r.lang_pred for r in text_statistics(docs_df).collect()}
+    assert rows[0] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "es"
+    assert rows[4] == "zh"
+    assert rows[5] == "und"
+    assert lang_id_py(DOCS[2][1]) == "de"  # oracle == UDF by construction
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = exact_dedup(docs_df).collect()
+    assert len(kept) == 7  # docs 0 and 7 identical
+    ids = {r.doc_id for r in kept}
+    assert 0 in ids and 7 not in ids  # deterministic survivor: min struct
+    groups = duplicate_groups(docs_df).collect()
+    assert len(groups) == 1 and groups[0].n_copies == 2
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_shingles_match_python_oracle(spark, docs_df):
+    got: dict[int, set[str]] = {}
+    for r in shingles(docs_df, "doc_id", "text", 3).collect():
+        got.setdefault(r.id, set()).add(r.shingle)
+    for doc_id, text in DOCS:
+        exp = {s for s in _py_shingles(text, 3) if s}
+        assert got.get(doc_id, set()) == exp, doc_id
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs_df, "doc_id", "text",
+                                          n=3, threshold=0.3).collect()}
+    # oracle jaccard for (0, 1): one-word difference
+    s0, s1 = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+    exp = round(len(s0 & s1) / len(s0 | s1), 6)
+    assert pairs[(0, 1)] == exp
+    assert pairs[(0, 7)] == 1.0  # identical docs
+    assert (0, 6) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {(r.id_a, r.id_b): r.n_bands_shared
+             for r in minhash_lsh_pairs(docs_df, "doc_id", "text",
+                                        num_hashes=8, bands=4).collect()}
+    assert pairs[(0, 7)] == 4      # identical -> all bands collide
+    assert (0, 1) in pairs         # near-dup -> >=1 band
+    assert (2, 3) not in pairs     # unrelated
+
+
+def test_simhash_matches_python_and_finds_dups(spark, docs_df):
+    got = {r.doc_id: r.sh for r in docs_df.select(
+        "doc_id", simhash_udf(F.col("text")).alias("sh")).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == simhash_py(text), doc_id
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_dup_pairs(docs_df, "doc_id", "text",
+                                        max_hamming=6).collect()}
+    assert pairs[(0, 7)] == 0
+
+
+def _np_cosine(a, b):
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0 or nb == 0:
+        return 0.0
+    return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [(i, hash_embed_py(f"doc number {i}", 16)) for i in range(40)]
+    rows.append((40, [0.0] * 16))  # zero vector: masking semantics
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    q = hash_embed_py("doc number 7", 16)
+    got = [(r.vec_id, r.similarity)
+           for r in brute_force_topk(emb_df, q, k=5).collect()]
+    vecs = {r.vec_id: list(r.embedding) for r in emb_df.collect()}
+    exp = sorted(((vid, round(_np_cosine(v, q), 6)) for vid, v in vecs.items()),
+                 key=lambda t: (-t[1], t[0]))[:5]
+    assert got[0][0] == 7 and got[0][1] == pytest.approx(1.0, abs=2e-6)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-6)
+
+
+def test_ann_topk_contains_exact_hit(spark, emb_df):
+    q = hash_embed_py("doc number 7", 16)
+    got = ann_topk(emb_df, q, k=3, n_planes=6, probe_hamming=1).collect()
+    assert got[0].vec_id == 7  # its own bucket always probed
+    n_scanned = with_lsh_bucket(emb_df, 16, n_planes=6).where(
+        F.col("lsh_bucket").isin(  # candidates scanned < full table
+            *range(64))).count()
+    assert n_scanned == 41
+
+
+def test_cosine_dup_pairs(spark, emb_df):
+    dup = emb_df.unionByName(
+        emb_df.where(F.col("vec_id") == 3).select(
+            F.lit(99).alias("vec_id"), "embedding"))
+    pairs = cosine_dup_pairs(dup, 16, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(3, 99)}
+
+
+def test_embed_chunks_deterministic_unit_norm(spark):
+    df = spark.createDataFrame([("c1", 0, "hello world"), ("c2", 1, "")],
+                               "conv_id string, chunk_idx long, text string")
+    rows = {r.conv_id: r for r in embed_chunks(df).collect()}
+    v = rows["c1"].embedding
+    assert len(v) == DEFAULT_DIM
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-5)
+    assert list(rows["c2"].embedding) == [0.0] * DEFAULT_DIM
+    assert rows["c1"].token_count == 11
+    exp = hash_embed_py("hello world", DEFAULT_DIM)
+    assert v == pytest.approx(exp, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def chunks_df(spark):
+    rows = []
+    for conv in ("conv_a", "conv_b"):
+        for i in range(6):
+            rows.append((conv, i, i // 2, "text" if i % 3 else "image",
+                         f"{conv} chunk {i} about spark joins"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, chunk_idx long, turn_idx int, "
+              "chunk_type string, text string")
+    return with_chunk_id(embed_chunks(df, dim=16)).cache()
+
+
+def test_chunk_id_matches_reference_scheme(spark, chunks_df):
+    r = chunks_df.where((F.col("conv_id") == "conv_a")
+                        & (F.col("chunk_idx") == 2)).collect()[0]
+    assert r.id == hashlib.md5(b"conv_a_2").hexdigest()[:16]
+
+
+def test_search_and_context_ops(spark, chunks_df):
+    q = hash_embed_py("conv_a chunk 2 about spark joins", 16)
+    hits = search_by_text(chunks_df, q, top_k=3).collect()
+    assert hits[0].conv_id == "conv_a" and hits[0].chunk_idx == 2
+    assert [h.rank for h in hits] == [1, 2, 3]
+    # type filter
+    only_img = search_by_text(chunks_df, q, top_k=5,
+                              chunk_types=["image"]).collect()
+    assert all(h.chunk_type == "image" for h in only_img)
+
+    top = search_by_text(chunks_df, q, top_k=2)
+    expanded = expand_page_context(top, chunks_df, decay=0.8, top_k=6).collect()
+    assert len(expanded) <= 6
+    ids = [r.id for r in expanded]
+    assert len(ids) == len(set(ids))  # U2 dedup
+
+    win = context_window(chunks_df, "conv_a", 2, 1).collect()
+    assert [r.chunk_idx for r in win] == [1, 2, 3]
+
+
+def test_keyword_score_weights(spark, chunks_df):
+    scored = {(r.conv_id, r.chunk_idx): r.keyword_score
+              for r in keyword_score(chunks_df, ["spark", "conv_a"]).collect()}
+    # "spark" in text (+0.5); "conv_a" in text (+0.5) and conv_id (+0.2)
+    assert scored[("conv_a", 1)] == pytest.approx(1.2)
+    assert scored[("conv_b", 1)] == pytest.approx(0.5)
+
+
+def test_answer_with_context(spark, chunks_df):
+    q = hash_embed_py("conv_a chunk 2 about spark joins", 16)
+    row = answer_with_context(chunks_df, q, window_size=1, max_chars=50).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.conv_id == "conv_a" and r.chunk_idx == 2
+    exp_full = " ".join(f"conv_a chunk {i} about spark joins" for i in (1, 2, 3))
+    assert r.answer == exp_full[:50] + "..."
