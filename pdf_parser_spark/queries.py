@@ -1,0 +1,709 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry exercises operators from SURVEY.md §2 (citations inline) over the
+driver's testdata tables. Column names and rounding are aligned on BOTH
+sides — the driver compares row counts, schemas, and order-insensitive
+value hashes, so every computed column is aliased identically and floats
+are rounded identically.
+
+Entries with no oracle SQL (the extraction pipeline over synthesized
+transcripts, UDF-based ops) get rows-only checks; their real correctness
+gate is the pytest oracle-equality suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.config import CLEANING_CONFIG, DEFAULT_CONFIG
+from pdf_parser_spark.operators.merge import extract_chunks
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
+    """Adapter: treat each document as one turn of a per-source conversation.
+
+    conv_id = source, turn_idx = rank of doc_id within source. Lets the
+    extraction core run over driver-provided data with a SQL oracle (in
+    turn-mode each non-empty turn is exactly one text chunk — the page
+    boundary flushes per turn, reference pdf_parser.py:172-186)."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def _synth_transcripts(spark: SparkSession, n_convs: int = 40) -> DataFrame:
+    from pdf_parser_spark.sources.synth import generate_transcripts
+    return spark.createDataFrame(generate_transcripts(n_convs, seed=42),
+                                 TRANSCRIPT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf):
+    # A2/A4 aggregate suite (reference pdf_parser.py:331-345,
+    # process_gea_pdfs.py:177-198) phrased as TPC-H Q1
+    li = _t(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                              AS sum_qty,
+       round(sum(l_extendedprice), 4)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+       round(avg(l_quantity), 6)                              AS avg_qty,
+       round(avg(l_discount), 6)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf):
+    # J2 equi-joins + T1 top-k (TakeOrderedAndProject); small dims broadcast
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf):
+    # multi-join star: broadcast the dim chain region->nation->customer
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dims = (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def events_type_agg(spark, sf):
+    # A1/A5/A6 per-type counts (reference pdf_parser.py:101-114)
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_conditional_agg(spark, sf):
+    # A3/A4 conditional aggregates (reference pdf_parser.py:411-419,
+    # process_gea_pdfs.py:177-198)
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(F.col("value") <= 50, 1).otherwise(0)).alias("n_low"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"))
+
+
+EVENTS_COND_SQL = """
+SELECT count(*) AS n_events,
+       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)  AS n_high,
+       CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+
+def events_value_stats(spark, sf):
+    # A7 latency-stats analog (reference benchmark_chroma_vs_json.py:75-79)
+    ev = _t(spark, sf, "events")
+    return ev.agg(F.round(F.avg("value"), 6).alias("mean_v"),
+                  F.round(F.median("value"), 6).alias("median_v"),
+                  F.round(F.min("value"), 6).alias("min_v"),
+                  F.round(F.max("value"), 6).alias("max_v"),
+                  F.round(F.stddev_samp("value"), 6).alias("stdev_v"))
+
+
+EVENTS_STATS_SQL = """
+SELECT round(avg(value), 6) AS mean_v,
+       round(median(value), 6) AS median_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(stddev_samp(value), 6) AS stdev_v
+FROM events
+"""
+
+
+def events_window_context(spark, sf):
+    # J4 context-window analog (reference gea_qa_agent.py:399-426):
+    # neighbors of each event within its user's timeline
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"))
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_id, user_id,
+       round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value,
+       round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS next_value
+FROM events
+"""
+
+
+def events_sessionize(spark, sf):
+    # stateful segmentation analog of the chunk merge: running-sum session
+    # ids from >1800s gaps — the SQL-expressible cousin of §2.3
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ: epoch via ltz (session tz UTC)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def events_first_per_user(spark, sf):
+    # U2 dedup-to-first + T2 rank (reference gea_qa_agent_chroma.py:222-245)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id"))
+
+
+EVENTS_FIRST_SQL = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def orders_priority_topk(spark, sf):
+    # T2/T3 per-group rank + truncate (reference gea_qa_agent_chroma.py:312-318)
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_orderpriority", "rank", "o_orderkey",
+                    F.round("o_totalprice", 4).alias("total_price")))
+
+
+ORDERS_TOPK_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 4) AS total_price
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders)
+WHERE rank <= 3
+"""
+
+
+def docs_token_stats(spark, sf):
+    # token counting + C1 null-safe length over documents
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-z0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.round(alnum.cast("double")
+                / F.when(toks > 0, toks).otherwise(1).cast("double"), 6)
+         .alias("avg_token_len"),
+        F.round(alnum.cast("double")
+                / F.when(F.length("text") > 0,
+                         F.length("text")).otherwise(1).cast("double"), 6)
+         .alias("alnum_ratio"))
+
+
+DOCS_TOKENS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE
+             / (CASE WHEN len(string_split(text, ' ')) > 0
+                     THEN len(string_split(text, ' ')) ELSE 1 END), 6)
+         AS avg_token_len,
+       round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE
+             / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END), 6)
+         AS alnum_ratio
+FROM documents
+"""
+
+
+def docs_md5_ids(spark, sf):
+    # C4 md5 content ids (reference gea_qa_agent.py:109)
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id",
+                    F.substring(F.md5(F.col("text")), 1, 16).alias("content_id"))
+
+
+DOCS_MD5_SQL = "SELECT doc_id, substring(md5(text), 1, 16) AS content_id FROM documents"
+
+
+def docs_keyword_score(spark, sf):
+    # C5/C6 additive keyword scoring (reference gea_qa_agent.py:332-352)
+    d = _t(spark, sf, "documents")
+    score = (F.when(F.contains(F.lower(F.col("text")), F.lit("spark")), 0.5)
+              .otherwise(0.0)
+             + F.when(F.col("lang") == "zh", 0.3).otherwise(0.0)
+             + F.when(F.contains(F.col("source"), F.lit("1")), 0.2)
+                .otherwise(0.0))
+    return d.select("doc_id", F.round(score, 2).alias("keyword_score"))
+
+
+DOCS_KEYWORD_SQL = """
+SELECT doc_id,
+       round(((CASE WHEN contains(lower(text), 'spark') THEN 0.5 ELSE 0.0 END)
+            + (CASE WHEN lang = 'zh' THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN contains(source, '1') THEN 0.2 ELSE 0.0 END)
+             )::DOUBLE, 2) AS keyword_score
+FROM documents
+"""
+
+
+def docs_preview(spark, sf):
+    # C9 truncate + ellipsis (reference gea_qa_agent.py:580-582)
+    d = _t(spark, sf, "documents")
+    prev = F.when(F.length("text") > 80,
+                  F.concat(F.substring("text", 1, 80), F.lit("..."))) \
+            .otherwise(F.col("text"))
+    return d.select("doc_id", prev.alias("preview"))
+
+
+DOCS_PREVIEW_SQL = """
+SELECT doc_id,
+       CASE WHEN length(text) > 80 THEN substring(text, 1, 80) || '...'
+            ELSE text END AS preview
+FROM documents
+"""
+
+
+def docs_lang_source_matrix(spark, sf):
+    # A1 type-distribution matrix (reference pdf_parser.py:101-114)
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"))
+
+
+DOCS_MATRIX_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def docs_dup_histogram(spark, sf):
+    # exact-dedup group histogram (hash groupBy twice)
+    d = _t(spark, sf, "documents")
+    return (d.groupBy(F.md5("text").alias("h"))
+            .agg(F.count("*").alias("n_copies"))
+            .groupBy("n_copies").agg(F.count("*").alias("n_groups")))
+
+
+DOCS_DUP_SQL = """
+SELECT n_copies, count(*) AS n_groups
+FROM (SELECT md5(text) AS h, count(*) AS n_copies FROM documents GROUP BY 1)
+GROUP BY n_copies
+"""
+
+
+def docs_jaccard_pairs(spark, sf):
+    # n-gram Jaccard near-dup pairs via shingle inverted index
+    from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf, "documents")
+    return (ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+                    "jaccard"))
+
+
+DOCS_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) >= 0.4
+"""
+
+
+def docs_minhash_signatures(spark, sf):
+    # MinHash signature (4 hashes) — string-min md5, engine-portable
+    from pdf_parser_spark.operators.dedup import minhash_signatures
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=4)
+    return sig.select(F.col("id").alias("doc_id"),
+                      F.col("sig")[0].alias("h0"), F.col("sig")[1].alias("h1"),
+                      F.col("sig")[2].alias("h2"), F.col("sig")[3].alias("h3"))
+
+
+DOCS_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+)
+SELECT doc_id,
+       min(md5(shingle || '#0')) AS h0,
+       min(md5(shingle || '#1')) AS h1,
+       min(md5(shingle || '#2')) AS h2,
+       min(md5(shingle || '#3')) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+
+def emb_cosine_topk(spark, sf):
+    # V3+T1: brute-force cosine top-k; double-precision on both sides
+    emb = _t(spark, sf, "embeddings")
+    q_row = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    q = [float(x) for x in q_row[0].embedding]
+    qc = F.array(*[F.lit(x) for x in q])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(e, qc, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(qc, F.lit(0.0), lambda acc, v: acc + v * v))
+    sim = F.when(na * nb > 0, dot / (na * nb)).otherwise(0.0)
+    return (emb.select("vec_id", F.round(sim, 6).alias("similarity"))
+            .orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10))
+
+
+EMB_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS similarity
+FROM embeddings, q
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_label_centroids(spark, sf):
+    # vector aggregate: per-label centroid components via posexplode
+    emb = _t(spark, sf, "embeddings")
+    return (emb.select("label", F.posexplode("embedding")
+                       .alias("pos", "component"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg(F.col("component").cast("double")), 6)
+                 .alias("centroid"))
+            .where(F.col("pos") < 8))
+
+
+EMB_CENTROID_SQL = """
+SELECT label, CAST(u.i - 1 AS INTEGER) AS pos,
+       round(avg(embedding[u.i]::DOUBLE), 6) AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+WHERE u.i <= 8
+GROUP BY label, pos
+"""
+
+
+def emb_rank_lsh_buckets(spark, sf):
+    # rank-LSH bucketing (order statistics of components) — the
+    # SQL-portable cousin of sign-LSH ANN bucketing
+    emb = _t(spark, sf, "embeddings")
+    e = F.col("embedding")
+    bucket = (F.when(e[0] > e[1], 1).otherwise(0)
+              + F.when(e[2] > e[3], 2).otherwise(0)
+              + F.when(e[4] > e[5], 4).otherwise(0)
+              + F.when(e[6] > e[7], 8).otherwise(0))
+    return (emb.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_vecs")))
+
+
+EMB_LSH_SQL = """
+SELECT (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+      + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+      + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+      + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket,
+       count(*) AS n_vecs
+FROM embeddings GROUP BY bucket
+"""
+
+
+def extract_documents(spark, sf):
+    # THE extraction core over driver data: documents-as-transcripts ->
+    # extract_chunks (turn mode). SQL oracle exists because one non-empty
+    # turn == one text chunk (per-turn decomposition, core/merge.py).
+    docs = _t(spark, sf, "documents")
+    chunks = extract_chunks(_documents_as_transcripts(docs), DEFAULT_CONFIG)
+    return chunks.select("conv_id", "chunk_idx", "turn_idx", "chunk_type",
+                         "text", "char_count")
+
+
+EXTRACT_DOCS_SQL = """
+WITH t AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS turn_idx,
+         text
+  FROM documents
+)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+            AS BIGINT) AS chunk_idx,
+       CAST(turn_idx AS INTEGER) AS turn_idx,
+       'text' AS chunk_type,
+       trim(text) AS text,
+       CAST(length(text) AS BIGINT) AS char_count
+FROM t
+WHERE text IS NOT NULL AND text != ''
+"""
+
+
+def extract_documents_metrics(spark, sf):
+    # A2 chunk statistics over the same extraction
+    from pdf_parser_spark.pipeline import extraction_metrics
+    docs = _t(spark, sf, "documents")
+    chunks = extract_chunks(_documents_as_transcripts(docs), DEFAULT_CONFIG)
+    return extraction_metrics(chunks).withColumn(
+        "avg_chars_per_chunk", F.round("avg_chars_per_chunk", 6))
+
+
+EXTRACT_METRICS_SQL = """
+WITH t AS (
+  SELECT source AS conv_id, text FROM documents
+  WHERE text IS NOT NULL AND text != ''
+)
+SELECT conv_id,
+       count(*) AS total_chunks,
+       count(*) AS text_chunks,
+       CAST(0 AS BIGINT) AS table_chunks,
+       CAST(0 AS BIGINT) AS image_chunks,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 6) AS avg_chars_per_chunk
+FROM t GROUP BY conv_id
+"""
+
+
+# --- rows-only entries (no SQL oracle; gate = pytest oracle suite) ---------
+
+
+def extract_synth_default(spark, sf):
+    return extract_chunks(_synth_transcripts(spark), DEFAULT_CONFIG) \
+        .drop("table_cells")
+
+
+def extract_synth_cleaned(spark, sf):
+    return extract_chunks(_synth_transcripts(spark), CLEANING_CONFIG) \
+        .drop("table_cells")
+
+
+def chunks_semantic_search(spark, sf):
+    from pdf_parser_spark.operators.embedding import embed_chunks, hash_embed_py
+    from pdf_parser_spark.operators.retrieval import search_by_text, with_chunk_id
+    chunks = extract_chunks(_synth_transcripts(spark), DEFAULT_CONFIG)
+    embedded = with_chunk_id(embed_chunks(chunks, dim=32))
+    q = hash_embed_py("spark shuffle partition executor", 32)
+    return search_by_text(embedded, q, top_k=5).drop("embedding", "table_cells")
+
+
+def docs_text_statistics_full(spark, sf):
+    from pdf_parser_spark.operators.textstats import text_statistics
+    return text_statistics(_t(spark, sf, "documents")) \
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred",
+                "fingerprint", "content_id")
+
+
+def docs_simhash_pairs(spark, sf):
+    from pdf_parser_spark.operators.dedup import simhash_dup_pairs
+    return simhash_dup_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                             max_hamming=16)
+
+
+def emb_ann_topk(spark, sf):
+    from pdf_parser_spark.operators.similarity import ann_topk
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=1)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "events_type_agg": events_type_agg,
+    "events_conditional_agg": events_conditional_agg,
+    "events_value_stats": events_value_stats,
+    "events_window_context": events_window_context,
+    "events_sessionize": events_sessionize,
+    "events_first_per_user": events_first_per_user,
+    "orders_priority_topk": orders_priority_topk,
+    "docs_token_stats": docs_token_stats,
+    "docs_md5_ids": docs_md5_ids,
+    "docs_keyword_score": docs_keyword_score,
+    "docs_preview": docs_preview,
+    "docs_lang_source_matrix": docs_lang_source_matrix,
+    "docs_dup_histogram": docs_dup_histogram,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_minhash_signatures": docs_minhash_signatures,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_label_centroids": emb_label_centroids,
+    "emb_rank_lsh_buckets": emb_rank_lsh_buckets,
+    "extract_documents": extract_documents,
+    "extract_documents_metrics": extract_documents_metrics,
+    # rows-only (pytest oracle suite is the correctness gate)
+    "extract_synth_default": extract_synth_default,
+    "extract_synth_cleaned": extract_synth_cleaned,
+    "chunks_semantic_search": chunks_semantic_search,
+    "docs_text_statistics_full": docs_text_statistics_full,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "emb_ann_topk": emb_ann_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "events_type_agg": EVENTS_TYPE_SQL,
+    "events_conditional_agg": EVENTS_COND_SQL,
+    "events_value_stats": EVENTS_STATS_SQL,
+    "events_window_context": EVENTS_WINDOW_SQL,
+    "events_sessionize": EVENTS_SESSION_SQL,
+    "events_first_per_user": EVENTS_FIRST_SQL,
+    "orders_priority_topk": ORDERS_TOPK_SQL,
+    "docs_token_stats": DOCS_TOKENS_SQL,
+    "docs_md5_ids": DOCS_MD5_SQL,
+    "docs_keyword_score": DOCS_KEYWORD_SQL,
+    "docs_preview": DOCS_PREVIEW_SQL,
+    "docs_lang_source_matrix": DOCS_MATRIX_SQL,
+    "docs_dup_histogram": DOCS_DUP_SQL,
+    "docs_jaccard_pairs": DOCS_JACCARD_SQL,
+    "docs_minhash_signatures": DOCS_MINHASH_SQL,
+    "emb_cosine_topk": EMB_TOPK_SQL,
+    "emb_label_centroids": EMB_CENTROID_SQL,
+    "emb_rank_lsh_buckets": EMB_LSH_SQL,
+    "extract_documents": EXTRACT_DOCS_SQL,
+    "extract_documents_metrics": EXTRACT_METRICS_SQL,
+}
