@@ -57,13 +57,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     explode — no Python. Documents shorter than n words yield their whole
     token string as the single shingle.
     """
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(0), k - 1),
-                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("shingle"))
-              .where(F.length("shingle") > 0))
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(_shingle_array(text_col, n)).alias("shingle"))
 
 
 # --- n-gram Jaccard --------------------------------------------------------
@@ -102,25 +97,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # --- MinHash + LSH ---------------------------------------------------------
 
 
+def _shingle_array(text_col: str, n: int):
+    """Distinct word-n-gram array as a single column expression."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), k - 1),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.filter(F.array_distinct(grams), lambda g: F.length(g) > 0)
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 8) -> DataFrame:
     """(id, sig: array<string>) — per-document MinHash signature.
 
     h_i(doc) = min over shingles of md5(shingle || '#' || i). String-min of
     md5 hex is a valid uniform min-hash and is recomputable in ANY engine
-    with md5 (the DuckDB oracle recomputes it verbatim). One explode + one
-    groupBy; the hash-index fan-out happens inside an array expression, not
-    a join.
+    with md5 (the DuckDB oracle recomputes it verbatim).
+
+    Execution shape: entirely MAP-SIDE — the min runs inside a per-row
+    ``array_min(transform(...))`` over the document's shingle array, so
+    there is no explode, no shuffle, and no aggregation state; at 100 TB
+    the operator costs exactly one scan. Documents with no non-empty
+    shingles produce no row (matching the explode-based formulation).
     """
-    sh = shingles(df, id_col, text_col, n)
-    hashed = sh.select(
-        "id",
-        F.array(*[F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))
-                  for i in range(num_hashes)]).alias("hs"))
-    aggs = [F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(num_hashes)]
-    return (hashed.groupBy("id").agg(*aggs)
-            .select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
-                    .alias("sig")))
+    grams = _shingle_array(text_col, n)
+
+    def _min_hash(i: int):
+        # NB: bind the salt OUTSIDE the lambda — a 2-arg transform lambda
+        # would receive (element, index) and shadow the loop variable
+        tag = F.lit(f"#{i}")
+        return F.array_min(F.transform(
+            F.col("__grams"), lambda g: F.md5(F.concat(g, tag))))
+
+    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
+    return (df.select(F.col(id_col).alias("id"), grams.alias("__grams"))
+              .where(F.size("__grams") > 0)
+              .select("id", sig.alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,

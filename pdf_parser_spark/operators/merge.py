@@ -103,13 +103,16 @@ def _make_map_fn(cfg: ExtractionConfig, use_repeated: bool):
     def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
-            repeated_col = pdf[REPEATED_COL] if use_repeated else None
-            for i in range(len(pdf)):
-                repeated = (_as_repeated(repeated_col.iloc[i])
-                            if repeated_col is not None else None)
+            # column-to-list up front: per-row .iloc costs ~10x the actual
+            # merge work at this batch size
+            reps = (pdf[REPEATED_COL].tolist() if use_repeated
+                    else [None] * len(pdf))
+            for conv_id, turn_idx, text, tool, rep in zip(
+                    pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+                    pdf["text"].tolist(), pdf["tool"].tolist(), reps):
                 out.extend(_turn_chunk_rows(
-                    pdf["conv_id"].iloc[i], pdf["turn_idx"].iloc[i],
-                    pdf["text"].iloc[i], pdf["tool"].iloc[i], repeated, cfg))
+                    conv_id, turn_idx, text, tool,
+                    _as_repeated(rep) if use_repeated else None, cfg))
             yield pd.DataFrame(out, columns=cols)
 
     return map_fn
@@ -148,6 +151,65 @@ def extract_chunks(transcripts: DataFrame,
                         F.transform("local_block_indices",
                                     lambda x: x + F.col("__block_off")))
             .select(*[f.name for f in CHUNK_FIELDS]))
+
+
+def cluster_by_conversation(transcripts: DataFrame,
+                            n_partitions: int) -> DataFrame:
+    """Shuffle generic input into the bucketed-path layout: conv-complete
+    partitions with conversations contiguous and turns sorted. On a real
+    deployment this layout comes FREE from the Iceberg table's
+    ``bucket(N, conv_id)`` partition spec + (conv_id, turn_idx) write order;
+    this helper exists for generic/unbucketed input and for tests."""
+    return (transcripts.repartition(n_partitions, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx"))
+
+
+def extract_chunks_bucketed(transcripts: DataFrame,
+                            cfg: ExtractionConfig = ExtractionConfig(),
+                            ) -> DataFrame:
+    """Window-free scale path for conversation-complete partitions.
+
+    CONTRACT: every input partition holds whole conversations, contiguously
+    (turn order within a conversation may be arbitrary — sorted in-task).
+    That is exactly the scan layout of an Iceberg/parquet table bucketed by
+    ``bucket(N, conv_id)`` and written sorted by (conv_id, turn_idx); use
+    :func:`cluster_by_conversation` to impose it on generic input.
+
+    Under the contract this is a PURE MAP job — no shuffle at all: global
+    chunk indices, block-index offsets AND per-conversation boilerplate
+    mining (which is conversation-local by definition) all happen inside the
+    task via the oracle's own per-conversation routine, so output equality
+    with the windowed path is by construction. At 10^12 turns this is the
+    fastest shape the job can take: wall time = input splits / cores, and
+    zipf skew costs only conversation-granularity imbalance within a task.
+    """
+    from pdf_parser_spark.core.oracle import extract_conversation
+
+    cols = [f.name for f in CHUNK_FIELDS]
+
+    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: list[dict] = []
+
+        def flush() -> list[tuple]:
+            rows = extract_conversation(pending, cfg)
+            return [tuple(r[c] for c in cols) for r in rows]
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for conv_id, turn_idx, text, tool in zip(
+                    pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+                    pdf["text"].tolist(), pdf["tool"].tolist()):
+                if pending and conv_id != pending[-1]["conv_id"]:
+                    out.extend(flush())
+                    pending = []
+                pending.append({"conv_id": conv_id, "turn_idx": int(turn_idx),
+                                "text": text, "tool": tool})
+            yield pd.DataFrame(out, columns=cols)
+        if pending:
+            yield pd.DataFrame(flush(), columns=cols)
+
+    return (transcripts.select("conv_id", "turn_idx", "text", "tool")
+            .mapInPandas(map_fn, CHUNK_SCHEMA))
 
 
 def extract_chunks_grouped(transcripts: DataFrame,

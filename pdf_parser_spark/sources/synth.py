@@ -171,6 +171,58 @@ def generate_transcripts(n_convs: int, seed: int = 42,
     return rows
 
 
+def _conv_rows(conv_id: str, rng: random.Random, conv_no: int,
+               max_turns: int) -> list[dict[str, Any]]:
+    """All turn rows of one conversation from its own RNG."""
+    n_turns = max(1, min(max_turns, int(rng.paretovariate(1.3))))
+    if conv_no % 97 == 0:
+        n_turns = max_turns
+    header = f"=== session {conv_id} log ==="
+    footer = f"-- generated by agent v{conv_no % 5}.0 --"
+    rows = []
+    for t in range(n_turns):
+        role = _ROLES[t % 3] if rng.random() < 0.8 else rng.choice(_ROLES)
+        rows.append({
+            "conv_id": conv_id,
+            "turn_idx": t,
+            "role": role,
+            "text": _turn_text(rng, header, footer),
+            "tool": (_tool_payload(rng)
+                     if role == "tool" or rng.random() < 0.15 else None),
+            "ts": _BASE_TS + _dt.timedelta(seconds=conv_no * 3600 + t * 30),
+        })
+    return rows
+
+
+def generate_transcripts_distributed(spark, n_convs: int, seed: int = 42,
+                                     max_turns: int = 256,
+                                     partitions: int = 64):
+    """Distributed generator: one independent RNG per conversation, fanned
+    out over ``partitions`` tasks via mapInPandas — the synthesis itself
+    scales with the cluster (generating a 10^12-turn corpus single-threaded
+    is as impossible as processing it). Deterministic: conversation c's
+    content depends only on (seed, c)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for c in pdf["id"]:
+                c = int(c)
+                rng = random.Random(f"{seed}:{c}")
+                rows.extend(_conv_rows(f"conv_{seed}d_{c:08d}", rng, c,
+                                       max_turns))
+            out = pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            out["ts"] = out["ts"].astype("datetime64[us]")
+            yield out
+
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    return (spark.range(n_convs).repartition(partitions)
+            .mapInPandas(gen, ddl))
+
+
 def transcripts_pandas(n_convs: int, seed: int = 42, max_turns: int = 64):
     """Same rows as a typed pandas DataFrame (int32 turn_idx per input_hint)."""
     import pandas as pd
@@ -183,12 +235,21 @@ def transcripts_pandas(n_convs: int, seed: int = 42, max_turns: int = 64):
 
 
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = 42,
-                              max_turns: int = 64) -> int:
-    """Write the synthetic table to one parquet file; returns row count."""
+                              max_turns: int = 64,
+                              row_group_size: int = 8192) -> int:
+    """Write the synthetic table to one parquet file; returns row count.
+
+    ``row_group_size`` is deliberately small: Spark parallelizes a parquet
+    scan by byte-range splits that align to row groups, so one giant row
+    group (pyarrow's default is 1Mi rows) would serialize the whole
+    map-only extraction stage into a single task. At the 100 TB design
+    point input splits are plentiful; small row groups emulate that
+    locally.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     df = transcripts_pandas(n_convs, seed, max_turns)
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return len(df)

@@ -93,3 +93,36 @@ def test_metrics_match_oracle(spark, transcripts_df):
         assert g["total_chunks"] == len(chunks)
         assert g["total_chars"] == sum(c["char_count"] for c in chunks)
         assert g["text_chunks"] == sum(1 for c in chunks if c["chunk_type"] == "text")
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=["default", "paragraphs", "cleaning",
+                                              "small-chunks", "overlap"])
+def test_bucketed_path_matches_oracle(spark, transcripts_df, cfg):
+    """The window-free bucketed path (third independent execution route)
+    matches the oracle exactly once input is clustered by conversation."""
+    from pdf_parser_spark.operators.merge import (cluster_by_conversation,
+                                                  extract_chunks_bucketed)
+    rows = generate_transcripts(40, seed=42, max_turns=48)
+    expected = _norm_rows(extract_many(rows, cfg))
+    clustered = cluster_by_conversation(transcripts_df, 5)
+    actual = _norm_rows(extract_chunks_bucketed(clustered, cfg).collect())
+    assert actual == expected
+
+
+def test_bucketed_path_conv_spanning_batches(spark):
+    """A conversation larger than one Arrow batch must stitch correctly
+    across batch boundaries within a partition."""
+    from pdf_parser_spark.operators.merge import (cluster_by_conversation,
+                                                  extract_chunks, extract_chunks_bucketed)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rows = generate_transcripts(6, seed=9, max_turns=120)
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        windowed = _norm_rows(extract_chunks(df, DEFAULT_CONFIG).collect())
+        bucketed = _norm_rows(extract_chunks_bucketed(
+            cluster_by_conversation(df, 2), DEFAULT_CONFIG).collect())
+        assert bucketed == windowed and len(bucketed) > 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

@@ -1,0 +1,62 @@
+"""Packaging test: the pipeline runs under real ``spark-submit --py-files``
+with ONLY the zip on the path (north-rule packaging contract)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
+    os.path.dirname(sys.executable), "spark-submit")
+
+
+@pytest.mark.skipif(not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+                    reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_end_to_end(tmp_path, spark):
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.sources.synth import write_transcripts_parquet
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from package import build_zip
+
+    zip_path = build_zip(str(tmp_path / "dist"))
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    write_transcripts_parquet(inp, n_convs=12, seed=33)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY source of the pkg
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "extract_job.py"),
+         "--input", inp, "--output", out,
+         "--n-buckets", "4", "--buckets-per-job", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),  # NOT the repo root: no accidental cwd import
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert sorted(result["processed_buckets"]) == [0, 1, 2, 3]
+
+    # submitted-run output == in-process pipeline output
+    got = spark.read.parquet(f"{out}/extracted").drop("bucket_id")
+    exp = extract_chunks(spark.read.parquet(inp), DEFAULT_CONFIG)
+    key = ["conv_id", "chunk_idx", "turn_idx", "chunk_type", "text",
+           "char_count"]
+    assert sorted(map(tuple, got.select(key).collect())) == \
+        sorted(map(tuple, exp.select(key).collect()))
+    # lineage rows present for resume
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.where("status = 'done'").count() == 4
