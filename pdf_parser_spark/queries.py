@@ -267,6 +267,41 @@ FROM s GROUP BY user_id
 """
 
 
+def events_tumbling_window(spark, sf):
+    # event-time tumbling window aggregate (streaming-compatible shape:
+    # same plan works under readStream + watermark)
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_rollup(spark, sf):
+    # hierarchical totals via ROLLUP (free from Spark SQL; the reference
+    # has no grouping-sets analog — SURVEY §2.4 note)
+    ev = _t(spark, sf, "events")
+    return (ev.rollup("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.coalesce("event_type", F.lit("ALL"))
+                    .alias("event_type"), "n_events", "sum_value"))
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
 def events_first_per_user(spark, sf):
     # U2 dedup-to-first + T2 rank (reference gea_qa_agent_chroma.py:222-245)
     ev = _t(spark, sf, "events")
@@ -645,6 +680,27 @@ def emb_ann_topk(spark, sf):
     return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=1)
 
 
+def emb_cosine_dup_pairs(spark, sf):
+    # embedding-cosine near-dup via sign-LSH bucket self-join (never
+    # O(n^2)); random vectors have no 0.99-cosine pairs, so seed exact
+    # duplicates (vec_id + 1e6) the operator must recover
+    from pdf_parser_spark.operators.similarity import cosine_dup_pairs
+    emb = _t(spark, sf, "embeddings")
+    dup = (emb.orderBy("vec_id").limit(5)
+           .withColumn("vec_id", F.col("vec_id") + 1000000))
+    dim = len(emb.select("embedding").first().embedding)
+    return cosine_dup_pairs(emb.unionByName(dup), dim, threshold=0.99,
+                            n_planes=6)
+
+
+def media_payload_features(spark, sf):
+    # multimodal binary-column plumbing: deterministic byte features over
+    # synthetic media payloads (decode stubbed; schema/batching real)
+    from pdf_parser_spark.operators.multimodal import (payload_features,
+                                                       synth_media)
+    return payload_features(synth_media(spark, n_rows=120, seed=42))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -659,6 +715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_context": events_window_context,
     "events_sessionize": events_sessionize,
     "events_first_per_user": events_first_per_user,
+    "events_tumbling_window": events_tumbling_window,
+    "events_rollup": events_rollup,
     "orders_priority_topk": orders_priority_topk,
     "docs_token_stats": docs_token_stats,
     "docs_md5_ids": docs_md5_ids,
@@ -680,6 +738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_text_statistics_full": docs_text_statistics_full,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_ann_topk": emb_ann_topk,
+    "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
+    "media_payload_features": media_payload_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -692,6 +752,8 @@ ORACLES: dict[str, str] = {
     "events_window_context": EVENTS_WINDOW_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_first_per_user": EVENTS_FIRST_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
     "orders_priority_topk": ORDERS_TOPK_SQL,
     "docs_token_stats": DOCS_TOKENS_SQL,
     "docs_md5_ids": DOCS_MD5_SQL,
