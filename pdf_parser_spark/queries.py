@@ -422,6 +422,54 @@ FROM documents
 """
 
 
+def docs_context_expansion(spark, sf):
+    # J3 page-context expansion with U2 dedup + C8 decay + T3 re-sort
+    # (reference gea_qa_agent.py:297-311): top-3 keyword hits, then
+    # same-source docs not already hit at 0.8x the best hit's score
+    d = _t(spark, sf, "documents")
+    score = (F.when(F.contains(F.lower(F.col("text")), F.lit("spark")), 0.5)
+              .otherwise(0.0)
+             + F.when(F.col("lang") == "zh", 0.3).otherwise(0.0)
+             + F.when(F.contains(F.col("source"), F.lit("1")), 0.2)
+                .otherwise(0.0))
+    scored = d.select("doc_id", "source", F.round(score, 6).alias("sim"))
+    hits = scored.orderBy(F.desc("sim"), F.asc("doc_id")).limit(3)
+    ctx = (scored.alias("s")
+           .join(F.broadcast(hits.alias("h")),
+                 F.col("s.source") == F.col("h.source"))
+           .select(F.col("s.doc_id").alias("doc_id"),
+                   F.col("s.source").alias("source"),
+                   F.col("h.sim").alias("hit_sim"))
+           .join(hits.select("doc_id"), "doc_id", "left_anti")
+           .groupBy("doc_id", "source")
+           .agg(F.round(F.max("hit_sim") * 0.8, 6).alias("sim")))
+    merged = hits.select("doc_id", "sim") \
+        .unionByName(ctx.select("doc_id", "sim"))
+    return merged.orderBy(F.desc("sim"), F.asc("doc_id")).limit(10)
+
+
+DOCS_CONTEXT_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         round(((CASE WHEN contains(lower(text), 'spark') THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN lang = 'zh' THEN 0.3 ELSE 0.0 END)
+              + (CASE WHEN contains(source, '1') THEN 0.2 ELSE 0.0 END)
+               )::DOUBLE, 6) AS sim
+  FROM documents
+), hits AS (
+  SELECT * FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 3
+), ctx AS (
+  SELECT s.doc_id, s.source, round(max(h.sim) * 0.8, 6) AS sim
+  FROM scored s JOIN hits h ON s.source = h.source
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM hits)
+  GROUP BY s.doc_id, s.source
+)
+SELECT doc_id, sim
+FROM (SELECT doc_id, sim FROM hits UNION ALL SELECT doc_id, sim FROM ctx)
+ORDER BY sim DESC, doc_id ASC LIMIT 10
+"""
+
+
 def docs_lang_source_matrix(spark, sf):
     # A1 type-distribution matrix (reference pdf_parser.py:101-114)
     d = _t(spark, sf, "documents")
@@ -722,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_md5_ids": docs_md5_ids,
     "docs_keyword_score": docs_keyword_score,
     "docs_preview": docs_preview,
+    "docs_context_expansion": docs_context_expansion,
     "docs_lang_source_matrix": docs_lang_source_matrix,
     "docs_dup_histogram": docs_dup_histogram,
     "docs_jaccard_pairs": docs_jaccard_pairs,
@@ -759,6 +808,7 @@ ORACLES: dict[str, str] = {
     "docs_md5_ids": DOCS_MD5_SQL,
     "docs_keyword_score": DOCS_KEYWORD_SQL,
     "docs_preview": DOCS_PREVIEW_SQL,
+    "docs_context_expansion": DOCS_CONTEXT_SQL,
     "docs_lang_source_matrix": DOCS_MATRIX_SQL,
     "docs_dup_histogram": DOCS_DUP_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,

@@ -1,0 +1,35 @@
+"""Iceberg integration: availability gate + DDL sanity.
+
+The sandbox ships no Iceberg runtime, so the full create/append path is
+exercised only when the jar is present (a real deployment); here we pin
+the gate's behavior and the DDL contract the production wiring relies on."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_spark.sources import iceberg
+
+
+def test_availability_gate_is_clean(spark):
+    # must return a bool, never raise — this is what callers branch on
+    assert iceberg.iceberg_available(spark) in (True, False)
+
+
+def test_ddl_contract():
+    ddl = iceberg.TRANSCRIPTS_DDL.format(table="cat.db.transcripts",
+                                         n_buckets=4096)
+    assert "bucket(4096, conv_id)" in ddl
+    assert "USING iceberg" in ddl
+    # sorted write order is what makes extract_chunks_bucketed's
+    # conversation-complete-split contract hold straight off the scan
+    assert "conv_id ASC, turn_idx ASC" in ddl
+    for tmpl in (iceberg.EXTRACTED_DDL, iceberg.METRICS_DDL):
+        assert "bucket(16, conv_id)" in tmpl.format(table="t", n_buckets=16)
+
+
+def test_create_tables_when_available(spark, tmp_path):
+    if not iceberg.iceberg_available(spark):
+        pytest.skip("no Iceberg runtime in this environment")
+    names = iceberg.create_tables(spark, "spark_catalog.default")
+    assert set(names) == {"transcripts", "extracted", "metrics", "lineage"}
