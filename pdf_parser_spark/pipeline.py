@@ -54,6 +54,72 @@ def extraction_metrics(chunks: DataFrame) -> DataFrame:
     ))
 
 
+def cleaning_metrics(transcripts: DataFrame,
+                     cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+    """Per-conversation tokenizer/cleaning metrics: blocks kept, lines
+    dropped (north rule: "extraction metrics (blocks kept/dropped, chunk
+    counts)").
+
+    One map-only pandas pass over turn text/tool + a partial-aggregated
+    groupBy(conv_id) — never touches the merge. ``lines_dropped`` counts
+    boilerplate-stripped lines (repeated header/footer, link-heavy,
+    low-density); in parity mode (clean_boilerplate=False) it is 0 by
+    construction.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from pdf_parser_spark.core.blocks import tokenize_turn
+    from pdf_parser_spark.core.heuristics import is_boilerplate_line
+    from pdf_parser_spark.operators.boilerplate import (REPEATED_COL,
+                                                        with_repeated_lines)
+    from pdf_parser_spark.operators.merge import _as_repeated
+
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_lines", IntegerType()),
+        StructField("n_lines_dropped", IntegerType()),
+    ])
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for conv_id, turn_idx, text, tool, rep in zip(
+                    pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+                    pdf["text"].tolist(), pdf["tool"].tolist(),
+                    pdf[REPEATED_COL].tolist()):
+                repeated = _as_repeated(rep)
+                blocks = tokenize_turn(int(turn_idx), text, tool, cfg,
+                                       repeated)
+                lines = text.split("\n") if text else []
+                dropped = (sum(1 for ln in lines
+                               if is_boilerplate_line(ln, cfg, repeated))
+                           if cfg.clean_boilerplate else 0)
+                out.append((conv_id, len(blocks), len(lines), dropped))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    src = with_repeated_lines(transcripts, cfg)
+    per_turn = src.select("conv_id", "turn_idx", "text", "tool",
+                          REPEATED_COL).mapInPandas(stats, schema)
+    return per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("n_blocks").alias("blocks_kept"),
+        F.sum("n_lines").alias("lines_total"),
+        F.sum("n_lines_dropped").alias("lines_dropped"))
+
+
+def full_metrics(transcripts: DataFrame, chunks: DataFrame,
+                 cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+    """The complete metrics table: chunk stats + blocks kept / lines
+    dropped, one row per conversation."""
+    return extraction_metrics(chunks).join(
+        cleaning_metrics(transcripts, cfg), "conv_id", "full")
+
+
 def corpus_metrics(chunks: DataFrame) -> DataFrame:
     """Whole-run summary, mirroring generate_summary_report
     (reference process_gea_pdfs.py:169-230)."""

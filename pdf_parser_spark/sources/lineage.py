@@ -42,7 +42,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
 
 from pdf_parser_spark.config import ExtractionConfig
 from pdf_parser_spark.operators.merge import extract_chunks
-from pdf_parser_spark.pipeline import extraction_metrics
+from pdf_parser_spark.pipeline import full_metrics
 
 LINEAGE_SCHEMA = StructType([
     StructField("bucket_id", IntegerType()),
@@ -113,7 +113,7 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
 
         out = spark.read.parquet(extracted_path).where(
             F.col("bucket_id").isin(group))
-        (extraction_metrics(out.drop("bucket_id"))
+        (full_metrics(src, out.drop("bucket_id"), cfg)
             .withColumn("bucket_id", bucket_expr(n_buckets))
             .write.partitionBy("bucket_id")
             .option("partitionOverwriteMode", "dynamic")

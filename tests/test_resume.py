@@ -64,3 +64,35 @@ def test_rerun_of_done_bucket_is_idempotent(spark, tmp_path):
                    buckets_per_job=4, resume=False)
     after = _rows(read_extracted(spark, out).drop("bucket_id"))
     assert after == before  # dynamic partition overwrite, no duplicates
+
+
+def test_full_metrics_blocks_kept_dropped(spark, tmp_path):
+    """North-rule metrics: blocks kept / lines dropped per conversation."""
+    from pdf_parser_spark.config import CLEANING_CONFIG, DEFAULT_CONFIG
+    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.pipeline import full_metrics
+    from pdf_parser_spark.sources.synth import generate_transcripts
+
+    rows = generate_transcripts(20, seed=5, max_turns=32)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    # parity mode: nothing may be dropped; blocks_kept == sum(block_count)
+    m = full_metrics(df, extract_chunks(df, DEFAULT_CONFIG),
+                     DEFAULT_CONFIG).collect()
+    assert m and all(r.lines_dropped == 0 for r in m)
+    from pyspark.sql import functions as F
+    kept = {r.conv_id: r.s for r in
+            extract_chunks(df, DEFAULT_CONFIG).groupBy("conv_id")
+            .agg(F.sum("block_count").alias("s")).collect()}
+    for r in m:
+        assert r.blocks_kept == kept.get(r.conv_id, 0)
+        assert r.n_turns == sum(1 for x in rows if x["conv_id"] == r.conv_id)
+
+    # cleaning mode: the synthetic corpus has headers/footers/nav lines in
+    # most conversations -> drops must occur somewhere
+    mc = full_metrics(df, extract_chunks(df, CLEANING_CONFIG),
+                      CLEANING_CONFIG).collect()
+    assert sum(r.lines_dropped for r in mc) > 0
+    assert all(r.lines_dropped <= r.lines_total for r in mc)
