@@ -153,11 +153,27 @@ def run_extraction_bench(spark, corpus_path: str, n_turns: int) -> dict:
     bck = min(_timed(lambda: _materialize(
         extract_chunks_bucketed(transcripts, DEFAULT_CONFIG)))
         for _ in range(3))
+    # full heuristics mode (paragraph tokenizer + boilerplate mining +
+    # repeated-element removal) through the bucketed path — the north
+    # star's main-content pipeline, single run
+    from pdf_parser_spark.config import CLEANING_CONFIG
+    cln = _timed(lambda: _materialize(
+        extract_chunks_bucketed(transcripts, CLEANING_CONFIG)))
+    # embedding tier: iterator pandas UDF (hash-stub encoder) over all
+    # extracted chunk texts, single run
+    from pdf_parser_spark.operators.embedding import embed_chunks
+    chunks = extract_chunks_bucketed(transcripts, DEFAULT_CONFIG)
+    emb = _timed(lambda: _materialize(
+        embed_chunks(chunks, dim=64).select("conv_id", "chunk_idx",
+                                            "embedding", "token_count")))
     return {"extract_sec": round(win, 3),
             "extract_bucketed_sec": round(bck, 3),
+            "extract_cleaned_sec": round(cln, 3),
+            "embed_sec": round(emb, 3),
             "n_turns": n_turns,
             "turns_per_sec": round(n_turns / bck, 1),
-            "turns_per_sec_windowed": round(n_turns / win, 1)}
+            "turns_per_sec_windowed": round(n_turns / win, 1),
+            "turns_per_sec_cleaned": round(n_turns / cln, 1)}
 
 
 def _timed(fn) -> float:
@@ -203,10 +219,14 @@ def main_bench(cores: int, sf_dir: str) -> None:
         spark.stop()
 
     queries["extract_synth"] = ext["extract_sec"]
+    queries["extract_synth_bucketed"] = ext["extract_bucketed_sec"]
+    queries["extract_synth_cleaned"] = ext["extract_cleaned_sec"]
+    queries["embed_synth"] = ext["embed_sec"]
     total = round(sum(queries.values()), 3)
     print(json.dumps({
-        "metric": "headline suite wall time (9 operator-family queries "
-                  "+ synthetic-transcript extraction)",
+        "metric": f"headline suite wall time ({len(HEADLINE)} operator-"
+                  "family queries + synthetic-transcript extraction/"
+                  "cleaning/embedding)",
         "value": total,
         "unit": "sec",
         "queries": queries,

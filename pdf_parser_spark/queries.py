@@ -151,6 +151,31 @@ GROUP BY r_name, n_name
 """
 
 
+def parts_supplier_profit(spark, sf):
+    # multi-way join with two mid-size dims (part, supplier) + grouped agg:
+    # the non-broadcast join shape (shuffle hash / SMJ under AQE)
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    supp = _t(spark, sf, "supplier")
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .groupBy("p_brand", "s_nationkey")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue")))
+
+
+PARTS_SUPPLIER_SQL = """
+SELECT p_brand, s_nationkey, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey
+"""
+
+
 def events_type_agg(spark, sf):
     # A1/A5/A6 per-type counts (reference pdf_parser.py:101-114)
     ev = _t(spark, sf, "events")
@@ -757,6 +782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
+    "parts_supplier_profit": parts_supplier_profit,
     "events_type_agg": events_type_agg,
     "events_conditional_agg": events_conditional_agg,
     "events_value_stats": events_value_stats,
@@ -795,6 +821,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
+    "parts_supplier_profit": PARTS_SUPPLIER_SQL,
     "events_type_agg": EVENTS_TYPE_SQL,
     "events_conditional_agg": EVENTS_COND_SQL,
     "events_value_stats": EVENTS_STATS_SQL,

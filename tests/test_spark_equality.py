@@ -126,3 +126,26 @@ def test_bucketed_path_conv_spanning_batches(spark):
         assert bucketed == windowed and len(bucketed) > 0
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+
+
+def test_extreme_skew_conversation(spark):
+    """A single conversation dwarfing the rest (zipf head): all three
+    execution routes stay correct and agree with the oracle."""
+    from pdf_parser_spark.operators.merge import (cluster_by_conversation,
+                                                  extract_chunks_bucketed)
+    big = generate_transcripts(1, seed=77, max_turns=3000)
+    small = generate_transcripts(60, seed=78, max_turns=4)
+    rows = big + small
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    cfg = DEFAULT_CONFIG
+    expected = _norm_rows(extract_many(rows, cfg))
+    windowed = _norm_rows(extract_chunks(df, cfg).collect())
+    bucketed = _norm_rows(extract_chunks_bucketed(
+        cluster_by_conversation(df, 8), cfg).collect())
+    assert windowed == expected
+    assert bucketed == expected
+    # the heavy conversation really is heavy (skew is exercised, not luck)
+    n_big = sum(1 for t in expected if t[0].startswith("conv_77"))
+    assert n_big > len(expected) / 2
