@@ -525,6 +525,35 @@ GROUP BY n_copies
 """
 
 
+def docs_dedup_survivors(spark, sf):
+    # exact dedup with deterministic survivor (min doc_id per content hash)
+    from pdf_parser_spark.operators.dedup import exact_dedup
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, "text").select("doc_id")
+
+
+DOCS_SURVIVORS_SQL = """
+SELECT min(doc_id) AS doc_id
+FROM documents GROUP BY md5(coalesce(text, ''))
+"""
+
+
+def docs_bpe_tokens(spark, sf):
+    # BPE-ish token estimate: one regexp_count expression, fully codegen'd
+    from pdf_parser_spark.operators.textstats import bpe_ish_token_count
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id",
+                    bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+DOCS_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]'))
+            AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def docs_jaccard_pairs(spark, sf):
     # n-gram Jaccard near-dup pairs via shingle inverted index
     from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
@@ -799,6 +828,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_context_expansion": docs_context_expansion,
     "docs_lang_source_matrix": docs_lang_source_matrix,
     "docs_dup_histogram": docs_dup_histogram,
+    "docs_dedup_survivors": docs_dedup_survivors,
+    "docs_bpe_tokens": docs_bpe_tokens,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
     "emb_cosine_topk": emb_cosine_topk,
@@ -838,6 +869,8 @@ ORACLES: dict[str, str] = {
     "docs_context_expansion": DOCS_CONTEXT_SQL,
     "docs_lang_source_matrix": DOCS_MATRIX_SQL,
     "docs_dup_histogram": DOCS_DUP_SQL,
+    "docs_dedup_survivors": DOCS_SURVIVORS_SQL,
+    "docs_bpe_tokens": DOCS_BPE_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
