@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from pdf_parser_spark.operators.similarity import cosine
 
 
-def with_chunk_id(chunks: DataFrame) -> Column | DataFrame:
+def with_chunk_id(chunks: DataFrame) -> DataFrame:
     """C4: chunk id = md5(f"{conv_id}_{chunk_idx}")[:16] — built-in md5
     matches hashlib (reference gea_qa_agent.py:109)."""
     return chunks.withColumn(
@@ -58,6 +58,31 @@ def search_by_text(chunks: DataFrame, query_vec: list[float], top_k: int = 5,
                                        F.asc("conv_id"),
                                        F.asc("chunk_idx")))))
     return ranked
+
+
+def batch_search(corpus: DataFrame, queries: DataFrame, top_k: int = 5,
+                 emb_col: str = "embedding", id_col: str = "id",
+                 q_id_col: str = "q_id", q_emb_col: str = "q_emb",
+                 ) -> DataFrame:
+    """Top-k cosine for a BATCH of queries in one job.
+
+    Shape: broadcast the query set against the corpus scan, score with the
+    JVM cosine expression, rank per query with a window. One pass over the
+    corpus serves every query — this is how Spark beats a resident index on
+    throughput (BASELINE.md: 47 q/s vs the reference's ~7.7 q/s at its own
+    corpus size) and the only shape that works when the corpus doesn't fit
+    one machine. Queries must be broadcastable (thousands, not millions);
+    beyond that, bucket both sides by sign-LSH (similarity.with_lsh_bucket)
+    and join on bucket instead.
+    """
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("similarity"),
+                                             F.asc(id_col))
+    return (corpus.crossJoin(F.broadcast(queries))
+            .withColumn("similarity",
+                        F.round(cosine(F.col(emb_col), F.col(q_emb_col)), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select(q_id_col, "rank", id_col, "similarity"))
 
 
 def expand_page_context(results: DataFrame, chunks: DataFrame,

@@ -495,6 +495,29 @@ ORDER BY sim DESC, doc_id ASC LIMIT 10
 """
 
 
+def docs_priority_union(spark, sf):
+    # U1 priority union (reference gea_qa_agent.py:284-295): image-class
+    # hits first, then the rest, stable within class by score then id
+    d = _t(spark, sf, "documents")
+    score = F.round(F.length("text").cast("double")
+                    / F.lit(1000.0), 6).alias("score")
+    hits = d.select("doc_id", F.col("lang"), score)
+    prio = F.when(F.col("lang") == "zh", 0).otherwise(1)
+    return (hits.withColumn("priority", prio)
+            .orderBy("priority", F.desc("score"), F.asc("doc_id"))
+            .limit(12).select("doc_id", "priority", "score"))
+
+
+DOCS_PRIORITY_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN lang = 'zh' THEN 0 ELSE 1 END AS INTEGER) AS priority,
+       round(length(text)::DOUBLE / 1000.0, 6) AS score
+FROM documents
+ORDER BY priority ASC, score DESC, doc_id ASC
+LIMIT 12
+"""
+
+
 def docs_lang_source_matrix(spark, sf):
     # A1 type-distribution matrix (reference pdf_parser.py:101-114)
     d = _t(spark, sf, "documents")
@@ -639,6 +662,42 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY similarity DESC, vec_id ASC
 LIMIT 10
+"""
+
+
+def emb_batch_topk(spark, sf):
+    # batch retrieval: 8 query vectors x corpus in ONE job (broadcast +
+    # window rank) — the throughput shape of operators/retrieval.batch_search
+    from pdf_parser_spark.operators.retrieval import batch_search
+    emb = _t(spark, sf, "embeddings")
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select(F.col("vec_id").alias("id"), e_dbl.alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("q_id"), e_dbl.alias("q_emb")))
+    return batch_search(corpus, queries, top_k=5)
+
+
+EMB_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.q_id, e.vec_id AS id,
+         round(CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.q_emb, q.q_emb)) > 0
+               THEN list_dot_product(e.embedding::DOUBLE[], q.q_emb)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.q_emb, q.q_emb)))
+               ELSE 0.0 END, 6) AS similarity
+  FROM embeddings e, q
+)
+SELECT q_id, rank, id, similarity FROM (
+  SELECT q_id, id, similarity,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY similarity DESC, id ASC) AS INTEGER)
+           AS rank
+  FROM scored)
+WHERE rank <= 5
 """
 
 
@@ -826,6 +885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_keyword_score": docs_keyword_score,
     "docs_preview": docs_preview,
     "docs_context_expansion": docs_context_expansion,
+    "docs_priority_union": docs_priority_union,
     "docs_lang_source_matrix": docs_lang_source_matrix,
     "docs_dup_histogram": docs_dup_histogram,
     "docs_dedup_survivors": docs_dedup_survivors,
@@ -833,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_batch_topk": emb_batch_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_rank_lsh_buckets": emb_rank_lsh_buckets,
     "extract_documents": extract_documents,
@@ -867,6 +928,7 @@ ORACLES: dict[str, str] = {
     "docs_keyword_score": DOCS_KEYWORD_SQL,
     "docs_preview": DOCS_PREVIEW_SQL,
     "docs_context_expansion": DOCS_CONTEXT_SQL,
+    "docs_priority_union": DOCS_PRIORITY_SQL,
     "docs_lang_source_matrix": DOCS_MATRIX_SQL,
     "docs_dup_histogram": DOCS_DUP_SQL,
     "docs_dedup_survivors": DOCS_SURVIVORS_SQL,
@@ -874,6 +936,7 @@ ORACLES: dict[str, str] = {
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
+    "emb_batch_topk": EMB_BATCH_SQL,
     "emb_label_centroids": EMB_CENTROID_SQL,
     "emb_rank_lsh_buckets": EMB_LSH_SQL,
     "extract_documents": EXTRACT_DOCS_SQL,

@@ -242,3 +242,24 @@ def test_answer_with_context(spark, chunks_df):
     assert r.conv_id == "conv_a" and r.chunk_idx == 2
     exp_full = " ".join(f"conv_a chunk {i} about spark joins" for i in (1, 2, 3))
     assert r.answer == exp_full[:50] + "..."
+
+
+def test_batch_search_matches_single_query(spark, emb_df):
+    """batch_search's per-query top-k == brute_force_topk run per query."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.retrieval import batch_search
+    from pdf_parser_spark.operators.similarity import brute_force_topk
+
+    corpus = emb_df.select(F.col("vec_id").alias("id"), "embedding")
+    queries = (emb_df.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb")))
+    batched = {(r.q_id, r.rank): (r.id, r.similarity)
+               for r in batch_search(corpus, queries, top_k=4).collect()}
+    for q in queries.collect():
+        single = brute_force_topk(emb_df, [float(x) for x in q.q_emb], k=4)
+        for rank, r in enumerate(single.collect(), start=1):
+            got_id, got_sim = batched[(q.q_id, rank)]
+            assert got_id == r.vec_id
+            assert abs(got_sim - r.similarity) < 1e-6
