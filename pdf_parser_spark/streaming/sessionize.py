@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The batch twin is the ``events_sessionize`` query (running-sum over >gap
+boundaries — SURVEY §2.3's stateful-segmentation analog); this is the
+Structured-Streaming formulation with explicit per-key state:
+
+- state per ``user_id``: the open session (start ts, last ts, event count);
+- each micro-batch folds its events into the open session, splitting
+  whenever the gap between consecutive events exceeds ``gap_sec`` —
+  fully-closed sessions are emitted immediately;
+- the still-open session is held in state with an EVENT-TIME TIMEOUT at
+  ``last_ts + gap_sec``: when the watermark passes it, the session closes
+  and is emitted. Late events beyond the watermark are dropped by the
+  watermark itself (north-rule late-data handling).
+
+At 10^12 events this runs with bounded state (one small tuple per active
+user) and shuffles each batch once on user_id — the same partitioning
+contract as every other operator in this engine.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", StringType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", IntegerType()),
+])
+
+# state: (start_epoch_us, last_epoch_us, n_events)
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", IntegerType()),
+])
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+def _ts(us: int) -> _dt.datetime:
+    return pd.Timestamp(us * 1000).to_pydatetime()
+
+
+def make_sessionize_fn(gap_sec: int):
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((user_id, _ts(start_us), _ts(last_us), int(n)))
+                state.remove()
+            if closed:
+                yield pd.DataFrame(closed, columns=[f.name for f in
+                                                    SESSION_SCHEMA.fields])
+            return
+
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(_us(t) for t in pdf["ts"])
+        times.sort()
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = times[0], times[0], 0
+
+        for t in times:
+            if n > 0 and t - last_us > gap_us:
+                closed.append((user_id, _ts(start_us), _ts(last_us), int(n)))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+
+        state.update((start_us, last_us, n))
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in
+                                                SESSION_SCHEMA.fields])
+
+    return fn
+
+
+def stream_sessionize(events: DataFrame, gap_sec: int = 1800,
+                      watermark: str = "0 seconds") -> DataFrame:
+    """events (streaming, with ``user_id``/``ts``) -> closed sessions."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_sessionize_fn(gap_sec),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
