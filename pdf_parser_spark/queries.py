@@ -151,6 +151,23 @@ GROUP BY r_name, n_name
 """
 
 
+def customers_without_orders(spark, sf):
+    # U3/anti-join membership check as a first-class plan (the resume
+    # anti-join's query-shape twin, reference gea_qa_agent.py:306)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 def parts_supplier_profit(spark, sf):
     # multi-way join with two mid-size dims (part, supplier) + grouped agg:
     # the non-broadcast join shape (shuffle hash / SMJ under AQE)
@@ -871,6 +888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
     "parts_supplier_profit": parts_supplier_profit,
+    "customers_without_orders": customers_without_orders,
     "events_type_agg": events_type_agg,
     "events_conditional_agg": events_conditional_agg,
     "events_value_stats": events_value_stats,
@@ -914,6 +932,7 @@ ORACLES: dict[str, str] = {
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "parts_supplier_profit": PARTS_SUPPLIER_SQL,
+    "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
     "events_type_agg": EVENTS_TYPE_SQL,
     "events_conditional_agg": EVENTS_COND_SQL,
     "events_value_stats": EVENTS_STATS_SQL,
