@@ -1,0 +1,77 @@
+"""Vector-store export + RAG context assembly.
+
+Completes the reference's query lifecycle (SURVEY §3.3) minus the LLM call:
+
+- ``flatten_for_store``: the reference's Chroma migration schema flattening
+  (reference migrate_to_chroma.py:120-150): drop invalid-embedding rows
+  (F3), synthesize md5 ids (C4), coerce non-string content to a string
+  (C12), JSON-stringify ``block_indices`` into flat metadata (C13) and
+  reduce ``blocks``-style nested payloads to a boolean (``has_blocks``
+  analog: ``has_cells``). Output is the ids/embeddings/documents/metadatas
+  quadruplet shape, one row per chunk — writable to any vector store via
+  its Spark connector or ``foreachPartition`` batch-add (S12).
+- ``build_context``: the reference's ``_build_context``
+  (reference gea_rag_agent_openai.py:190-292): top-k by cosine, dedup by
+  id (U2), per-chunk headers ``[文档N] | 来源 | 轮次 | 类型 | 相似度``
+  (C14), joined into ONE prompt string per query — all JVM expressions
+  (collect_list over an ordered window + array_join), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.retrieval import (search_by_text,
+                                                  with_chunk_id)
+
+
+def flatten_for_store(chunks: DataFrame,
+                      emb_col: str = "embedding") -> DataFrame:
+    """Chunk rows -> flat (id, embedding, document, metadata columns)."""
+    valid = chunks.where(F.col(emb_col).isNotNull()
+                         & (F.size(emb_col) > 0))      # F3
+    keyed = with_chunk_id(valid)                        # C4 md5 id
+    return keyed.select(
+        "id",
+        F.col(emb_col).alias("embedding"),
+        F.coalesce(F.col("text"), F.lit("")).alias("document"),   # C12
+        F.col("conv_id").alias("meta_source"),
+        F.col("turn_idx").alias("meta_turn"),
+        F.col("chunk_type").alias("meta_type"),
+        F.col("char_count").alias("meta_char_count"),
+        F.to_json(F.col("block_indices")).alias("meta_block_indices"),  # C13
+        F.col("table_cells").isNotNull().alias("meta_has_cells"),
+    )
+
+
+def build_context(chunks: DataFrame, query_vec: list[float],
+                  top_k: int = 5, max_chars: int = 4000) -> DataFrame:
+    """Top-k retrieval -> one formatted context string (1-row DataFrame).
+
+    Header format mirrors the reference (gea_rag_agent_openai.py:228-292):
+    ``[文档N] 来源: <conv> | 轮次: <turn> | 类型: <type> | 相似度: <sim>``
+    followed by the chunk text; chunks joined by blank lines; final
+    truncation to ``max_chars`` (C9).
+    """
+    hits = with_chunk_id(search_by_text(chunks, query_vec, top_k=top_k)) \
+        .dropDuplicates(["id"])                         # U2
+    header = F.format_string(
+        "[文档%d] 来源: %s | 轮次: %d | 类型: %s | 相似度: %.4f",
+        F.col("rank"), F.col("conv_id"), F.col("turn_idx"),
+        F.col("chunk_type"), F.col("similarity"))
+    formatted = hits.select(
+        F.col("rank"),
+        F.concat(header, F.lit("\n"),
+                 F.coalesce(F.col("text"), F.lit(""))).alias("entry"))
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    ctx = (formatted
+           .withColumn("context", F.array_join(
+               F.collect_list("entry").over(w), "\n\n"))
+           .select("context").limit(1))
+    return ctx.select(
+        F.when(F.length("context") > max_chars,
+               F.concat(F.substring("context", 1, max_chars), F.lit("...")))
+         .otherwise(F.col("context")).alias("context"),
+        F.length("context").alias("raw_chars"))

@@ -263,3 +263,42 @@ def test_batch_search_matches_single_query(spark, emb_df):
             got_id, got_sim = batched[(q.q_id, rank)]
             assert got_id == r.vec_id
             assert abs(got_sim - r.similarity) < 1e-6
+
+
+def test_flatten_for_store(spark, transcripts_df):
+    import json as _json
+
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+    from pdf_parser_spark.operators.embedding import embed_chunks
+    from pdf_parser_spark.operators.export import flatten_for_store
+    from pdf_parser_spark.operators.merge import extract_chunks
+
+    chunks = extract_chunks(transcripts_df, DEFAULT_CONFIG)
+    embedded = embed_chunks(chunks, dim=16).cache()
+    flat = flatten_for_store(embedded).collect()
+    assert len(flat) == embedded.count()  # all rows have valid embeddings
+    for r in flat:
+        assert len(r.id) == 16
+        assert isinstance(r.document, str)
+        idx = _json.loads(r.meta_block_indices) if r.meta_block_indices else None
+        assert idx is None or isinstance(idx, list)
+    # invalid embeddings dropped (F3)
+    from pyspark.sql import functions as F
+    bad = embedded.withColumn(
+        "embedding", F.when(F.col("chunk_idx") == 0,
+                            F.array().cast("array<float>"))
+                      .otherwise(F.col("embedding")))
+    assert flatten_for_store(bad).count() < len(flat)
+
+
+def test_build_context_formats_and_truncates(spark, chunks_df):
+    from pdf_parser_spark.operators.embedding import embed_chunks, hash_embed_py
+    from pdf_parser_spark.operators.export import build_context
+
+    embedded = embed_chunks(chunks_df, dim=16)
+    q = hash_embed_py("spark shuffle", 16)
+    row = build_context(embedded, q, top_k=3, max_chars=200).collect()[0]
+    assert row.context.startswith("[文档1] 来源: ")
+    assert "相似度: " in row.context
+    if row.raw_chars > 200:
+        assert row.context.endswith("...") and len(row.context) == 203
