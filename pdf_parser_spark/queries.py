@@ -790,6 +790,45 @@ WHERE text IS NOT NULL AND text != ''
 """
 
 
+def extract_documents_store(spark, sf):
+    # S12/C4/C12/C13 store export over the extraction output; SQL oracle
+    # exists because in turn-mode per-turn decomposition block_indices of
+    # chunk k is exactly [k] (one block per non-empty turn)
+    from pdf_parser_spark.operators.embedding import embed_chunks
+    from pdf_parser_spark.operators.export import flatten_for_store
+    docs = _t(spark, sf, "documents")
+    chunks = extract_chunks(_documents_as_transcripts(docs), DEFAULT_CONFIG)
+    return flatten_for_store(embed_chunks(chunks, dim=16)) \
+        .drop("embedding")
+
+
+EXTRACT_STORE_SQL = """
+WITH t AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS turn_idx,
+         text
+  FROM documents
+), c AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS chunk_idx,
+         CAST(turn_idx AS INTEGER) AS turn_idx,
+         trim(text) AS text,
+         CAST(length(text) AS BIGINT) AS char_count
+  FROM t WHERE text IS NOT NULL AND text != ''
+)
+SELECT substring(md5(conv_id || '_' || chunk_idx), 1, 16) AS id,
+       text AS document,
+       conv_id AS meta_source,
+       turn_idx AS meta_turn,
+       'text' AS meta_type,
+       char_count AS meta_char_count,
+       '[' || chunk_idx || ']' AS meta_block_indices,
+       false AS meta_has_cells
+FROM c
+"""
+
+
 def extract_documents_metrics(spark, sf):
     # A2 chunk statistics over the same extraction
     from pdf_parser_spark.pipeline import extraction_metrics
@@ -915,6 +954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_centroids": emb_label_centroids,
     "emb_rank_lsh_buckets": emb_rank_lsh_buckets,
     "extract_documents": extract_documents,
+    "extract_documents_store": extract_documents_store,
     "extract_documents_metrics": extract_documents_metrics,
     # rows-only (pytest oracle suite is the correctness gate)
     "extract_synth_default": extract_synth_default,
@@ -959,5 +999,6 @@ ORACLES: dict[str, str] = {
     "emb_label_centroids": EMB_CENTROID_SQL,
     "emb_rank_lsh_buckets": EMB_LSH_SQL,
     "extract_documents": EXTRACT_DOCS_SQL,
+    "extract_documents_store": EXTRACT_STORE_SQL,
     "extract_documents_metrics": EXTRACT_METRICS_SQL,
 }
