@@ -112,6 +112,81 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         query_vec, k, emb_col, id_col)
 
 
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def _argmax_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid, as pure expressions: build an
+    array of (sim, idx) structs and take array_max (lexicographic —
+    sim first, ties to the higher index, deterministic)."""
+    scored = [F.struct(cosine(emb_col, F.array(*[F.lit(v) for v in c]))
+                       .alias("sim"), F.lit(i).alias("cell"))
+              for i, c in enumerate(centroids)]
+    return F.array_max(F.array(*scored))["cell"]
+
+
+def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
+              emb_col: str = "embedding", id_col: str = "vec_id",
+              ) -> list[list[float]]:
+    """Deterministic k-means centroids for IVF cells.
+
+    Init: the k rows with smallest md5(id) (a seeded, order-independent
+    sample). Lloyd iterations: argmax-cosine assignment as expressions,
+    centroid recompute via posexplode + avg (one shuffle of k*dim floats
+    per iteration — the data itself is scanned, never collected; only the
+    k x dim centroid matrix ever reaches the driver).
+    """
+    seed_rows = (df.select(F.col(id_col), F.col(emb_col))
+                 .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+                 .limit(k).collect())
+    centroids = [[float(x) for x in r[emb_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.select(
+            _argmax_cell(F.col(emb_col), centroids).alias("cell"),
+            F.col(emb_col).alias("e"))
+        means = (assigned.select("cell", F.posexplode("e")
+                                 .alias("pos", "v"))
+                 .groupBy("cell", "pos")
+                 .agg(F.avg("v").alias("m"))
+                 .collect())
+        new = {c: dict() for c in range(len(centroids))}
+        for r in means:
+            new[r.cell][r.pos] = r.m
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if new.get(c) else centroids[c]
+            for c in range(len(centroids))]
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               emb_col: str = "embedding") -> DataFrame:
+    """Attach the IVF cell id; at scale this is the partition/bucket key
+    of the embedding table, making probes partition-pruned scans."""
+    return df.withColumn("ivf_cell",
+                         _argmax_cell(F.col(emb_col), centroids))
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 2,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             ) -> DataFrame:
+    """IVF approximate top-k: rank centroids by query cosine driver-side
+    (k_cells tiny), scan only the ``n_probe`` closest cells, exact cosine
+    within them."""
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    order = sorted(range(len(centroids)),
+                   key=lambda c: (-_cos(query_vec, centroids[c]), c))
+    probe = order[:n_probe]
+    cells = ivf_assign(df, centroids, emb_col)
+    return brute_force_topk(cells.where(F.col("ivf_cell").isin(probe)),
+                            query_vec, k, emb_col, id_col)
+
+
 def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                      emb_col: str = "embedding", id_col: str = "vec_id",
                      n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -897,6 +897,16 @@ def emb_ann_topk(spark, sf):
     return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=1)
 
 
+def emb_ivf_topk(spark, sf):
+    # IVF ANN: deterministic k-means cells, probe the closest cells only
+    from pdf_parser_spark.operators.similarity import ivf_topk, ivf_train
+    emb = _t(spark, sf, "embeddings")
+    cents = ivf_train(emb, k=8, iters=2)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ivf_topk(emb, cents, q, k=10, n_probe=2)
+
+
 def emb_cosine_dup_pairs(spark, sf):
     # embedding-cosine near-dup via sign-LSH bucket self-join (never
     # O(n^2)); random vectors have no 0.99-cosine pairs, so seed exact
@@ -963,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_text_statistics_full": docs_text_statistics_full,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_ann_topk": emb_ann_topk,
+    "emb_ivf_topk": emb_ivf_topk,
     "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
     "media_payload_features": media_payload_features,
 }

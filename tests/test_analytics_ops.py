@@ -302,3 +302,26 @@ def test_build_context_formats_and_truncates(spark, chunks_df):
     assert "相似度: " in row.context
     if row.raw_chars > 200:
         assert row.context.endswith("...") and len(row.context) == 203
+
+
+def test_ivf_ann(spark, emb_df):
+    from pdf_parser_spark.operators.similarity import (ivf_assign, ivf_topk,
+                                                       ivf_train)
+
+    cents = ivf_train(emb_df, k=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 16 for c in cents)
+    # deterministic: retraining gives identical centroids
+    assert ivf_train(emb_df, k=4, iters=2) == cents
+    # cells partition the data
+    assigned = ivf_assign(emb_df, cents)
+    assert assigned.count() == emb_df.count()
+    assert assigned.select("ivf_cell").distinct().count() <= 4
+    # self-query: the query vector's own row is in the probed cell ->
+    # exact top-1 recovered
+    q = hash_embed_py("doc number 7", 16)
+    got = ivf_topk(emb_df, cents, q, k=3, n_probe=1).collect()
+    assert got and got[0].vec_id == 7
+    # probing more cells only grows the candidate set
+    n1 = ivf_topk(emb_df, cents, q, k=100, n_probe=1).count()
+    n4 = ivf_topk(emb_df, cents, q, k=100, n_probe=4).count()
+    assert n1 <= n4 == emb_df.count()
