@@ -44,6 +44,7 @@ def session_run(spark, tmp_path):
     ])
     _write(str(inp / "f3.parquet"), [
         ("S2", _sec(100000)),                      # closes everything open
+        ("B", _sec(150)),                          # LATE: behind watermark
     ])
 
     stream = (spark.readStream.schema("user_id string, ts timestamp")
@@ -69,3 +70,7 @@ def test_sessions_close_correctly(session_run):
     assert got[("B", _sec(100), _sec(100))] == 1
     # sentinel S itself closes when the later sentinel advances watermark
     assert got[("S", _sec(20000), _sec(20000))] == 1
+    # the late B event (behind the watermark by batch 3) was dropped by the
+    # watermark: exactly one B session, its counts untouched
+    b_sessions = [k for k in got if k[0] == "B"]
+    assert b_sessions == [("B", _sec(100), _sec(100))]
