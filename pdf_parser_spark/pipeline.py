@@ -54,6 +54,24 @@ def extraction_metrics(chunks: DataFrame) -> DataFrame:
     ))
 
 
+def extract_with_embeddings(transcripts: DataFrame,
+                            cfg: ExtractionConfig = ExtractionConfig(),
+                            dim: int = 64) -> tuple[DataFrame, DataFrame]:
+    """The reference's full per-document flow (process_pdf_with_embeddings,
+    reference pdf_parser.py:350-440) as one composition: extract ->
+    embed every chunk (iterator pandas UDF) -> per-conversation metrics.
+    Returns (embedded_chunks, metrics). The reference's embedding
+    success/failure accounting (pdf_parser.py:411-419) degenerates here:
+    the stub encoder cannot fail, so metrics carry chunk/char counts and
+    the per-chunk token_count column carries the reference's
+    token_count=len(text) bookkeeping."""
+    from pdf_parser_spark.operators.embedding import embed_chunks
+
+    chunks = extract_chunks(transcripts, cfg)
+    embedded = embed_chunks(chunks, dim=dim)
+    return embedded, full_metrics(transcripts, chunks, cfg)
+
+
 def cleaning_metrics(transcripts: DataFrame,
                      cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
     """Per-conversation tokenizer/cleaning metrics: blocks kept, lines

@@ -96,3 +96,25 @@ def test_full_metrics_blocks_kept_dropped(spark, tmp_path):
                       CLEANING_CONFIG).collect()
     assert sum(r.lines_dropped for r in mc) > 0
     assert all(r.lines_dropped <= r.lines_total for r in mc)
+
+
+def test_extract_with_embeddings_composition(spark, tmp_path):
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+    from pdf_parser_spark.pipeline import extract_with_embeddings
+    from pdf_parser_spark.sources.synth import generate_transcripts
+
+    rows = generate_transcripts(10, seed=3, max_turns=16)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    embedded, metrics = extract_with_embeddings(df, DEFAULT_CONFIG, dim=16)
+    e = embedded.collect()
+    assert e and all(len(r.embedding) == 16 for r in e)
+    assert all(r.token_count == len(r.text or "") for r in e)
+    m = {r.conv_id: r for r in metrics.collect()}
+    from pyspark.sql import functions as F
+    chunk_counts = {r.conv_id: r.n for r in
+                    embedded.groupBy("conv_id")
+                    .agg(F.count("*").alias("n")).collect()}
+    for conv, r in m.items():
+        assert r.total_chunks == chunk_counts.get(conv, 0)
