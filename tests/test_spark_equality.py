@@ -149,3 +149,32 @@ def test_extreme_skew_conversation(spark):
     # the heavy conversation really is heavy (skew is exercised, not luck)
     n_big = sum(1 for t in expected if t[0].startswith("conv_77"))
     assert n_big > len(expected) / 2
+
+
+def test_unicode_torture_equality(spark):
+    """Exact text equality through Arrow for astral-plane emoji, RTL,
+    combining marks, zero-width joiners, and CJK mixed with tool payloads."""
+    import json as _json
+    torture = [
+        "café  naïve — ﬁancéé",                     # combining accents
+        "👩‍👩‍👧‍👦 family 🇺🇳 flags 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 math",              # ZWJ + astral plane
+        "مرحبا بالعالم hello עולם",                        # RTL mixes
+        "line1 line2 para",                     # unicode separators
+        "​‌zero‍width",                    # zero-width chars
+        "数据\t处理\n引擎 🚀",                              # CJK + emoji
+    ]
+    rows = []
+    for t_idx, txt in enumerate(torture):
+        rows.append({"conv_id": "u1", "turn_idx": t_idx, "role": "user",
+                     "text": txt,
+                     "tool": _json.dumps({"tables": [[[txt, None, 42]]]},
+                                         ensure_ascii=False)
+                             if t_idx % 2 else None,
+                     "ts": None})
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    for cfg in (DEFAULT_CONFIG, PARAGRAPH_CONFIG, CLEANING_CONFIG):
+        expected = _norm_rows(extract_many(rows, cfg))
+        actual = _norm_rows(extract_chunks(df, cfg).collect())
+        assert actual == expected and len(actual) > 0
