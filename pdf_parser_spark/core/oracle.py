@@ -35,6 +35,10 @@ def extract_conversation(turns: list[dict[str, Any]],
     (conv_id, chunk_idx, turn_idx, chunk_type, text, char_count,
     block_count, block_indices, table_index, image_index, table_cells).
     """
+    # data-quality rule shared with the Spark paths (_drop_null_keys):
+    # null-keyed rows are dropped, never ordered/grouped
+    turns = [t for t in turns
+             if t.get("conv_id") is not None and t.get("turn_idx") is not None]
     turns = sorted(turns, key=lambda t: t["turn_idx"])
     conv_id = turns[0]["conv_id"] if turns else None
 
@@ -71,6 +75,8 @@ def extract_many(transcript_rows: list[dict[str, Any]],
     """Oracle over a whole transcript table (list of turn rows)."""
     by_conv: dict[str, list[dict[str, Any]]] = {}
     for r in transcript_rows:
+        if r.get("conv_id") is None or r.get("turn_idx") is None:
+            continue  # same null-key drop rule as the Spark paths
         by_conv.setdefault(r["conv_id"], []).append(r)
     out: list[dict[str, Any]] = []
     for conv_id in sorted(by_conv):

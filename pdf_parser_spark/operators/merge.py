@@ -76,6 +76,15 @@ _LOCAL_SCHEMA = StructType(
      StructField("n_blocks", IntegerType())])
 
 
+def _drop_null_keys(transcripts: DataFrame) -> DataFrame:
+    """Data-quality gate: rows with a null key cannot be ordered or grouped
+    (the oracle applies the same rule — core/oracle.py). At 10^12 rows a
+    single dirty row must degrade to a dropped row, not a dead job; the
+    filter is pushed into the scan by Catalyst."""
+    return transcripts.where(F.col("conv_id").isNotNull()
+                             & F.col("turn_idx").isNotNull())
+
+
 def _as_repeated(rv) -> frozenset[str] | None:
     # null array columns can surface from Arrow as None or NaN
     if rv is None or isinstance(rv, float):
@@ -131,7 +140,7 @@ def extract_chunks(transcripts: DataFrame,
                     turn) minus the current turn's n_blocks
       block_indices = local + block_off
     """
-    src = with_repeated_lines(transcripts, cfg)
+    src = with_repeated_lines(_drop_null_keys(transcripts), cfg)
     local = src.select("conv_id", "turn_idx", "text", "tool", REPEATED_COL) \
                .mapInPandas(_make_map_fn(cfg, use_repeated=True), _LOCAL_SCHEMA)
 
@@ -208,7 +217,8 @@ def extract_chunks_bucketed(transcripts: DataFrame,
         if pending:
             yield pd.DataFrame(flush(), columns=cols)
 
-    return (transcripts.select("conv_id", "turn_idx", "text", "tool")
+    return (_drop_null_keys(transcripts)
+            .select("conv_id", "turn_idx", "text", "tool")
             .mapInPandas(map_fn, CHUNK_SCHEMA))
 
 
@@ -220,7 +230,7 @@ def extract_chunks_grouped(transcripts: DataFrame,
     parallel across conversations (exactly the reference's document loop,
     distributed). Cross-checks the scale path in tests.
     """
-    src = with_repeated_lines(transcripts, cfg)
+    src = with_repeated_lines(_drop_null_keys(transcripts), cfg)
 
     def merge_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")

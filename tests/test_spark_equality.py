@@ -178,3 +178,26 @@ def test_unicode_torture_equality(spark):
         expected = _norm_rows(extract_many(rows, cfg))
         actual = _norm_rows(extract_chunks(df, cfg).collect())
         assert actual == expected and len(actual) > 0
+
+
+def test_null_key_rows_dropped_not_fatal(spark):
+    """Dirty rows (null conv_id / turn_idx) are dropped by every execution
+    route and by the oracle — identical output to the clean subset."""
+    from pdf_parser_spark.operators.merge import (cluster_by_conversation,
+                                                  extract_chunks_bucketed)
+    clean = generate_transcripts(10, seed=44, max_turns=8)
+    dirty = clean + [
+        {"conv_id": None, "turn_idx": 0, "role": "user", "text": "x",
+         "tool": None, "ts": None},
+        {"conv_id": "conv_ok", "turn_idx": None, "role": "user", "text": "y",
+         "tool": None, "ts": None},
+    ]
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    df_dirty = spark.createDataFrame(dirty, ddl)
+    cfg = DEFAULT_CONFIG
+    expected = _norm_rows(extract_many(clean, cfg))
+    assert _norm_rows(extract_many(dirty, cfg)) == expected
+    assert _norm_rows(extract_chunks(df_dirty, cfg).collect()) == expected
+    assert _norm_rows(extract_chunks_bucketed(
+        cluster_by_conversation(df_dirty, 3), cfg).collect()) == expected
