@@ -17,15 +17,17 @@ north-rule throughput metric over the synthetic transcript corpus) and
 Scaling mode (north-rule two-cluster-size evidence; no real cluster in this
 sandbox, so the same job runs at two parallelism levels in fresh JVMs)::
 
-    python bench.py --scaling            # local[8] vs local[32]
+    python bench.py --scaling            # default local[4] vs local[16]
 
-prints one JSON line with throughput at both levels + scaling efficiency
+runs three back-to-back CPU-pinned (N, 4N) session pairs, prints one JSON
+line with the MEDIAN per-pair efficiency
   efficiency = (thr_4N / thr_N) / (4N / N)
-and is what BASELINE.md's scaling table is produced from.
+and persists it to BENCH_SCALING.json (BASELINE.md documents the method
+and why 4 -> 16 is the honest pairing on this 32-core box).
 
 Internal worker mode (used by --scaling; also handy standalone)::
 
-    python bench.py --extract-only --cores 8 --convs 30000
+    python bench.py --extract-only --cores 8 --convs 100000
 """
 
 from __future__ import annotations
