@@ -857,14 +857,23 @@ FROM t GROUP BY conv_id
 # --- rows-only entries (no SQL oracle; gate = pytest oracle suite) ---------
 
 
+def _canon_safe(df):
+    """The driver's canonicalizer sorts every column with pandas — array
+    columns are unhashable there. Same C13 trick as the store export
+    (reference migrate_to_chroma.py:146): JSON-stringify lineage arrays."""
+    return df.withColumn("block_indices", F.to_json("block_indices"))
+
+
 def extract_synth_default(spark, sf):
-    return extract_chunks(_synth_transcripts(spark), DEFAULT_CONFIG) \
-        .drop("table_cells")
+    return _canon_safe(
+        extract_chunks(_synth_transcripts(spark), DEFAULT_CONFIG)
+        .drop("table_cells"))
 
 
 def extract_synth_cleaned(spark, sf):
-    return extract_chunks(_synth_transcripts(spark), CLEANING_CONFIG) \
-        .drop("table_cells")
+    return _canon_safe(
+        extract_chunks(_synth_transcripts(spark), CLEANING_CONFIG)
+        .drop("table_cells"))
 
 
 def chunks_semantic_search(spark, sf):
@@ -873,7 +882,8 @@ def chunks_semantic_search(spark, sf):
     chunks = extract_chunks(_synth_transcripts(spark), DEFAULT_CONFIG)
     embedded = with_chunk_id(embed_chunks(chunks, dim=32))
     q = hash_embed_py("spark shuffle partition executor", 32)
-    return search_by_text(embedded, q, top_k=5).drop("embedding", "table_cells")
+    return _canon_safe(
+        search_by_text(embedded, q, top_k=5).drop("embedding", "table_cells"))
 
 
 def docs_text_statistics_full(spark, sf):

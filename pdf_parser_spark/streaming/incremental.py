@@ -46,8 +46,11 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     up, exactly like cron-driven ingestion. Output is an append-only
     parquet (Iceberg ``writeTo(...).append()`` on a real catalog).
     """
-    reader = (spark.readStream.schema(TRANSCRIPT_DDL)
-              .option("ignoreChangesAfterStart", "true"))
+    # NB: the parquet file source has no mutation-tolerance option — landed
+    # files MUST be immutable (the ingestion contract above already assumes
+    # append-only landing; an overwritten file would be silently re-read or
+    # skipped depending on timing).
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     transcripts = reader.parquet(input_dir)

@@ -70,3 +70,14 @@ def test_table_linearize_sql_matches_python(spark):
            df.select(table_linearize_sql(F.col("cells")).alias("t")).collect()]
     exp = [linearize_table(c)[0] for c in cells]
     assert got == exp
+
+
+def test_distance_to_similarity_pins_reference_formula(spark):
+    # C7: sim = 1 / (1 + l2_distance), reference gea_qa_agent_chroma.py:177-179
+    dists = [0.0, 0.25, 1.0, 3.0, 9.0, 123.456]
+    df = spark.createDataFrame([(d,) for d in dists], "dist double")
+    got = [r.s for r in
+           df.select(distance_to_similarity(F.col("dist")).alias("s"))
+             .collect()]
+    for g, d in zip(got, dists):
+        assert abs(g - 1.0 / (1.0 + d)) < 1e-12
