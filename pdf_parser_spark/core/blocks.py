@@ -43,16 +43,14 @@ import re
 from typing import Any
 
 from pdf_parser_spark.config import ExtractionConfig
-from pdf_parser_spark.core.heuristics import clean_text
+from pdf_parser_spark.core.heuristics import is_boilerplate_line
 
 _PARA_SPLIT = re.compile(r"\n\s*\n")
 
 
-def _text_blocks(page: int, raw_text: str | None, cfg: ExtractionConfig,
-                 repeated=None) -> list[dict[str, Any]]:
-    if raw_text is None:
-        return []
-    text = clean_text(raw_text, cfg, repeated) if cfg.clean_boilerplate else raw_text
+def _text_blocks_from_clean(page: int, text: str | None,
+                            cfg: ExtractionConfig) -> list[dict[str, Any]]:
+    """Text blocks from already-cleaned turn text (None/empty -> none)."""
     if not text:
         return []
     if cfg.tokenizer_mode == "paragraphs":
@@ -128,17 +126,40 @@ def _image_blocks(page: int, payload: dict[str, Any]) -> list[dict[str, Any]]:
     return blocks
 
 
+def tokenize_turn_stats(turn_idx: int, text: str | None, tool: str | None,
+                        cfg: ExtractionConfig, repeated=None,
+                        ) -> tuple[list[dict[str, Any]], int, int]:
+    """Tokenize one turn; return (blocks, n_lines, n_lines_dropped).
+
+    Block order within a turn mirrors the reference's within-page order:
+    text block(s), then table blocks, then image blocks
+    (reference pdf_parser.py:46-95).
+
+    The line counters are the cleaning metrics of the north rule ("blocks
+    kept/dropped"): ``n_lines`` = raw newline-split lines (0 for
+    null/empty), ``n_lines_dropped`` = boilerplate-stripped lines (0 in
+    parity mode by construction). Boilerplate classification runs ONCE here
+    and feeds both the cleaned blocks and the counters — metrics never cost
+    a second tokenize pass.
+    """
+    page = turn_idx + 1
+    lines = text.split("\n") if text else []
+    if cfg.clean_boilerplate and text:
+        flags = [is_boilerplate_line(ln, cfg, repeated) for ln in lines]
+        dropped = sum(flags)
+        cleaned = "\n".join(ln for ln, f in zip(lines, flags) if not f)
+    else:
+        dropped = 0
+        cleaned = text
+    payload = _tool_payload(tool)
+    blocks = (_text_blocks_from_clean(page, cleaned, cfg)
+              + _table_blocks(page, payload)
+              + _image_blocks(page, payload))
+    return blocks, len(lines), dropped
+
+
 def tokenize_turn(turn_idx: int, text: str | None, tool: str | None,
                   cfg: ExtractionConfig,
                   repeated=None) -> list[dict[str, Any]]:
-    """Tokenize one turn into its ordered block list.
-
-    Order within a turn mirrors the reference's within-page order: text
-    block(s), then table blocks, then image blocks
-    (reference pdf_parser.py:46-95).
-    """
-    page = turn_idx + 1
-    payload = _tool_payload(tool)
-    return (_text_blocks(page, text, cfg, repeated)
-            + _table_blocks(page, payload)
-            + _image_blocks(page, payload))
+    """Tokenize one turn into its ordered block list."""
+    return tokenize_turn_stats(turn_idx, text, tool, cfg, repeated)[0]

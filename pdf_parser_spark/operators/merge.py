@@ -40,7 +40,7 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from pdf_parser_spark.config import ExtractionConfig
-from pdf_parser_spark.core.blocks import tokenize_turn
+from pdf_parser_spark.core.blocks import tokenize_turn, tokenize_turn_stats
 from pdf_parser_spark.core.merge import merge_blocks_to_chunks, merge_turn
 from pdf_parser_spark.operators.boilerplate import REPEATED_COL, with_repeated_lines
 
@@ -60,7 +60,9 @@ CHUNK_FIELDS = [
 
 CHUNK_SCHEMA = StructType(CHUNK_FIELDS)
 
-# intermediate schema of the map-only stage: turn-local indices + block count
+# intermediate schema of the map-only stage: turn-local indices + per-turn
+# tokenizer stats (block and line counters ride along so cleaning metrics
+# never need a second tokenize pass)
 _LOCAL_SCHEMA = StructType(
     [StructField("conv_id", StringType()),
      StructField("turn_idx", IntegerType()),
@@ -73,7 +75,9 @@ _LOCAL_SCHEMA = StructType(
      StructField("table_index", IntegerType()),
      StructField("image_index", IntegerType()),
      StructField("table_cells", ArrayType(ArrayType(StringType()))),
-     StructField("n_blocks", IntegerType())])
+     StructField("n_blocks", IntegerType()),
+     StructField("n_lines", IntegerType()),
+     StructField("n_lines_dropped", IntegerType())])
 
 
 def _drop_null_keys(transcripts: DataFrame) -> DataFrame:
@@ -94,15 +98,21 @@ def _as_repeated(rv) -> frozenset[str] | None:
 
 def _turn_chunk_rows(conv_id: str, turn_idx: int, text, tool, repeated,
                      cfg: ExtractionConfig) -> list[tuple]:
-    blocks = tokenize_turn(int(turn_idx), text, tool, cfg, repeated)
-    if not blocks:
-        return []
+    blocks, n_lines, n_dropped = tokenize_turn_stats(
+        int(turn_idx), text, tool, cfg, repeated)
     rows = []
-    for local_idx, c in enumerate(merge_turn(blocks, cfg)):
+    for local_idx, c in enumerate(merge_turn(blocks, cfg) if blocks else ()):
         rows.append((conv_id, int(turn_idx), local_idx, c["chunk_type"],
                      c["text"], c["char_count"], c["block_count"],
                      c["block_indices"], c["table_index"], c["image_index"],
-                     c["table_cells"], len(blocks)))
+                     c["table_cells"], len(blocks), n_lines, n_dropped))
+    if not rows:
+        # sentinel: a zero-block turn still carries its tokenizer stats
+        # (chunk_type NULL marks it; filtered out of the chunk output).
+        # Safe for block-offset accounting because a non-empty block list
+        # always yields >=1 chunk, so sentinels always have n_blocks == 0.
+        rows.append((conv_id, int(turn_idx), 0, None, None, None, None,
+                     None, None, None, None, 0, n_lines, n_dropped))
     return rows
 
 
@@ -127,22 +137,30 @@ def _make_map_fn(cfg: ExtractionConfig, use_repeated: bool):
     return map_fn
 
 
-def extract_chunks(transcripts: DataFrame,
-                   cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
-    """Scale path: fused map-only tokenize+merge, then one narrow window.
+def tokenized_local(transcripts: DataFrame,
+                    cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+    """The fused map-only tokenize+merge stage: one row per turn-local
+    chunk (plus a NULL-chunk_type sentinel for zero-block turns), carrying
+    per-turn tokenizer stats. Shared by :func:`chunks_from_local` and
+    :func:`tokenize_stats` so one pass feeds both the extracted table and
+    the cleaning metrics — persist it when consuming both."""
+    src = with_repeated_lines(_drop_null_keys(transcripts), cfg)
+    return src.select("conv_id", "turn_idx", "text", "tool", REPEATED_COL) \
+              .mapInPandas(_make_map_fn(cfg, use_repeated=True), _LOCAL_SCHEMA)
 
-    Global index assignment (the "stitch"): within (conv_id) ordered by
-    (turn_idx, local_chunk_idx),
+
+def chunks_from_local(local: DataFrame) -> DataFrame:
+    """Global index assignment (the "stitch") over the fused map output:
+    within (conv_id) ordered by (turn_idx, local_chunk_idx),
       chunk_idx   = row_number() - 1
       block_off   = running sum of n_blocks over turns up to AND INCLUDING
                     the current turn (counted once per turn via the
                     local_chunk_idx == 0 row, RANGE frame groups the whole
                     turn) minus the current turn's n_blocks
       block_indices = local + block_off
-    """
-    src = with_repeated_lines(_drop_null_keys(transcripts), cfg)
-    local = src.select("conv_id", "turn_idx", "text", "tool", REPEATED_COL) \
-               .mapInPandas(_make_map_fn(cfg, use_repeated=True), _LOCAL_SCHEMA)
+    Sentinel rows are dropped first (they always carry n_blocks == 0, so
+    the offsets are unaffected)."""
+    rows = local.where(F.col("chunk_type").isNotNull())
 
     w_rows = Window.partitionBy("conv_id").orderBy("turn_idx", "local_chunk_idx")
     w_turns = (Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -153,13 +171,32 @@ def extract_chunks(transcripts: DataFrame,
     block_off = (F.sum(counted_once).over(w_turns) - F.col("n_blocks")) \
         .cast("long")
 
-    return (local
+    return (rows
             .withColumn("chunk_idx", (F.row_number().over(w_rows) - 1).cast("long"))
             .withColumn("__block_off", block_off)
             .withColumn("block_indices",
                         F.transform("local_block_indices",
                                     lambda x: x + F.col("__block_off")))
             .select(*[f.name for f in CHUNK_FIELDS]))
+
+
+def tokenize_stats(local: DataFrame) -> DataFrame:
+    """Per-conversation cleaning metrics from the fused map output (no
+    second tokenize pass): one row per turn is the local_chunk_idx == 0
+    row (first chunk or sentinel)."""
+    per_turn = local.where(F.col("local_chunk_idx") == 0)
+    return per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("n_blocks").alias("blocks_kept"),
+        F.sum("n_lines").alias("lines_total"),
+        F.sum("n_lines_dropped").alias("lines_dropped"))
+
+
+def extract_chunks(transcripts: DataFrame,
+                   cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+    """Scale path: fused map-only tokenize+merge, then one narrow window
+    (see :func:`chunks_from_local` for the index-assignment math)."""
+    return chunks_from_local(tokenized_local(transcripts, cfg))
 
 
 def cluster_by_conversation(transcripts: DataFrame,

@@ -60,16 +60,15 @@ def extract_with_embeddings(transcripts: DataFrame,
     """The reference's full per-document flow (process_pdf_with_embeddings,
     reference pdf_parser.py:350-440) as one composition: extract ->
     embed every chunk (iterator pandas UDF) -> per-conversation metrics.
-    Returns (embedded_chunks, metrics). The reference's embedding
-    success/failure accounting (pdf_parser.py:411-419) degenerates here:
-    the stub encoder cannot fail, so metrics carry chunk/char counts and
-    the per-chunk token_count column carries the reference's
-    token_count=len(text) bookkeeping."""
+    Returns (embedded_chunks, metrics). The tokenize pass is shared between
+    chunks and metrics (persisted fused map output, evaluated once)."""
     from pdf_parser_spark.operators.embedding import embed_chunks
+    from pdf_parser_spark.operators.merge import chunks_from_local, tokenized_local
 
-    chunks = extract_chunks(transcripts, cfg)
+    local = tokenized_local(transcripts, cfg).persist()
+    chunks = chunks_from_local(local)
     embedded = embed_chunks(chunks, dim=dim)
-    return embedded, full_metrics(transcripts, chunks, cfg)
+    return embedded, full_metrics(transcripts, chunks, cfg, local=local)
 
 
 def cleaning_metrics(transcripts: DataFrame,
@@ -78,64 +77,30 @@ def cleaning_metrics(transcripts: DataFrame,
     dropped (north rule: "extraction metrics (blocks kept/dropped, chunk
     counts)").
 
-    One map-only pandas pass over turn text/tool + a partial-aggregated
-    groupBy(conv_id) — never touches the merge. ``lines_dropped`` counts
-    boilerplate-stripped lines (repeated header/footer, link-heavy,
-    low-density); in parity mode (clean_boilerplate=False) it is 0 by
-    construction.
+    Derived from the SAME fused tokenize+merge map the extraction uses
+    (operators/merge.tokenized_local) — per-turn counters ride along on the
+    chunk rows, so metrics never cost a second tokenize pass, and the
+    shared null-key gate applies (a dirty row is dropped, not fatal).
+    ``lines_dropped`` counts boilerplate-stripped lines (repeated
+    header/footer, link-heavy, low-density); in parity mode
+    (clean_boilerplate=False) it is 0 by construction.
     """
-    from collections.abc import Iterator
+    from pdf_parser_spark.operators.merge import tokenize_stats, tokenized_local
 
-    import pandas as pd
-    from pyspark.sql.types import (IntegerType, StringType, StructField,
-                                   StructType)
-
-    from pdf_parser_spark.core.blocks import tokenize_turn
-    from pdf_parser_spark.core.heuristics import is_boilerplate_line
-    from pdf_parser_spark.operators.boilerplate import (REPEATED_COL,
-                                                        with_repeated_lines)
-    from pdf_parser_spark.operators.merge import _as_repeated
-
-    schema = StructType([
-        StructField("conv_id", StringType()),
-        StructField("n_blocks", IntegerType()),
-        StructField("n_lines", IntegerType()),
-        StructField("n_lines_dropped", IntegerType()),
-    ])
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for conv_id, turn_idx, text, tool, rep in zip(
-                    pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
-                    pdf["text"].tolist(), pdf["tool"].tolist(),
-                    pdf[REPEATED_COL].tolist()):
-                repeated = _as_repeated(rep)
-                blocks = tokenize_turn(int(turn_idx), text, tool, cfg,
-                                       repeated)
-                lines = text.split("\n") if text else []
-                dropped = (sum(1 for ln in lines
-                               if is_boilerplate_line(ln, cfg, repeated))
-                           if cfg.clean_boilerplate else 0)
-                out.append((conv_id, len(blocks), len(lines), dropped))
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
-
-    src = with_repeated_lines(transcripts, cfg)
-    per_turn = src.select("conv_id", "turn_idx", "text", "tool",
-                          REPEATED_COL).mapInPandas(stats, schema)
-    return per_turn.groupBy("conv_id").agg(
-        F.count("*").alias("n_turns"),
-        F.sum("n_blocks").alias("blocks_kept"),
-        F.sum("n_lines").alias("lines_total"),
-        F.sum("n_lines_dropped").alias("lines_dropped"))
+    return tokenize_stats(tokenized_local(transcripts, cfg))
 
 
 def full_metrics(transcripts: DataFrame, chunks: DataFrame,
-                 cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
+                 cfg: ExtractionConfig = ExtractionConfig(),
+                 local: DataFrame | None = None) -> DataFrame:
     """The complete metrics table: chunk stats + blocks kept / lines
-    dropped, one row per conversation."""
-    return extraction_metrics(chunks).join(
-        cleaning_metrics(transcripts, cfg), "conv_id", "full")
+    dropped, one row per conversation. Pass the (persisted) fused map
+    output as ``local`` to reuse the extraction's own tokenize pass."""
+    from pdf_parser_spark.operators.merge import tokenize_stats
+
+    stats = (tokenize_stats(local) if local is not None
+             else cleaning_metrics(transcripts, cfg))
+    return extraction_metrics(chunks).join(stats, "conv_id", "full")
 
 
 def corpus_metrics(chunks: DataFrame) -> DataFrame:

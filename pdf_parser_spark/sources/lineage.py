@@ -41,7 +41,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
                                StructField, StructType, TimestampType)
 
 from pdf_parser_spark.config import ExtractionConfig
-from pdf_parser_spark.operators.merge import extract_chunks
+from pdf_parser_spark.operators.merge import chunks_from_local, tokenized_local
 from pdf_parser_spark.pipeline import full_metrics
 
 LINEAGE_SCHEMA = StructType([
@@ -103,7 +103,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
     for group in groups:
         t0 = time.monotonic()
         src = transcripts.where(bucket_expr(n_buckets).isin(group))
-        chunks = extract_chunks(src, cfg).withColumn(
+        # one tokenize pass per job: the fused map output feeds both the
+        # extracted table and the cleaning metrics (persisted chunk-level
+        # rows — bounded by the bucket group, far smaller than raw text
+        # re-tokenization)
+        local = tokenized_local(src, cfg).persist()
+        chunks = chunks_from_local(local).withColumn(
             "bucket_id", bucket_expr(n_buckets))
 
         # idempotent data commit: replace exactly the partitions we produce
@@ -113,11 +118,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
 
         out = spark.read.parquet(extracted_path).where(
             F.col("bucket_id").isin(group))
-        (full_metrics(src, out.drop("bucket_id"), cfg)
+        (full_metrics(src, out.drop("bucket_id"), cfg, local=local)
             .withColumn("bucket_id", bucket_expr(n_buckets))
             .write.partitionBy("bucket_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(metrics_path))
+        local.unpersist()
 
         # one aggregate row per bucket — bounded by buckets_per_job
         agg = {r["bucket_id"]: r for r in

@@ -118,3 +118,37 @@ def test_extract_with_embeddings_composition(spark, tmp_path):
                     .agg(F.count("*").alias("n")).collect()}
     for conv, r in m.items():
         assert r.total_chunks == chunk_counts.get(conv, 0)
+
+
+def test_run_extraction_with_dirty_rows(spark, tmp_path):
+    """A checkpointed production run over input containing null-keyed rows
+    completes (rows dropped per the shared gate) and produces the same
+    output as the clean subset."""
+    import pandas as pd
+    from pdf_parser_spark.sources.synth import generate_transcripts
+
+    clean = generate_transcripts(10, seed=21, max_turns=6)
+    dirty = clean + [
+        {"conv_id": None, "turn_idx": 1, "role": "user", "text": "junk",
+         "tool": None, "ts": None},
+        {"conv_id": "conv_x", "turn_idx": None, "role": "user", "text": "j2",
+         "tool": None, "ts": None},
+    ]
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    clean_src = str(tmp_path / "clean.parquet")
+    dirty_src = str(tmp_path / "dirty.parquet")
+    spark.createDataFrame(clean, ddl).write.parquet(clean_src)
+    spark.createDataFrame(dirty, ddl).write.parquet(dirty_src)
+
+    out_c = str(tmp_path / "out_clean")
+    out_d = str(tmp_path / "out_dirty")
+    run_extraction(spark, clean_src, out_c, DEFAULT_CONFIG, n_buckets=4,
+                   buckets_per_job=4)
+    run_extraction(spark, dirty_src, out_d, DEFAULT_CONFIG, n_buckets=4,
+                   buckets_per_job=4)
+    assert (_rows(read_extracted(spark, out_d).drop("bucket_id"))
+            == _rows(read_extracted(spark, out_c).drop("bucket_id")))
+    # metrics landed too, one row per (surviving) conversation
+    md = spark.read.parquet(f"{out_d}/metrics")
+    assert md.count() == 10

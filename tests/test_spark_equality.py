@@ -201,3 +201,30 @@ def test_null_key_rows_dropped_not_fatal(spark):
     assert _norm_rows(extract_chunks(df_dirty, cfg).collect()) == expected
     assert _norm_rows(extract_chunks_bucketed(
         cluster_by_conversation(df_dirty, 3), cfg).collect()) == expected
+
+
+def test_metrics_null_keys_dropped_not_fatal(spark):
+    """The metrics path applies the same null-key drop rule as extraction:
+    a dirty row (null conv_id / turn_idx) degrades to a dropped row, never
+    a dead job — including the cleaning path that tokenizes per turn."""
+    from pdf_parser_spark.pipeline import cleaning_metrics, full_metrics
+    clean = generate_transcripts(8, seed=45, max_turns=6)
+    dirty = clean + [
+        {"conv_id": None, "turn_idx": 0, "role": "user", "text": "x\ny",
+         "tool": None, "ts": None},
+        {"conv_id": "conv_ok", "turn_idx": None, "role": "user", "text": "y",
+         "tool": None, "ts": None},
+    ]
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    df_clean = spark.createDataFrame(clean, ddl)
+    df_dirty = spark.createDataFrame(dirty, ddl)
+    for cfg in (DEFAULT_CONFIG, CLEANING_CONFIG):
+        exp = sorted(map(tuple, cleaning_metrics(df_clean, cfg).collect()))
+        got = sorted(map(tuple, cleaning_metrics(df_dirty, cfg).collect()))
+        assert got == exp and len(got) == 8
+        exp_f = sorted(map(tuple, full_metrics(
+            df_clean, extract_chunks(df_clean, cfg), cfg).collect()))
+        got_f = sorted(map(tuple, full_metrics(
+            df_dirty, extract_chunks(df_dirty, cfg), cfg).collect()))
+        assert got_f == exp_f
