@@ -65,15 +65,33 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = 128) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs above threshold, id_a < id_b.
 
     Inverted-index join: pairs must share >= 1 shingle, so the self-join
     fans out only where overlap exists. |A ∩ B| = count of shared distinct
     shingles; |A ∪ B| = |A| + |B| - ∩. Three shuffles total (shingle
     build, pair count, size join) — all key-partitioned, AQE-coalesced.
+
+    ``max_shingle_df`` caps shingle DOCUMENT FREQUENCY before the
+    self-join: a shingle shared by d documents creates an O(d^2) pair
+    bucket, so one corpus-common boilerplate phrase (d = 10^6 at 100 TB)
+    would otherwise materialize 10^12 pairs in a single stage. Shingles
+    with df > cap are removed from BOTH the intersection and the set
+    sizes (a consistent Jaccard over the rare-shingle subsets — high-df
+    shingles carry no near-dup signal, the standard web-dedup
+    approximation). None disables the cap. The adversarial hot-shingle
+    test (tests/test_analytics_ops.py) pins the bound.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle")
+                 .agg(F.count("*").alias("df"))
+                 .where(F.col("df") > max_shingle_df)
+                 .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -201,19 +219,60 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup candidates by SimHash: block on the top ``prefix_bits`` of
-    the simhash (near-dups almost always share the prefix at small hamming
-    distance), then filter exact hamming <= max_hamming within blocks."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_udf(F.col(text_col)).alias("sh"))
-    blocked = sh.withColumn("blk", F.shiftright("sh", 64 - prefix_bits))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+def _band_specs(n_tables: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: 64 bits split as evenly as possible."""
+    base, rem = divmod(64, n_tables)
+    specs, lo = [], 0
+    for i in range(n_tables):
+        width = base + (1 if i < rem else 0)
+        specs.append((lo, width))
+        lo += width
+    return specs
+
+
+def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3,
+                              n_tables: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming) over an (id, sh) DataFrame of 64-bit simhashes.
+
+    Multi-table (pigeonhole) blocking: the 64 bits split into ``n_tables``
+    (default max_hamming + 1) contiguous bands; two hashes within hamming
+    distance k <= n_tables - 1 must agree EXACTLY on at least one band, so
+    blocking on (band_idx, band_bits) guarantees every qualifying pair
+    becomes a candidate — recall 1.0 by construction (the standard
+    permuted-table construction from the web-dedup literature), unlike
+    single-prefix blocking which silently misses pairs that differ in the
+    prefix bits. Candidates are verified with exact popcount(xor).
+
+    Still bucketed, never O(n^2): candidate volume tracks band-bucket
+    occupancy (~n/2^band_width rows per bucket; 16-bit bands at the
+    default k=3). The 100 TB shape is explode(n_tables) -> shuffle on
+    (band, key) -> within-bucket self-join.
+    """
+    n_tables = n_tables or (max_hamming + 1)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), lo)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for i, (lo, width) in enumerate(_band_specs(n_tables))])
+    buckets = (sh.select("id", "sh", F.explode(bands).alias("b"))
+                 .select("id", "sh", "b.band", "b.key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
                    & (F.col("a.id") < F.col("b.id")))
             .withColumn("hamming",
                         hamming_distance(F.col("a.sh"), F.col("b.sh")))
             .where(F.col("hamming") <= max_hamming)
             .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"), "hamming"))
+                    F.col("b.id").alias("id_b"), "hamming")
+            .distinct())  # a pair can agree on several bands
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3,
+                      n_tables: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash over a text column (see
+    :func:`simhash_pairs_from_hashes` for the guaranteed-recall blocking)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf(F.col(text_col)).alias("sh"))
+    return simhash_pairs_from_hashes(sh, max_hamming, n_tables)

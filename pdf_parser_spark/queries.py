@@ -606,11 +606,16 @@ def docs_jaccard_pairs(spark, sf):
 DOCS_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), sh AS (
+), sh_all AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
   WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), sh AS (
+  -- mirror of the operator's max_shingle_df=128 hot-shingle cap
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all
+                    GROUP BY shingle HAVING count(*) <= 128)
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -894,9 +899,49 @@ def docs_text_statistics_full(spark, sf):
 
 
 def docs_simhash_pairs(spark, sf):
+    # SimHash near-dup with multi-table (pigeonhole) blocking: recall 1.0
+    # for hamming <= 3 by construction, so the DuckDB oracle can verify it
+    # with an exhaustive O(n^2) recomputation at sf0.01
     from pdf_parser_spark.operators.dedup import simhash_dup_pairs
     return simhash_dup_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                             max_hamming=16)
+                             max_hamming=3)
+
+
+# DuckDB recomputes the 64-bit simhash verbatim: per whitespace token, the
+# first 8 md5 bytes big-endian are the token hash (bit i lives in hex char
+# 16 - i//4, bit i%4); per-bit +-1 votes, positive -> bit set; signed
+# two's-complement via the explicit bit-63 term. Pairs are then exhaustive
+# (bit_count(xor) <= 3) — valid as an oracle for the blocked operator
+# precisely because the banding guarantees recall 1.0.
+DOCS_SIMHASH_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE tok <> ''
+), bits AS (SELECT i FROM range(64) r(i)),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                  substring(md5(tok), 16 - i // 4, 1)) - 1) >> (i % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM tk CROSS JOIN bits GROUP BY doc_id, i
+), sh0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN
+               CASE WHEN i = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << i) END
+             ELSE 0 END)::BIGINT AS sh
+  FROM votes GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+  FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def emb_ann_topk(spark, sf):
@@ -1015,6 +1060,7 @@ ORACLES: dict[str, str] = {
     "docs_bpe_tokens": DOCS_BPE_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
+    "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_batch_topk": EMB_BATCH_SQL,
     "emb_label_centroids": EMB_CENTROID_SQL,

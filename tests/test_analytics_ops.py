@@ -128,6 +128,56 @@ def test_simhash_matches_python_and_finds_dups(spark, docs_df):
     assert pairs[(0, 7)] == 0
 
 
+def test_simhash_multiband_blocking_guarantees_recall(spark):
+    """Pigeonhole banding must find EVERY pair within max_hamming — in
+    particular pairs whose differing bits are all in the top band, which
+    the old single-prefix blocking silently missed."""
+    from pdf_parser_spark.operators.dedup import simhash_pairs_from_hashes
+
+    top = -0x8000000000000000          # bit 63 set (signed two's complement)
+    rows = [
+        (0, 0),
+        (1, top),                      # differs from 0 only in bit 63
+        (2, top | 0x6000000000000000),  # 3 top bits vs id 0
+        (3, 0x0000F00000000000),       # 4 bits in band 2 vs id 0 (> k)
+        (4, -1),                       # far from everything
+    ]
+    sh = spark.createDataFrame(rows, "id int, sh long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs_from_hashes(sh, max_hamming=3).collect()}
+    assert got[(0, 1)] == 1            # top-bit pair IS found
+    assert got[(0, 2)] == 3
+    assert got[(1, 2)] == 2
+    assert (0, 3) not in got           # hamming 4 > k correctly excluded
+    assert all(h <= 3 for h in got.values())
+    # exhaustive cross-check: every pair within k is present
+    import itertools
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        assert ((ia, ib) in got) == (h <= 3), (ia, ib, h)
+
+
+def test_jaccard_hot_shingle_cap_bounds_the_join(spark):
+    """A shingle shared by every document must NOT create the O(n^2) pair
+    bucket: with the df cap, docs related only through the hot shingle
+    yield no pairs, while genuine near-dups (sharing rare shingles) are
+    still found."""
+    hot = "terms of service apply"
+    rows = [(i, f"{hot} unique text number {i} content piece {i}")
+            for i in range(200)]
+    # one genuine near-dup pair sharing rare shingles
+    rows.append((900, "rare alpha beta gamma delta epsilon zeta"))
+    rows.append((901, "rare alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1,
+                                max_shingle_df=50).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (900, 901) in ids
+    # no pair among the 200 hot-shingle docs: C(200,2)=19900 would have
+    # been the quadratic bucket
+    assert all(a == 900 for a, _ in ids), ids
+
+
 def _np_cosine(a, b):
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(x * x for x in b))
