@@ -96,20 +96,31 @@ def _py_bucket(vec: list[float], planes: list[list[float]]) -> int:
 def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              emb_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 8, seed: int = 42, probe_hamming: int = 1,
-             ) -> DataFrame:
+             n_tables: int = 1) -> DataFrame:
     """Approximate top-k: scan only buckets within ``probe_hamming`` bits of
-    the query's bucket. At 10^12 rows with a bucketed/partitioned embedding
+    the query's bucket, in each of ``n_tables`` independently-seeded hash
+    tables (candidates = union — the standard multi-table LSH construction:
+    per-table miss probabilities multiply, so recall ~ 1-(1-r)^L for ~L x
+    the scan fraction). At 10^12 rows with a bucketed/partitioned embedding
     table this turns a full scan into partition pruning; here it's a
-    selective filter feeding the same exact cosine ranking."""
+    selective filter feeding the same exact cosine ranking. The measured
+    recall/scan tradeoff is pinned in tests/test_analytics_ops.py and
+    recorded in BASELINE.md."""
     dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes, seed)
-    qb = _py_bucket([float(x) for x in query_vec], planes)
-    candidates = [b for b in range(1 << n_planes)
-                  if bin(b ^ qb).count("1") <= probe_hamming]
-    bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed)
-    return brute_force_topk(
-        bucketed.where(F.col("lsh_bucket").isin(candidates)),
-        query_vec, k, emb_col, id_col)
+    qf = [float(x) for x in query_vec]
+    pred = None
+    bucketed = df
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        qb = _py_bucket(qf, planes)
+        candidates = [b for b in range(1 << n_planes)
+                      if bin(b ^ qb).count("1") <= probe_hamming]
+        col = f"__lsh_{t}"
+        bucketed = bucketed.withColumn(
+            col, sign_lsh_bucket(F.col(emb_col), planes))
+        term = F.col(col).isin(candidates)
+        pred = term if pred is None else (pred | term)
+    return brute_force_topk(bucketed.where(pred), qf, k, emb_col, id_col)
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------

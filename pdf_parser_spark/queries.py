@@ -891,6 +891,57 @@ def chunks_semantic_search(spark, sf):
         search_by_text(embedded, q, top_k=5).drop("embedding", "table_cells"))
 
 
+def docs_quality_features(spark, sf):
+    # the SQL-expressible half of text_statistics: every quality-signal
+    # column of operators/textstats.quality_features, oracle-checked
+    # (lang-ID + rolling fingerprint stay in docs_text_statistics_full,
+    # rows-only — genuinely per-string Python)
+    from pdf_parser_spark.operators.textstats import quality_features
+    return quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len", "alnum_ratio",
+        "punct_ratio", "stopword_ratio", "quality_score")
+
+
+DOCS_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS c,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS n_tokens,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+           AS alnum,
+         length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\s]', '', 'g'))
+           AS punct,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS stopwords
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(alnum::DOUBLE
+               / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END), 6)
+           AS avg_token_len,
+         round(alnum::DOUBLE
+               / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+           AS alnum_ratio,
+         round(punct::DOUBLE
+               / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+           AS punct_ratio,
+         round(stopwords::DOUBLE
+               / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END), 6)
+           AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, avg_token_len, alnum_ratio, punct_ratio,
+       stopword_ratio,
+       round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.4 * alnum_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 4, 1.0)), 6) AS quality_score
+FROM feat
+"""
+
+
 def docs_text_statistics_full(spark, sf):
     from pdf_parser_spark.operators.textstats import text_statistics
     return text_statistics(_t(spark, sf, "documents")) \
@@ -945,11 +996,14 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 
 
 def emb_ann_topk(spark, sf):
+    # multi-table sign-LSH ANN (recall measured + gated in
+    # tests/test_analytics_ops.py::test_ann_recall_gates; tradeoff table in
+    # BASELINE.md). Approximate by design -> rows-only, no SQL oracle.
     from pdf_parser_spark.operators.similarity import ann_topk
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in
          emb.where(F.col("vec_id") == 0).collect()[0].embedding]
-    return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=1)
+    return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2, n_tables=2)
 
 
 def emb_ivf_topk(spark, sf):
@@ -965,14 +1019,43 @@ def emb_ivf_topk(spark, sf):
 def emb_cosine_dup_pairs(spark, sf):
     # embedding-cosine near-dup via sign-LSH bucket self-join (never
     # O(n^2)); random vectors have no 0.99-cosine pairs, so seed exact
-    # duplicates (vec_id + 1e6) the operator must recover
+    # duplicates (vec_id + 1e6) the operator must recover. Double-cast on
+    # both sides (like emb_cosine_topk) so the DuckDB oracle — an
+    # exhaustive O(n^2) recomputation, affordable at sf0.01 — agrees
+    # bit-for-bit after round(,6).
     from pdf_parser_spark.operators.similarity import cosine_dup_pairs
     emb = _t(spark, sf, "embeddings")
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.select("vec_id", e_dbl.alias("embedding"))
     dup = (emb.orderBy("vec_id").limit(5)
            .withColumn("vec_id", F.col("vec_id") + 1000000))
     dim = len(emb.select("embedding").first().embedding)
     return cosine_dup_pairs(emb.unionByName(dup), dim, threshold=0.99,
                             n_planes=6)
+
+
+EMB_DUP_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), allv AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, e FROM (
+    SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 5)
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e)) > 0
+         THEN list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e)))
+         ELSE 0.0 END AS sim_raw
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+-- filter on the UNROUNDED value (like the operator), round for output
+SELECT id_a, id_b, round(sim_raw, 6) AS similarity
+FROM scored WHERE sim_raw >= 0.99
+"""
 
 
 def media_payload_features(spark, sf):
@@ -1012,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dup_histogram": docs_dup_histogram,
     "docs_dedup_survivors": docs_dedup_survivors,
     "docs_bpe_tokens": docs_bpe_tokens,
+    "docs_quality_features": docs_quality_features,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1058,9 +1142,11 @@ ORACLES: dict[str, str] = {
     "docs_dup_histogram": DOCS_DUP_SQL,
     "docs_dedup_survivors": DOCS_SURVIVORS_SQL,
     "docs_bpe_tokens": DOCS_BPE_SQL,
+    "docs_quality_features": DOCS_QUALITY_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
+    "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_batch_topk": EMB_BATCH_SQL,
     "emb_label_centroids": EMB_CENTROID_SQL,

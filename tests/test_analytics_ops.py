@@ -375,3 +375,44 @@ def test_ivf_ann(spark, emb_df):
     n1 = ivf_topk(emb_df, cents, q, k=100, n_probe=1).count()
     n4 = ivf_topk(emb_df, cents, q, k=100, n_probe=4).count()
     assert n1 <= n4 == emb_df.count()
+
+
+def test_ann_recall_gates(spark):
+    """Recall@10 of the approximate paths vs brute force, pinned on the
+    fixed sf0.001 embeddings (deterministic hashes + data -> exact
+    reproducibility; thresholds leave margin only for data regeneration).
+    Measured values recorded in BASELINE.md. Reference analog: the
+    Chroma-vs-JSON accuracy comparison (benchmark_chroma_vs_json.py:47-140)."""
+    from pdf_parser_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    qids = [0, 3, 7, 11, 19]
+    qs = {r.vec_id: [float(x) for x in r.embedding]
+          for r in emb.where(F.col("vec_id").isin(qids)).collect()}
+    bf = {qid: set(r.vec_id
+                   for r in brute_force_topk(emb, q, k=10).collect())
+          for qid, q in qs.items()}
+
+    def recall(df_fn):
+        rs = [len(set(r.vec_id for r in df_fn(q).collect()) & bf[qid]) / 10
+              for qid, q in qs.items()]
+        return sum(rs) / len(rs), min(rs)
+
+    # multi-table LSH: 3 tables x (6 planes, probe<=2) — measured 0.92/0.90
+    avg, mn = recall(lambda q: ann_topk(emb, q, k=10, n_planes=6,
+                                        probe_hamming=2, n_tables=3))
+    assert avg >= 0.8 and mn >= 0.7, (avg, mn)
+
+    # single table baseline — measured 0.60/0.50: the multi-table union
+    # must beat it (the point of the construction)
+    avg1, _ = recall(lambda q: ann_topk(emb, q, k=10, n_planes=6,
+                                        probe_hamming=2, n_tables=1))
+    assert avg1 >= 0.45
+    assert avg > avg1
+
+    # IVF, 4 of 8 cells probed — measured 0.74/0.60
+    cents = ivf_train(emb, k=8, iters=2)
+    avg_i, mn_i = recall(lambda q: ivf_topk(emb, cents, q, k=10, n_probe=4))
+    assert avg_i >= 0.6 and mn_i >= 0.4, (avg_i, mn_i)
+    emb.unpersist()
