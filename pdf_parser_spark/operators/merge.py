@@ -219,7 +219,12 @@ def extract_chunks_bucketed(transcripts: DataFrame,
     (turn order within a conversation may be arbitrary — sorted in-task).
     That is exactly the scan layout of an Iceberg/parquet table bucketed by
     ``bucket(N, conv_id)`` and written sorted by (conv_id, turn_idx); use
-    :func:`cluster_by_conversation` to impose it on generic input.
+    :func:`cluster_by_conversation` to impose it on generic input. Beware
+    that a DIRECT parquet read only satisfies it when each file holds one
+    row group (Spark splits multi-row-group files by byte range, cutting
+    conversations mid-file); a cheap in-task guard raises on any
+    non-contiguous conversation rather than emitting silently-duplicated
+    chunk indices.
 
     Under the contract this is a PURE MAP job — no shuffle at all: global
     chunk indices, block-index offsets AND per-conversation boilerplate
@@ -235,6 +240,7 @@ def extract_chunks_bucketed(transcripts: DataFrame,
 
     def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: list[dict] = []
+        flushed: set = set()   # contract guard: conv_ids already emitted
 
         def flush() -> list[tuple]:
             rows = extract_conversation(pending, cfg)
@@ -246,8 +252,22 @@ def extract_chunks_bucketed(transcripts: DataFrame,
                     pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
                     pdf["text"].tolist(), pdf["tool"].tolist()):
                 if pending and conv_id != pending[-1]["conv_id"]:
+                    flushed.add(pending[-1]["conv_id"])
                     out.extend(flush())
                     pending = []
+                if conv_id in flushed:
+                    # a flushed conversation reappearing means this
+                    # partition is NOT conversation-contiguous (e.g. a
+                    # multi-row-group file split by byte ranges, or
+                    # unsorted input) — silent duplicate chunk indices
+                    # would follow; fail loudly instead. Use
+                    # cluster_by_conversation (or one row group per file)
+                    # to impose the layout.
+                    raise ValueError(
+                        "extract_chunks_bucketed: conversation "
+                        f"{conv_id!r} is split across non-contiguous rows "
+                        "of a partition; input violates the "
+                        "conversation-complete contract")
                 pending.append({"conv_id": conv_id, "turn_idx": int(turn_idx),
                                 "text": text, "tool": tool})
             yield pd.DataFrame(out, columns=cols)

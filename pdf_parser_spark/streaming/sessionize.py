@@ -80,6 +80,16 @@ def make_sessionize_fn(gap_sec: int):
             start_us, last_us, n = times[0], times[0], 0
 
         for t in times:
+            if n > 0 and t <= last_us:
+                # admitted LATE event (within the configured watermark):
+                # merge into the open session with min(start)/max(last)
+                # semantics — it must never regress session_end or feed the
+                # gap check (exact as long as watermark <= gap_sec, the
+                # sane configuration; beyond that a very-late event merges
+                # instead of forming its own session, documented).
+                start_us = min(start_us, t)
+                n += 1
+                continue
             if n > 0 and t - last_us > gap_us:
                 closed.append((user_id, _ts(start_us), _ts(last_us), int(n)))
                 start_us, n = t, 0
@@ -87,8 +97,13 @@ def make_sessionize_fn(gap_sec: int):
             n += 1
 
         state.update((start_us, last_us, n))
-        # close the open session when the watermark passes last + gap
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        # close the open session when the watermark passes last + gap;
+        # clamp above the current watermark — Spark rejects a timeout at or
+        # below it (can only bind when a group sees exclusively-late input,
+        # but the failure mode there is a dead streaming query)
+        timeout_ms = (last_us + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
         if closed:
             yield pd.DataFrame(closed, columns=[f.name for f in
@@ -99,7 +114,13 @@ def make_sessionize_fn(gap_sec: int):
 
 def stream_sessionize(events: DataFrame, gap_sec: int = 1800,
                       watermark: str = "0 seconds") -> DataFrame:
-    """events (streaming, with ``user_id``/``ts``) -> closed sessions."""
+    """events (streaming, with ``user_id``/``ts``) -> closed sessions.
+
+    ``watermark`` is the out-of-order admission window: events later than
+    it are dropped by Spark before the state fold; events within it merge
+    into the open session (min-start/max-last — see the fold). Keep
+    watermark <= gap_sec for exact gap semantics.
+    """
     return (events.withWatermark("ts", watermark)
             .groupBy("user_id")
             .applyInPandasWithState(

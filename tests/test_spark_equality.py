@@ -228,3 +228,22 @@ def test_metrics_null_keys_dropped_not_fatal(spark):
         got_f = sorted(map(tuple, full_metrics(
             df_dirty, extract_chunks(df_dirty, cfg), cfg).collect()))
         assert got_f == exp_f
+
+
+def test_bucketed_guard_rejects_split_conversations(spark):
+    """The bucketed path must fail loudly — not emit duplicate chunk
+    indices — when a partition is not conversation-contiguous."""
+    from pdf_parser_spark.operators.merge import extract_chunks_bucketed
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "u", "text": "a",
+         "tool": None, "ts": None},
+        {"conv_id": "c2", "turn_idx": 0, "role": "u", "text": "b",
+         "tool": None, "ts": None},
+        {"conv_id": "c1", "turn_idx": 1, "role": "u", "text": "c",  # split!
+         "tool": None, "ts": None},
+    ]
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    df = spark.createDataFrame(rows, ddl).coalesce(1)
+    with pytest.raises(Exception, match="conversation-complete contract"):
+        extract_chunks_bucketed(df, DEFAULT_CONFIG).collect()

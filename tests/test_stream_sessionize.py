@@ -74,3 +74,34 @@ def test_sessions_close_correctly(session_run):
     # watermark: exactly one B session, its counts untouched
     b_sessions = [k for k in got if k[0] == "B"]
     assert b_sessions == [("B", _sec(100), _sec(100))]
+
+
+def test_nonzero_watermark_out_of_order_merge(spark, tmp_path):
+    """With a nonzero watermark, an admitted cross-batch LATE event merges
+    into the open session (min-start/max-last) instead of regressing
+    session_end or killing the query with an invalid timeout."""
+    inp = tmp_path / "ooo"
+    inp.mkdir()
+    _write(str(inp / "f1.parquet"), [
+        ("A", _sec(1000)), ("A", _sec(1100)),      # open session
+        ("W", _sec(1200)),                         # watermark -> 900
+    ])
+    _write(str(inp / "f2.parquet"), [
+        ("A", _sec(950)),                          # LATE (>= wm 900): merge
+        ("W", _sec(5000)),                         # watermark -> 4700
+    ])
+    _write(str(inp / "f3.parquet"), [
+        ("Z", _sec(100000)),                       # closes everything
+    ])
+    stream = (spark.readStream.schema("user_id string, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(str(inp)))
+    q = (stream_sessionize(stream, gap_sec=1800, watermark="300 seconds")
+         .writeStream.format("memory").queryName("sessions_ooo")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {(r.user_id, r.session_start, r.session_end): r.n_events
+           for r in spark.sql("select * from sessions_ooo").collect()}
+    # the late 950 event extended the session START backward; end unchanged
+    assert got[("A", _sec(950), _sec(1100))] == 3
