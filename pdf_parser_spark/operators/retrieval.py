@@ -105,6 +105,62 @@ def expand_page_context(results: DataFrame, chunks: DataFrame,
                            F.asc("chunk_idx")).limit(top_k))
 
 
+def image_priority_rerank(results: DataFrame, corpus: DataFrame,
+                          top_k: int = 5, context_images: int = 3,
+                          decay: float = 0.8) -> DataFrame:
+    """The reference's image-reference search tail
+    (gea_qa_agent.py:284-311) as one distributed composition:
+
+    - U1 priority partition: image hits before other hits;
+    - J3 page-context join: for the ``context_images`` best image hits,
+      pull same-(conv, turn) non-image chunks from the WHOLE corpus (the
+      loader's page scan in the reference), not already among the hits
+      (U2 id-dedup), at ``decay`` x the image hit's similarity — a chunk
+      near several image hits takes the best one (the reference's
+      first-match-in-rank-order append has the same effect);
+    - T3/T4: ordered truncate to ``top_k``.
+
+    ``results``: the over-fetched ranked hits (id, conv_id, turn_idx,
+    chunk_type, similarity). ``corpus``: all chunks (id, conv_id, turn_idx,
+    chunk_type). Divergence from the reference, documented: within each
+    priority class the output is ordered (similarity desc, id asc) — a
+    total deterministic order — where the reference keeps context chunks
+    in corpus-list append order (nondeterministic under distribution).
+    """
+    imgs = results.where(F.col("chunk_type") == "image")
+    top_imgs = (imgs.orderBy(F.desc("similarity"), F.asc("id"))
+                .limit(context_images)
+                .select(F.col("conv_id").alias("h_conv"),
+                        F.col("turn_idx").alias("h_turn"),
+                        F.col("similarity").alias("h_sim")))
+    ctx = (corpus.where(F.col("chunk_type") != "image").alias("c")
+           .join(F.broadcast(top_imgs),
+                 (F.col("c.conv_id") == F.col("h_conv"))
+                 & (F.col("c.turn_idx") == F.col("h_turn")))
+           .groupBy("c.id", "c.chunk_type")
+           .agg(F.round(F.max("h_sim") * decay, 6).alias("similarity"))
+           .join(results.select("id"), "id", "left_anti")
+           .withColumn("priority", F.lit(2)))
+    base = results.withColumn(
+        "priority", F.when(F.col("chunk_type") == "image", 0).otherwise(1))
+    cols = ["id", "chunk_type", "priority", "similarity"]
+    merged = base.select(*cols).unionByName(ctx.select(*cols))
+    return (merged.orderBy("priority", F.desc("similarity"), F.asc("id"))
+            .limit(top_k))
+
+
+def search_by_image_reference(chunks: DataFrame, query_vec: list[float],
+                              top_k: int = 5, context_images: int = 3,
+                              decay: float = 0.8) -> DataFrame:
+    """Reference search_by_image_reference (gea_qa_agent.py:263-313):
+    embed-score the image description, over-fetch x2 top_k, then the
+    priority/context composition (:func:`image_priority_rerank`).
+    ``chunks`` must carry id + embedding (with_chunk_id + embed_chunks)."""
+    scored = search_by_text(chunks, query_vec, top_k=top_k * 2)
+    return image_priority_rerank(scored, chunks, top_k=top_k,
+                                 context_images=context_images, decay=decay)
+
+
 def context_window(chunks: DataFrame, conv_id: str, chunk_idx: int,
                    window_size: int = 2) -> DataFrame:
     """J4: chunks of the same conversation within +-window_size positions."""

@@ -535,6 +535,66 @@ LIMIT 12
 """
 
 
+def docs_image_reference_search(spark, sf):
+    # the composed image-reference search tail (reference
+    # gea_qa_agent.py:263-313) via operators/retrieval.image_priority_rerank:
+    # over-fetch -> image-first priority partition -> page-context join at
+    # 0.8x -> ordered truncate. Model over documents: 'zh' docs play the
+    # image class, source plays the page key, the keyword score plays the
+    # similarity (SQL-expressible so the oracle replays the whole flow).
+    from pdf_parser_spark.operators.retrieval import image_priority_rerank
+    d = _t(spark, sf, "documents")
+    score = (F.when(F.contains(F.lower(F.col("text")), F.lit("spark")), 0.5)
+              .otherwise(0.0)
+             + F.when(F.col("lang") == "zh", 0.3).otherwise(0.0)
+             + F.when(F.contains(F.col("source"), F.lit("1")), 0.2)
+                .otherwise(0.0))
+    scored = d.select(
+        F.col("doc_id").alias("id"), F.col("source").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.when(F.col("lang") == "zh", "image").otherwise("text")
+         .alias("chunk_type"),
+        F.round(score, 6).alias("similarity"))
+    results = scored.orderBy(F.desc("similarity"), F.asc("id")).limit(16)
+    return image_priority_rerank(results, scored, top_k=8,
+                                 context_images=3, decay=0.8)
+
+
+DOCS_IMAGE_REF_SQL = """
+WITH scored AS (
+  SELECT doc_id AS id, source AS conv_id,
+         CASE WHEN lang = 'zh' THEN 'image' ELSE 'text' END AS chunk_type,
+         round(((CASE WHEN contains(lower(text), 'spark') THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN lang = 'zh' THEN 0.3 ELSE 0.0 END)
+              + (CASE WHEN contains(source, '1') THEN 0.2 ELSE 0.0 END)
+               )::DOUBLE, 6) AS sim
+  FROM documents
+), results AS (
+  SELECT * FROM scored ORDER BY sim DESC, id ASC LIMIT 16
+), top_imgs AS (
+  SELECT conv_id, sim FROM results WHERE chunk_type = 'image'
+  ORDER BY sim DESC, id ASC LIMIT 3
+), ctx AS (
+  SELECT s.id, s.chunk_type, CAST(2 AS INTEGER) AS priority,
+         round(max(t.sim) * 0.8, 6) AS similarity
+  FROM scored s JOIN top_imgs t ON s.conv_id = t.conv_id
+  WHERE s.chunk_type <> 'image'
+    AND s.id NOT IN (SELECT id FROM results)
+  GROUP BY s.id, s.chunk_type
+), base AS (
+  SELECT id, chunk_type,
+         CAST(CASE WHEN chunk_type = 'image' THEN 0 ELSE 1 END AS INTEGER)
+           AS priority,
+         sim AS similarity
+  FROM results
+)
+SELECT id, chunk_type, priority, similarity
+FROM (SELECT * FROM base UNION ALL SELECT * FROM ctx)
+ORDER BY priority ASC, similarity DESC, id ASC
+LIMIT 8
+"""
+
+
 def docs_lang_source_matrix(spark, sf):
     # A1 type-distribution matrix (reference pdf_parser.py:101-114)
     d = _t(spark, sf, "documents")
@@ -1091,6 +1151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_preview": docs_preview,
     "docs_context_expansion": docs_context_expansion,
     "docs_priority_union": docs_priority_union,
+    "docs_image_reference_search": docs_image_reference_search,
     "docs_lang_source_matrix": docs_lang_source_matrix,
     "docs_dup_histogram": docs_dup_histogram,
     "docs_dedup_survivors": docs_dedup_survivors,
@@ -1138,6 +1199,7 @@ ORACLES: dict[str, str] = {
     "docs_preview": DOCS_PREVIEW_SQL,
     "docs_context_expansion": DOCS_CONTEXT_SQL,
     "docs_priority_union": DOCS_PRIORITY_SQL,
+    "docs_image_reference_search": DOCS_IMAGE_REF_SQL,
     "docs_lang_source_matrix": DOCS_MATRIX_SQL,
     "docs_dup_histogram": DOCS_DUP_SQL,
     "docs_dedup_survivors": DOCS_SURVIVORS_SQL,

@@ -416,3 +416,70 @@ def test_ann_recall_gates(spark):
     avg_i, mn_i = recall(lambda q: ivf_topk(emb, cents, q, k=10, n_probe=4))
     assert avg_i >= 0.6 and mn_i >= 0.4, (avg_i, mn_i)
     emb.unpersist()
+
+
+def test_image_priority_rerank_semantics(spark):
+    """Pin the composition tail (reference gea_qa_agent.py:284-311) with
+    crafted scores: image-first priority, context join at 0.8x of the BEST
+    matching image hit, id-dedup vs hits, ordered truncate."""
+    from pdf_parser_spark.operators.retrieval import image_priority_rerank
+    # corpus: two pages; page (c1,0) has an image + 3 texts, page (c2,0)
+    # has an image + 1 text
+    corpus_rows = [
+        ("i1", "c1", 0, "image"), ("t1", "c1", 0, "text"),
+        ("t2", "c1", 0, "text"), ("t3", "c1", 0, "text"),
+        ("i2", "c2", 0, "image"), ("t4", "c2", 0, "text"),
+        ("t5", "c3", 0, "text"),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "id string, conv_id string, turn_idx int, "
+                     "chunk_type string")
+    # over-fetched hits: both images + t1 + t5 (t2/t3/t4 NOT hits)
+    hit_rows = [("i1", "c1", 0, "image", 0.9),
+                ("i2", "c2", 0, "image", 0.7),
+                ("t1", "c1", 0, "text", 0.8),
+                ("t5", "c3", 0, "text", 0.6)]
+    results = spark.createDataFrame(
+        hit_rows, "id string, conv_id string, turn_idx int, "
+                  "chunk_type string, similarity double")
+    got = image_priority_rerank(results, corpus, top_k=10,
+                                context_images=3).collect()
+    rows = {r.id: (r.priority, r.similarity) for r in got}
+    # priority partition: images (0) before other hits (1) before ctx (2)
+    assert rows["i1"] == (0, 0.9) and rows["i2"] == (0, 0.7)
+    assert rows["t1"] == (1, 0.8) and rows["t5"] == (1, 0.6)
+    # context: non-image, same-page, NOT already a hit, 0.8 x image sim
+    assert rows["t2"] == (2, round(0.9 * 0.8, 6))
+    assert rows["t3"] == (2, round(0.9 * 0.8, 6))
+    assert rows["t4"] == (2, round(0.7 * 0.8, 6))
+    # global order: priority asc, similarity desc, id asc
+    ordered = [(r.priority, -r.similarity, r.id) for r in got]
+    assert ordered == sorted(ordered)
+    # truncate applies
+    assert len(image_priority_rerank(results, corpus, top_k=3,
+                                     context_images=3).collect()) == 3
+
+
+def test_search_by_image_reference_composition(spark):
+    """End-to-end composed flow with real (stub) embeddings: the image
+    chunk matching the query exactly ranks first; output is
+    priority-ordered and truncated."""
+    from pdf_parser_spark.operators.retrieval import search_by_image_reference
+    rows = [("c1", 0, 0, "text", "alpha beta intro"),
+            ("c1", 1, 0, "image", "图像: diagram of spark shuffle"),
+            ("c1", 2, 0, "text", "unrelated footer")]
+    rows += [(f"f{i}", 0, 0, "text", f"filler document number {i}")
+             for i in range(8)]
+    chunks = spark.createDataFrame(
+        rows, "conv_id string, chunk_idx long, turn_idx int, "
+              "chunk_type string, text string")
+    embedded = with_chunk_id(embed_chunks(chunks, dim=32))
+    q = hash_embed_py("图像: diagram of spark shuffle", 32)
+    got = search_by_image_reference(embedded, q, top_k=3).collect()
+    assert len(got) == 3
+    img_id = next(r["id"] for r in with_chunk_id(chunks).collect()
+                  if r["chunk_type"] == "image")
+    assert got[0].id == img_id and got[0].priority == 0
+    assert abs(got[0].similarity - 1.0) < 1e-6
+    prios = [r.priority for r in got]
+    assert prios == sorted(prios) and set(prios) <= {0, 1, 2}
