@@ -79,17 +79,55 @@ def make_embed_udf(dim: int = DEFAULT_DIM,
     return pandas_udf(embed, ArrayType(FloatType()))
 
 
+DEFAULT_MODEL_NAME = "hash-stub-v1"
+EMPTY_TEXT_ERROR = "empty input text"
+
+
 def embed_chunks(chunks: DataFrame, dim: int = DEFAULT_DIM,
-                 text_col: str = "text") -> DataFrame:
-    """Attach embedding + token_count columns to extracted chunks.
+                 text_col: str = "text",
+                 model_name: str = DEFAULT_MODEL_NAME) -> DataFrame:
+    """Attach the full per-chunk embedding result to extracted chunks:
+    embedding, model, dimensions, token_count, has_error, error — the
+    reference's result shape verbatim (embedding_service.py:225-232).
 
     Content selection per type mirrors V2 (reference
     embedding_service.py:206-218): our ``text`` column already carries the
-    per-type content (joined text / linearized table / image display
-    string). token_count = char length, exactly the reference's counting
-    (embedding_service.py:168: token_count=len(text))."""
+    per-type content. token_count = char length on success
+    (embedding_service.py:168), 0 on error (the dataclass default).
+    Empty/whitespace-only text mirrors the reference's error result
+    (embedding_service.py:100-108): EMPTY vector, dimensions 0,
+    has_error=true — so the store export's valid-embedding filter (F3,
+    size(embedding) > 0) drops exactly the rows the reference drops, and a
+    real encoder's failures land in the same observable columns.
+
+    The error accounting is pure expressions over the text column — no
+    second UDF pass; Catalyst prunes the embedding column away when a
+    consumer (e.g. embedding_metrics) reads only the accounting."""
     udf = make_embed_udf(dim)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    is_empty = F.length(F.trim(c)) == 0
     return (chunks
-            .withColumn("embedding", udf(F.col(text_col)))
+            .withColumn("embedding",
+                        F.when(is_empty, F.array().cast("array<float>"))
+                         .otherwise(udf(c)))
+            .withColumn("model", F.lit(model_name))
+            .withColumn("dimensions",
+                        F.when(is_empty, 0).otherwise(dim).cast("int"))
             .withColumn("token_count",
-                        F.length(F.coalesce(F.col(text_col), F.lit("")))))
+                        F.when(is_empty, F.lit(0)).otherwise(F.length(c))
+                         .cast("long"))
+            .withColumn("has_error", is_empty)
+            .withColumn("error",
+                        F.when(is_empty, F.lit(EMPTY_TEXT_ERROR))
+                         .cast("string")))
+
+
+def embedding_metrics(embedded: DataFrame) -> DataFrame:
+    """Per-conversation embedding success/failure accounting (reference
+    pdf_parser.py:411-419 embedding_statistics). Expressions only — the
+    embedding column itself is never evaluated for this aggregate."""
+    return embedded.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("has_error"), 0).otherwise(1))
+         .alias("successful_embeddings"),
+        F.sum(F.when(F.col("has_error"), 1).otherwise(0))
+         .alias("failed_embeddings"))

@@ -60,15 +60,20 @@ def extract_with_embeddings(transcripts: DataFrame,
     """The reference's full per-document flow (process_pdf_with_embeddings,
     reference pdf_parser.py:350-440) as one composition: extract ->
     embed every chunk (iterator pandas UDF) -> per-conversation metrics.
-    Returns (embedded_chunks, metrics). The tokenize pass is shared between
-    chunks and metrics (persisted fused map output, evaluated once)."""
-    from pdf_parser_spark.operators.embedding import embed_chunks
+    Returns (embedded_chunks, metrics). Metrics carry the reference's
+    embedding success/failure accounting (pdf_parser.py:411-419) alongside
+    chunk/cleaning stats; the tokenize pass is shared between chunks and
+    metrics (persisted fused map output, evaluated once)."""
+    from pdf_parser_spark.operators.embedding import (embed_chunks,
+                                                      embedding_metrics)
     from pdf_parser_spark.operators.merge import chunks_from_local, tokenized_local
 
     local = tokenized_local(transcripts, cfg).persist()
     chunks = chunks_from_local(local)
     embedded = embed_chunks(chunks, dim=dim)
-    return embedded, full_metrics(transcripts, chunks, cfg, local=local)
+    metrics = full_metrics(transcripts, chunks, cfg, local=local) \
+        .join(embedding_metrics(embedded), "conv_id", "full")
+    return embedded, metrics
 
 
 def cleaning_metrics(transcripts: DataFrame,

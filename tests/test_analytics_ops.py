@@ -231,7 +231,8 @@ def test_embed_chunks_deterministic_unit_norm(spark):
     v = rows["c1"].embedding
     assert len(v) == DEFAULT_DIM
     assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-5)
-    assert list(rows["c2"].embedding) == [0.0] * DEFAULT_DIM
+    # reference parity: empty text -> EMPTY vector + error result
+    assert list(rows["c2"].embedding) == [] and rows["c2"].has_error
     assert rows["c1"].token_count == 11
     exp = hash_embed_py("hello world", DEFAULT_DIM)
     assert v == pytest.approx(exp, abs=1e-6)
@@ -483,3 +484,31 @@ def test_search_by_image_reference_composition(spark):
     assert abs(got[0].similarity - 1.0) < 1e-6
     prios = [r.priority for r in got]
     assert prios == sorted(prios) and set(prios) <= {0, 1, 2}
+
+
+def test_embedding_error_accounting(spark):
+    """Reference result shape (embedding_service.py:225-232): empty text ->
+    empty vector / dimensions 0 / has_error / error; success -> full
+    metadata. Counts surface per conversation (pdf_parser.py:411-419)."""
+    from pdf_parser_spark.operators.embedding import (DEFAULT_MODEL_NAME,
+                                                      EMPTY_TEXT_ERROR,
+                                                      embedding_metrics)
+    df = spark.createDataFrame(
+        [("c1", 0, "hello world"), ("c1", 1, ""), ("c1", 2, "   "),
+         ("c2", 0, None), ("c2", 1, "ok")],
+        "conv_id string, chunk_idx long, text string")
+    rows = {(r.conv_id, r.chunk_idx): r for r in embed_chunks(df, dim=8).collect()}
+    good = rows[("c1", 0)]
+    assert len(good.embedding) == 8 and good.dimensions == 8
+    assert good.model == DEFAULT_MODEL_NAME
+    assert not good.has_error and good.error is None
+    assert good.token_count == 11
+    for key in [("c1", 1), ("c1", 2), ("c2", 0)]:
+        bad = rows[key]
+        assert list(bad.embedding) == [] and bad.dimensions == 0
+        assert bad.has_error and bad.error == EMPTY_TEXT_ERROR
+        assert bad.token_count == 0
+    m = {r.conv_id: r for r in
+         embedding_metrics(embed_chunks(df, dim=8)).collect()}
+    assert (m["c1"].successful_embeddings, m["c1"].failed_embeddings) == (1, 2)
+    assert (m["c2"].successful_embeddings, m["c2"].failed_embeddings) == (1, 1)
