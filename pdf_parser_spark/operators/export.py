@@ -75,3 +75,58 @@ def build_context(chunks: DataFrame, query_vec: list[float],
                F.concat(F.substring("context", 1, max_chars), F.lit("...")))
          .otherwise(F.col("context")).alias("context"),
         F.length("context").alias("raw_chars"))
+
+
+def write_to_vector_store(flat: DataFrame, client_factory,
+                          batch_size: int = 100) -> dict:
+    """S12: batched vector-store sink over the flattened quadruplet rows.
+
+    The reference's migration loop (migrate_to_chroma.py:163-212) is a
+    driver-side for-loop calling ``collection.add(ids, embeddings,
+    documents, metadatas)`` in batches of 100 with progress accounting;
+    distributed, that becomes ``foreachPartition``: each task constructs
+    its OWN client (once per partition — connections are not serializable)
+    and streams its partition in ``batch_size`` slices, so 10^9 rows write
+    with per-executor parallelism and bounded memory.
+
+    ``client_factory`` -> an object with
+    ``add(ids, embeddings, documents, metadatas)`` (the Chroma collection
+    surface; any store adapts behind it). A failing batch is logged-and-
+    skipped in the reference — here it propagates to Spark's task retry,
+    which is the correct distributed semantics (idempotent stores tolerate
+    the replay; the reference's skip silently loses data).
+
+    Returns {"rows", "batches"} counted via accumulators — the analog of
+    the reference's final-count verification (migrate_to_chroma.py:208).
+    """
+    sc = flat.sparkSession.sparkContext
+    rows_acc = sc.accumulator(0)
+    batches_acc = sc.accumulator(0)
+    meta_cols = [c for c in flat.columns
+                 if c.startswith("meta_")]
+    id_col, emb_col, doc_col = "id", "embedding", "document"
+
+    def write_partition(rows):
+        client = client_factory()
+        ids, embs, docs, metas = [], [], [], []
+
+        def flush():
+            if not ids:
+                return
+            client.add(ids=list(ids), embeddings=list(embs),
+                       documents=list(docs), metadatas=list(metas))
+            batches_acc.add(1)
+            rows_acc.add(len(ids))
+            ids.clear(); embs.clear(); docs.clear(); metas.clear()
+
+        for r in rows:
+            ids.append(r[id_col])
+            embs.append(list(r[emb_col]))
+            docs.append(r[doc_col])
+            metas.append({c[len("meta_"):]: r[c] for c in meta_cols})
+            if len(ids) >= batch_size:
+                flush()
+        flush()
+
+    flat.foreachPartition(write_partition)
+    return {"rows": rows_acc.value, "batches": batches_acc.value}

@@ -512,3 +512,45 @@ def test_embedding_error_accounting(spark):
          embedding_metrics(embed_chunks(df, dim=8)).collect()}
     assert (m["c1"].successful_embeddings, m["c1"].failed_embeddings) == (1, 2)
     assert (m["c2"].successful_embeddings, m["c2"].failed_embeddings) == (1, 1)
+
+
+def test_write_to_vector_store_batching(spark, tmp_path):
+    """foreachPartition batch sink: every row lands exactly once in the
+    quadruplet shape, no batch exceeds batch_size, client built per task."""
+    import json
+    import glob
+    import os
+    import uuid
+    from pdf_parser_spark.operators.export import (flatten_for_store,
+                                                   write_to_vector_store)
+
+    out_dir = str(tmp_path / "store")
+    os.makedirs(out_dir)
+
+    class FileClient:
+        # stand-in store: append-only JSON files, one per add() call
+        def add(self, ids, embeddings, documents, metadatas):
+            assert len(ids) == len(embeddings) == len(documents) == len(metadatas)
+            path = os.path.join(out_dir, f"{uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                json.dump({"ids": ids, "documents": documents,
+                           "metadatas": metadatas}, f)
+
+    df = spark.createDataFrame(
+        [("c1", i, 0, "text", f"doc {i}", 5, [i], None, None, None)
+         for i in range(37)],
+        "conv_id string, chunk_idx long, turn_idx int, chunk_type string, "
+        "text string, char_count long, block_indices array<long>, "
+        "table_index int, image_index int, "
+        "table_cells array<array<string>>")
+    flat = flatten_for_store(embed_chunks(df, dim=8)).repartition(3)
+    stats = write_to_vector_store(flat, FileClient, batch_size=10)
+    assert stats["rows"] == 37
+    batches = [json.load(open(p)) for p in glob.glob(f"{out_dir}/*.json")]
+    assert stats["batches"] == len(batches)
+    assert all(len(b["ids"]) <= 10 for b in batches)
+    all_ids = [i for b in batches for i in b["ids"]]
+    assert len(all_ids) == 37 and len(set(all_ids)) == 37
+    meta = batches[0]["metadatas"][0]
+    assert set(meta) == {"source", "turn", "type", "char_count",
+                         "block_indices", "has_cells"}
