@@ -783,6 +783,33 @@ WHERE rank <= 5
 """
 
 
+def emb_l2_similarity(spark, sf):
+    # C7 distance -> similarity (reference gea_qa_agent_chroma.py:177-179):
+    # exact L2 distance to the query vector, sim = 1/(1+d), top-10
+    from pdf_parser_spark.functions.scalars import distance_to_similarity
+    emb = _t(spark, sf, "embeddings")
+    q_row = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    qc = F.array(*[F.lit(float(x)) for x in q_row[0].embedding])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2 = F.aggregate(F.zip_with(e, qc, lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    sim = distance_to_similarity(F.sqrt(d2))
+    return (emb.select("vec_id", F.round(sim, 6).alias("l2_similarity"))
+            .orderBy(F.desc("l2_similarity"), F.asc("vec_id")).limit(10))
+
+
+EMB_L2_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(1.0 / (1.0 + sqrt(list_sum(list_transform(
+               list_zip(embedding::DOUBLE[], qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))))), 6) AS l2_similarity
+FROM embeddings, q
+ORDER BY l2_similarity DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def emb_label_centroids(spark, sf):
     # vector aggregate: per-label centroid components via posexplode
     emb = _t(spark, sf, "embeddings")
@@ -1160,6 +1187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_l2_similarity": emb_l2_similarity,
     "emb_batch_topk": emb_batch_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_rank_lsh_buckets": emb_rank_lsh_buckets,
@@ -1210,6 +1238,7 @@ ORACLES: dict[str, str] = {
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
+    "emb_l2_similarity": EMB_L2_SQL,
     "emb_batch_topk": EMB_BATCH_SQL,
     "emb_label_centroids": EMB_CENTROID_SQL,
     "emb_rank_lsh_buckets": EMB_LSH_SQL,

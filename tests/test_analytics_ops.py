@@ -327,7 +327,11 @@ def test_flatten_for_store(spark, transcripts_df):
     chunks = extract_chunks(transcripts_df, DEFAULT_CONFIG)
     embedded = embed_chunks(chunks, dim=16).cache()
     flat = flatten_for_store(embedded).collect()
-    assert len(flat) == embedded.count()  # all rows have valid embeddings
+    # F3 drops exactly the error-result rows (empty-text chunks get an
+    # EMPTY vector per reference embedding_service.py:100-108)
+    n_errors = embedded.where("has_error").count()
+    assert len(flat) == embedded.count() - n_errors
+    assert n_errors > 0  # the synth corpus has whitespace-only turns
     for r in flat:
         assert len(r.id) == 16
         assert isinstance(r.document, str)
