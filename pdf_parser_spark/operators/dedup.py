@@ -124,33 +124,72 @@ def _shingle_array(text_col: str, n: int):
     return F.filter(F.array_distinct(grams), lambda g: F.length(g) > 0)
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine min-hash family, derived
+    from md5 so any engine can re-derive them (they are inlined as
+    literals on both the Spark and the DuckDB side)."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) \
+            % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) \
+            % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 8) -> DataFrame:
-    """(id, sig: array<string>) — per-document MinHash signature.
+    """(id, sig: array<long>) — per-document MinHash signature.
 
-    h_i(doc) = min over shingles of md5(shingle || '#' || i). String-min of
-    md5 hex is a valid uniform min-hash and is recomputable in ANY engine
-    with md5 (the DuckDB oracle recomputes it verbatim).
+    ONE md5 per shingle (base = its first 15 hex digits as an integer),
+    then ``num_hashes`` cheap affine permutations h_i = (a_i*(base mod p)
+    + b_i) mod p over the 2^31-1 Mersenne prime — the standard universal-
+    hash min-hash family. At 100 TB hashing volume IS the cost of MinHash,
+    so this is num_hashes x cheaper than hashing every (shingle, i) pair,
+    and every value stays exactly recomputable in DuckDB
+    (CAST('0x'||hex AS BIGINT) + the same modular arithmetic; all
+    intermediates < 2^62, no overflow on either engine).
 
-    Execution shape: entirely MAP-SIDE — the min runs inside a per-row
-    ``array_min(transform(...))`` over the document's shingle array, so
-    there is no explode, no shuffle, and no aggregation state; at 100 TB
-    the operator costs exactly one scan. Documents with no non-empty
-    shingles produce no row (matching the explode-based formulation).
+    Execution shape: entirely MAP-SIDE — the min runs inside per-row
+    ``array_min(transform(...))`` over the document's shingle array: no
+    explode, no shuffle, no aggregation state; one scan total. Documents
+    with no non-empty shingles produce no row.
     """
     grams = _shingle_array(text_col, n)
 
-    def _min_hash(i: int):
-        # NB: bind the salt OUTSIDE the lambda — a 2-arg transform lambda
-        # would receive (element, index) and shadow the loop variable
-        tag = F.lit(f"#{i}")
-        return F.array_min(F.transform(
-            F.col("__grams"), lambda g: F.md5(F.concat(g, tag))))
+    def _base(g):
+        return F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME))
 
-    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
-    return (df.select(F.col(id_col).alias("id"), grams.alias("__grams"))
-              .where(F.size("__grams") > 0)
-              .select("id", sig.alias("sig")))
+    bases = F.transform(grams, _base)
+    coeffs = minhash_coeffs(num_hashes)
+    init = F.array(*[F.lit(MINHASH_PRIME)] * num_hashes).cast("array<bigint>")
+
+    def _fold(acc, h):
+        # all num_hashes running minima advance in ONE pass over the bases
+        # array. CRITICAL plan property: the bases/shingle expression is
+        # referenced exactly ONCE — Catalyst's projection collapse inlines
+        # multiply-referenced projection columns, so the naive
+        # "array_min(transform(bases, ...)) per hash" shape silently
+        # recomputes the whole shingle+md5 pipeline num_hashes times
+        # (measured 5x wall on this expression).
+        return F.array(*[
+            F.least(acc[i], F.pmod(F.lit(a) * h + F.lit(b),
+                                   F.lit(MINHASH_PRIME)))
+            for i, (a, b) in enumerate(coeffs)])
+
+    sig = F.aggregate(bases, init, _fold)
+    # empty-shingle rows (== text that trims to nothing) produce no row;
+    # the cheap trim test avoids re-evaluating the shingle build in the
+    # filter (same projection-collapse trap)
+    nonempty = F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    return df.where(nonempty).select(F.col(id_col).alias("id"),
+                                     sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -160,9 +199,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     bands of rows r = num_hashes/bands; band key = md5(concat of the band's
     row hashes). Returns (id_a, id_b, n_bands_shared).
+
+    The signature DF is repartitioned before the band build: the band
+    structs reference ``sig`` 2 x bands times, and Catalyst's projection
+    collapse would otherwise inline (= recompute) the whole
+    shingle+hash pipeline per reference; the Exchange materializes the
+    tiny (id, sig) rows once — the cheap side of that trade at any scale.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = sig.repartition(sig.sparkSession.sparkContext.defaultParallelism,
+                          "id")
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
                  F.md5(F.concat_ws("|", *[F.col("sig")[bi * rows + ri]
@@ -207,8 +254,33 @@ def simhash_py(text: str | None, bits: int = 64) -> int:
     return v
 
 
+def _simhash_np(text: str | None) -> int:
+    """Vectorized twin of :func:`simhash_py` (bit votes in numpy; one
+    md5 per token stays hashlib). Equality with the scalar version is
+    pinned by tests — the pure-Python function remains the oracle."""
+    import numpy as np
+
+    if not text:
+        return 0
+    tokens = text.split()
+    if not tokens:
+        return 0
+    digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                       for t in tokens)
+    hs = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ones = bits.sum(axis=0)
+    # vote > 0  <=>  ones > n_tokens - ones
+    v = int(np.bitwise_or.reduce(
+        (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        [2 * ones > len(tokens)], initial=np.uint64(0)))
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
 def _simhash_series(s: pd.Series) -> pd.Series:
-    return s.map(simhash_py).astype("int64")
+    return s.map(_simhash_np).astype("int64")
 
 
 simhash_udf = pandas_udf(_simhash_series, LongType())

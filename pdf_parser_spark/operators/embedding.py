@@ -35,26 +35,28 @@ DEFAULT_DIM = 64
 
 
 def hash_embed_py(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
-    """Deterministic unit vector from md5 stream over the text (stub model).
+    """Deterministic unit vector from an md5-seeded PRNG (stub model).
 
-    Empty/None text -> zero vector (the reference returns an error result
-    with no vector for empty text, embedding_service.py:117-127; a zero
-    vector reproduces its downstream zero-similarity masking)."""
+    One md5 of the text seeds a PCG64 stream of standard normals
+    (isotropic on the sphere after normalization) — the per-text cost is
+    one hash + a vectorized draw, so the stub's throughput profile matches
+    a real batched encoder instead of dominating the pipeline with Python
+    string hashing. Empty/None text -> zero vector (the downstream
+    zero-similarity masking twin of the reference's error result,
+    embedding_service.py:117-127)."""
     if not text:
         return [0.0] * dim
-    vals: list[float] = []
-    i = 0
-    while len(vals) < dim:
-        h = hashlib.md5(f"{i}:{text}".encode("utf-8")).digest()
-        for off in range(0, 16, 4):
-            # map 4 bytes to [-1, 1)
-            u = int.from_bytes(h[off:off + 4], "big") / 2**31 - 1.0
-            vals.append(u)
-            if len(vals) == dim:
-                break
-        i += 1
-    norm = math.sqrt(sum(v * v for v in vals))
-    return [v / norm for v in vals] if norm > 0 else vals
+    return _hash_embed_np(text, dim).tolist()
+
+
+def _hash_embed_np(text: str, dim: int):
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8],
+                          "big")
+    v = np.random.Generator(np.random.PCG64(seed)).standard_normal(dim)
+    n = math.sqrt(float(v @ v))
+    return v / n if n > 0 else v
 
 
 class _HashEncoder:
@@ -62,7 +64,14 @@ class _HashEncoder:
         self.dim = dim
 
     def encode(self, texts: list[str]) -> list[list[float]]:
-        return [hash_embed_py(t, self.dim) for t in texts]
+        import numpy as np
+
+        dim = self.dim
+        out = np.zeros((len(texts), dim))
+        for i, t in enumerate(texts):
+            if t:
+                out[i] = _hash_embed_np(t, dim)
+        return out.tolist()
 
 
 def make_embed_udf(dim: int = DEFAULT_DIM,

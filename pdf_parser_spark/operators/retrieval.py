@@ -139,7 +139,7 @@ def image_priority_rerank(results: DataFrame, corpus: DataFrame,
                  & (F.col("c.turn_idx") == F.col("h_turn")))
            .groupBy("c.id", "c.chunk_type")
            .agg(F.round(F.max("h_sim") * decay, 6).alias("similarity"))
-           .join(results.select("id"), "id", "left_anti")
+           .join(F.broadcast(results.select("id")), "id", "left_anti")
            .withColumn("priority", F.lit(2)))
     base = results.withColumn(
         "priority", F.when(F.col("chunk_type") == "image", 0).otherwise(1))

@@ -30,6 +30,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread across cores for CPU-BOUND per-row operators.
+
+    The driver's small tables land as one parquet row group -> ONE input
+    split -> one task, so a heavy map (shingling, simhash, pandas UDFs)
+    runs single-threaded regardless of cluster size. A round-robin
+    repartition to the default parallelism is the standard fix for a
+    compute-bound stage over a low-split source: the shuffle moves tiny
+    raw rows once, and every downstream expression runs on all cores. At
+    real scale the source has thousands of splits and the same call is a
+    cheap no-op-sized rebalance (or is dropped entirely — AQE coalesces).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
     """Adapter: treat each document as one turn of a per-source conversation.
 
@@ -385,7 +401,7 @@ WHERE rank <= 3
 
 def docs_token_stats(spark, sf):
     # token counting + C1 null-safe length over documents
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     toks = F.size(F.split(F.col("text"), " "))
     alnum = F.length(F.regexp_replace(F.col("text"), "[^a-z0-9]", ""))
     return d.select(
@@ -641,7 +657,7 @@ FROM documents GROUP BY md5(coalesce(text, ''))
 def docs_bpe_tokens(spark, sf):
     # BPE-ish token estimate: one regexp_count expression, fully codegen'd
     from pdf_parser_spark.operators.textstats import bpe_ish_token_count
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     return d.select("doc_id",
                     bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
 
@@ -657,7 +673,7 @@ FROM documents
 def docs_jaccard_pairs(spark, sf):
     # n-gram Jaccard near-dup pairs via shingle inverted index
     from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     return (ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
             .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
                     "jaccard"))
@@ -693,35 +709,48 @@ WHERE n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) >= 0.4
 
 
 def docs_minhash_signatures(spark, sf):
-    # MinHash signature (4 hashes) — string-min md5, engine-portable
+    # MinHash signature (4 hashes): ONE md5 per shingle + affine
+    # permutations mod 2^31-1 — num_hashes x less hashing (the dominant
+    # 100 TB cost), still exactly recomputable in DuckDB
     from pdf_parser_spark.operators.dedup import minhash_signatures
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     sig = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=4)
     return sig.select(F.col("id").alias("doc_id"),
                       F.col("sig")[0].alias("h0"), F.col("sig")[1].alias("h1"),
                       F.col("sig")[2].alias("h2"), F.col("sig")[3].alias("h3"))
 
 
-DOCS_MINHASH_SQL = """
+def _minhash_sql() -> str:
+    from pdf_parser_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+    coeffs = minhash_coeffs(4)
+    hs = ",\n".join(
+        f"       min(({a} * base + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs))
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
   WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), based AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_PRIME} AS base
+  FROM sh
 )
 SELECT doc_id,
-       min(md5(shingle || '#0')) AS h0,
-       min(md5(shingle || '#1')) AS h1,
-       min(md5(shingle || '#2')) AS h2,
-       min(md5(shingle || '#3')) AS h3
-FROM sh GROUP BY doc_id
+{hs}
+FROM based GROUP BY doc_id
 """
+
+
+DOCS_MINHASH_SQL = _minhash_sql()
 
 
 def emb_cosine_topk(spark, sf):
     # V3+T1: brute-force cosine top-k; double-precision on both sides
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     q_row = emb.where(F.col("vec_id") == 0).select("embedding").collect()
     q = [float(x) for x in q_row[0].embedding]
     qc = F.array(*[F.lit(x) for x in q])
@@ -751,7 +780,7 @@ def emb_batch_topk(spark, sf):
     # batch retrieval: 8 query vectors x corpus in ONE job (broadcast +
     # window rank) — the throughput shape of operators/retrieval.batch_search
     from pdf_parser_spark.operators.retrieval import batch_search
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select(F.col("vec_id").alias("id"), e_dbl.alias("embedding"))
     queries = (emb.where(F.col("vec_id") < 8)
@@ -787,7 +816,7 @@ def emb_l2_similarity(spark, sf):
     # C7 distance -> similarity (reference gea_qa_agent_chroma.py:177-179):
     # exact L2 distance to the query vector, sim = 1/(1+d), top-10
     from pdf_parser_spark.functions.scalars import distance_to_similarity
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     q_row = emb.where(F.col("vec_id") == 0).select("embedding").collect()
     qc = F.array(*[F.lit(float(x)) for x in q_row[0].embedding])
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -812,7 +841,7 @@ LIMIT 10
 
 def emb_label_centroids(spark, sf):
     # vector aggregate: per-label centroid components via posexplode
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     return (emb.select("label", F.posexplode("embedding")
                        .alias("pos", "component"))
             .groupBy("label", "pos")
@@ -857,7 +886,7 @@ def extract_documents(spark, sf):
     # THE extraction core over driver data: documents-as-transcripts ->
     # extract_chunks (turn mode). SQL oracle exists because one non-empty
     # turn == one text chunk (per-turn decomposition, core/merge.py).
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     chunks = extract_chunks(_documents_as_transcripts(docs), DEFAULT_CONFIG)
     return chunks.select("conv_id", "chunk_idx", "turn_idx", "chunk_type",
                          "text", "char_count")
@@ -888,7 +917,7 @@ def extract_documents_store(spark, sf):
     # chunk k is exactly [k] (one block per non-empty turn)
     from pdf_parser_spark.operators.embedding import embed_chunks
     from pdf_parser_spark.operators.export import flatten_for_store
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     chunks = extract_chunks(_documents_as_transcripts(docs), DEFAULT_CONFIG)
     return flatten_for_store(embed_chunks(chunks, dim=16)) \
         .drop("embedding")
@@ -924,7 +953,7 @@ FROM c
 def extract_documents_metrics(spark, sf):
     # A2 chunk statistics over the same extraction
     from pdf_parser_spark.pipeline import extraction_metrics
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     chunks = extract_chunks(_documents_as_transcripts(docs), DEFAULT_CONFIG)
     return extraction_metrics(chunks).withColumn(
         "avg_chars_per_chunk", F.round("avg_chars_per_chunk", 6))
@@ -984,7 +1013,7 @@ def docs_quality_features(spark, sf):
     # (lang-ID + rolling fingerprint stay in docs_text_statistics_full,
     # rows-only — genuinely per-string Python)
     from pdf_parser_spark.operators.textstats import quality_features
-    return quality_features(_t(spark, sf, "documents")).select(
+    return quality_features(_t_wide(spark, sf, "documents")).select(
         "doc_id", "n_chars", "n_tokens", "avg_token_len", "alnum_ratio",
         "punct_ratio", "stopword_ratio", "quality_score")
 
@@ -1031,7 +1060,7 @@ FROM feat
 
 def docs_text_statistics_full(spark, sf):
     from pdf_parser_spark.operators.textstats import text_statistics
-    return text_statistics(_t(spark, sf, "documents")) \
+    return text_statistics(_t_wide(spark, sf, "documents")) \
         .select("doc_id", "n_tokens", "quality_score", "lang_pred",
                 "fingerprint", "content_id")
 
@@ -1041,7 +1070,7 @@ def docs_simhash_pairs(spark, sf):
     # for hamming <= 3 by construction, so the DuckDB oracle can verify it
     # with an exhaustive O(n^2) recomputation at sf0.01
     from pdf_parser_spark.operators.dedup import simhash_dup_pairs
-    return simhash_dup_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+    return simhash_dup_pairs(_t_wide(spark, sf, "documents"), "doc_id", "text",
                              max_hamming=3)
 
 
@@ -1087,7 +1116,7 @@ def emb_ann_topk(spark, sf):
     # tests/test_analytics_ops.py::test_ann_recall_gates; tradeoff table in
     # BASELINE.md). Approximate by design -> rows-only, no SQL oracle.
     from pdf_parser_spark.operators.similarity import ann_topk
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     q = [float(x) for x in
          emb.where(F.col("vec_id") == 0).collect()[0].embedding]
     return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2, n_tables=2)
@@ -1096,7 +1125,7 @@ def emb_ann_topk(spark, sf):
 def emb_ivf_topk(spark, sf):
     # IVF ANN: deterministic k-means cells, probe the closest cells only
     from pdf_parser_spark.operators.similarity import ivf_topk, ivf_train
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     cents = ivf_train(emb, k=8, iters=2)
     q = [float(x) for x in
          emb.where(F.col("vec_id") == 0).collect()[0].embedding]
@@ -1111,7 +1140,7 @@ def emb_cosine_dup_pairs(spark, sf):
     # exhaustive O(n^2) recomputation, affordable at sf0.01 — agrees
     # bit-for-bit after round(,6).
     from pdf_parser_spark.operators.similarity import cosine_dup_pairs
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     emb = emb.select("vec_id", e_dbl.alias("embedding"))
     dup = (emb.orderBy("vec_id").limit(5)
@@ -1186,23 +1215,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_features": docs_quality_features,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
+    "docs_simhash_pairs": docs_simhash_pairs,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_l2_similarity": emb_l2_similarity,
     "emb_batch_topk": emb_batch_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_rank_lsh_buckets": emb_rank_lsh_buckets,
+    "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
     "extract_documents": extract_documents,
     "extract_documents_store": extract_documents_store,
     "extract_documents_metrics": extract_documents_metrics,
-    # rows-only (pytest oracle suite is the correctness gate)
+    # rows-only (pytest gates are the correctness check: synth transcripts
+    # aren't DuckDB-visible; ANN is approximate by design with measured
+    # recall gates; lang-ID/fingerprint are per-string Python)
     "extract_synth_default": extract_synth_default,
     "extract_synth_cleaned": extract_synth_cleaned,
     "chunks_semantic_search": chunks_semantic_search,
     "docs_text_statistics_full": docs_text_statistics_full,
-    "docs_simhash_pairs": docs_simhash_pairs,
     "emb_ann_topk": emb_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
-    "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
     "media_payload_features": media_payload_features,
 }
 
