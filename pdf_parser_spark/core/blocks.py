@@ -43,7 +43,7 @@ import re
 from typing import Any
 
 from pdf_parser_spark.config import ExtractionConfig
-from pdf_parser_spark.core.heuristics import is_boilerplate_line
+from pdf_parser_spark.core.heuristics import boilerplate_flags
 
 _PARA_SPLIT = re.compile(r"\n\s*\n")
 
@@ -145,7 +145,7 @@ def tokenize_turn_stats(turn_idx: int, text: str | None, tool: str | None,
     page = turn_idx + 1
     lines = text.split("\n") if text else []
     if cfg.clean_boilerplate and text:
-        flags = [is_boilerplate_line(ln, cfg, repeated) for ln in lines]
+        flags = boilerplate_flags(lines, cfg, repeated)
         dropped = sum(flags)
         cleaned = "\n".join(ln for ln, f in zip(lines, flags) if not f)
     else:

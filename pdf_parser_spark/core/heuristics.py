@@ -86,6 +86,18 @@ def is_boilerplate_line(line: str, cfg: ExtractionConfig,
     return False
 
 
+def boilerplate_flags(lines: list[str], cfg: ExtractionConfig,
+                      repeated: frozenset[str] | set[str] | None = None,
+                      ) -> list[bool]:
+    """Per-line boilerplate verdicts — THE single classification pass.
+
+    Both the tokenizer (core/blocks.tokenize_turn_stats, which also counts
+    the drops for cleaning metrics) and :func:`clean_text` consume this
+    one function, so the two sides cannot drift.
+    """
+    return [is_boilerplate_line(ln, cfg, repeated) for ln in lines]
+
+
 def clean_text(text: str, cfg: ExtractionConfig,
                repeated: frozenset[str] | set[str] | None = None) -> str:
     """Remove boilerplate lines from a turn's raw text.
@@ -98,9 +110,9 @@ def clean_text(text: str, cfg: ExtractionConfig,
     """
     if not text:
         return text
-    kept = [ln for ln in text.split("\n")
-            if not is_boilerplate_line(ln, cfg, repeated)]
-    return "\n".join(kept)
+    lines = text.split("\n")
+    flags = boilerplate_flags(lines, cfg, repeated)
+    return "\n".join(ln for ln, f in zip(lines, flags) if not f)
 
 
 def mine_repeated_lines(turn_texts: list[str], cfg: ExtractionConfig) -> frozenset[str]:

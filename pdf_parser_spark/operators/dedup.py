@@ -84,14 +84,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     approximation). None disables the cap. The adversarial hot-shingle
     test (tests/test_analytics_ops.py) pins the bound.
     """
-    sh = shingles(df, id_col, text_col, n)
+    # cache the RAW shingle table once: the hot-df aggregation AND every
+    # use of the capped table replay from the cache (the anti-join against
+    # the tiny broadcast hot set is cheap); building shingles is the
+    # expensive part and must run exactly one scan
+    sh = shingles(df, id_col, text_col, n).cache()
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle")
                  .agg(F.count("*").alias("df"))
                  .where(F.col("df") > max_shingle_df)
                  .select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -35,13 +35,14 @@ DEFAULT_DIM = 64
 
 
 def hash_embed_py(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
-    """Deterministic unit vector from an md5-seeded PRNG (stub model).
+    """Deterministic unit vector from md5-seeded splitmix64 (stub model).
 
-    One md5 of the text seeds a PCG64 stream of standard normals
-    (isotropic on the sphere after normalization) — the per-text cost is
-    one hash + a vectorized draw, so the stub's throughput profile matches
-    a real batched encoder instead of dominating the pipeline with Python
-    string hashing. Empty/None text -> zero vector (the downstream
+    One md5 of the text seeds a counter-mode splitmix64 expansion — pure
+    modular uint64 arithmetic, so the values are pinned by the algorithm
+    itself, not by any library's RNG stream (NumPy does NOT guarantee
+    Generator distribution streams across releases). Per-text cost is one
+    hash + a vectorized mix, so the stub's throughput profile matches a
+    real batched encoder. Empty/None text -> zero vector (the downstream
     zero-similarity masking twin of the reference's error result,
     embedding_service.py:117-127)."""
     if not text:
@@ -54,7 +55,15 @@ def _hash_embed_np(text: str, dim: int):
 
     seed = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8],
                           "big")
-    v = np.random.Generator(np.random.PCG64(seed)).standard_normal(dim)
+    # splitmix64 in counter mode over (seed + i*golden): public-domain
+    # mixing constants; uint64 ops wrap modularly on every platform
+    x = (np.uint64(seed)
+         + np.arange(1, dim + 1, dtype=np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    v = x.astype(np.float64) / 2.0**63 - 1.0
     n = math.sqrt(float(v @ v))
     return v / n if n > 0 else v
 

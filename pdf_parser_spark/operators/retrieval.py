@@ -155,9 +155,16 @@ def search_by_image_reference(chunks: DataFrame, query_vec: list[float],
     """Reference search_by_image_reference (gea_qa_agent.py:263-313):
     embed-score the image description, over-fetch x2 top_k, then the
     priority/context composition (:func:`image_priority_rerank`).
-    ``chunks`` must carry id + embedding (with_chunk_id + embed_chunks)."""
+    ``chunks`` must carry id + embedding (with_chunk_id + embed_chunks).
+
+    The over-fetched hit set (2 x top_k rows) is materialized once: the
+    rerank composition references it three times (image partition, base
+    union, dedup anti-join), and leaving it lazy would re-run the whole
+    corpus cosine scan per reference."""
     scored = search_by_text(chunks, query_vec, top_k=top_k * 2)
-    return image_priority_rerank(scored, chunks, top_k=top_k,
+    hits = scored.collect()                        # <= 2*top_k tiny rows
+    results = chunks.sparkSession.createDataFrame(hits, scored.schema)
+    return image_priority_rerank(results, chunks, top_k=top_k,
                                  context_images=context_images, decay=decay)
 
 

@@ -68,11 +68,23 @@ def extract_with_embeddings(transcripts: DataFrame,
                                                       embedding_metrics)
     from pdf_parser_spark.operators.merge import chunks_from_local, tokenized_local
 
+    # NB: the fused map output stays cached until the session ends (both
+    # returned DataFrames are lazy, so there is no safe unpersist point
+    # inside this function); a long-running driver that calls this in a
+    # loop should local.unpersist() via its own handle or clearCache()
+    # between batches — the checkpointed path (sources/lineage) does.
     local = tokenized_local(transcripts, cfg).persist()
     chunks = chunks_from_local(local)
     embedded = embed_chunks(chunks, dim=dim)
-    metrics = full_metrics(transcripts, chunks, cfg, local=local) \
-        .join(embedding_metrics(embedded), "conv_id", "full")
+    emb_stats = embedding_metrics(embedded)
+    metrics = (full_metrics(transcripts, chunks, cfg, local=local)
+               .join(emb_stats, "conv_id", "full")
+               # zero-chunk conversations have no embedding rows; the
+               # reference reports 0/0 for them (pdf_parser.py:411-419)
+               .withColumn("successful_embeddings",
+                           F.coalesce("successful_embeddings", F.lit(0)))
+               .withColumn("failed_embeddings",
+                           F.coalesce("failed_embeddings", F.lit(0))))
     return embedded, metrics
 
 

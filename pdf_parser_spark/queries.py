@@ -1168,9 +1168,10 @@ WITH base AS (
          ELSE 0.0 END AS sim_raw
   FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 )
--- filter on the UNROUNDED value (like the operator), round for output
+-- the operator thresholds the ROUNDED similarity (cosine_dup_pairs
+-- rounds to 6 places before its >= filter); mirror exactly
 SELECT id_a, id_b, round(sim_raw, 6) AS similarity
-FROM scored WHERE sim_raw >= 0.99
+FROM scored WHERE round(sim_raw, 6) >= 0.99
 """
 
 
