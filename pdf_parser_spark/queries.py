@@ -1059,10 +1059,89 @@ FROM feat
 
 
 def docs_text_statistics_full(spark, sf):
+    # the COMPLETE text-analysis projection, now oracle-checked: DuckDB
+    # recomputes even the Python-UDF columns — lang-ID (CJK-ratio regex +
+    # stopword-vote argmax with the same larger-key tie-break) and the
+    # winnowing fingerprint (min md5 over 8-token spans)
     from pdf_parser_spark.operators.textstats import text_statistics
     return text_statistics(_t_wide(spark, sf, "documents")) \
         .select("doc_id", "n_tokens", "quality_score", "lang_pred",
                 "fingerprint", "content_id")
+
+
+DOCS_TEXTSTATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS c,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ltoks
+  FROM documents
+), q AS (
+  SELECT doc_id, c, ltoks,
+         length(c) AS n_chars,
+         CASE WHEN length(trim(c)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(c), '\s+')) END AS n_tokens,
+         length(regexp_replace(c, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+         length(regexp_replace(c, '[a-zA-Z0-9\s]', '', 'g')) AS punct,
+         length(regexp_replace(c, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+  FROM base
+), feat AS (
+  SELECT doc_id, c, ltoks, n_chars, n_tokens, cjk,
+         round(alnum::DOUBLE
+               / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+           AS alnum_ratio,
+         round(punct::DOUBLE
+               / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+           AS punct_ratio
+  FROM q
+), voted AS (
+  SELECT *,
+    len(list_filter(ltoks, x -> list_contains(
+        ['the','and','of','to','is','with','for','that'], x))) AS c_en,
+    len(list_filter(ltoks, x -> list_contains(
+        ['der','die','das','und','ist','nicht','mit','ein'], x))) AS c_de,
+    len(list_filter(ltoks, x -> list_contains(
+        ['el','la','los','que','de','es','una','para'], x))) AS c_es,
+    len(list_filter(ltoks, x -> list_contains(
+        ['le','les','des','que','est','une','dans','pour'], x))) AS c_fr
+  FROM feat
+), lang AS (
+  SELECT doc_id,
+    CASE WHEN n_chars = 0 THEN 'und'
+         WHEN cjk::DOUBLE
+              / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.05
+           THEN 'zh'
+         WHEN len(ltoks) = 0 THEN 'und'
+         WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+         -- argmax with the Python max(..., key=(count, lang)) tie-break:
+         -- among equal counts the lexicographically LARGEST lang wins
+         WHEN c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         ELSE 'de'
+    END AS lang_pred
+  FROM voted
+), fp AS (
+  SELECT b.doc_id,
+         min(md5(array_to_string(b.toks[i:i+7], ' '))) AS fingerprint
+  FROM base b,
+       unnest(generate_series(1, greatest(len(b.toks) - 7, 1))) u(i)
+  WHERE len(b.toks) > 0
+  GROUP BY b.doc_id
+)
+SELECT f.doc_id, f.n_tokens,
+       round(0.4 * least(f.n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.4 * f.alnum_ratio
+             + 0.2 * (1.0 - least(f.punct_ratio * 4, 1.0)), 6)
+         AS quality_score,
+       l.lang_pred,
+       coalesce(fp.fingerprint, '') AS fingerprint,
+       substring(md5(f.c), 1, 16) AS content_id
+FROM feat f
+JOIN lang l USING (doc_id)
+LEFT JOIN fp USING (doc_id)
+"""
 
 
 def docs_simhash_pairs(spark, sf):
@@ -1226,13 +1305,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents": extract_documents,
     "extract_documents_store": extract_documents_store,
     "extract_documents_metrics": extract_documents_metrics,
+    "docs_text_statistics_full": docs_text_statistics_full,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
-    # recall gates; lang-ID/fingerprint are per-string Python)
+    # recall gates)
     "extract_synth_default": extract_synth_default,
     "extract_synth_cleaned": extract_synth_cleaned,
     "chunks_semantic_search": chunks_semantic_search,
-    "docs_text_statistics_full": docs_text_statistics_full,
     "emb_ann_topk": emb_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "media_payload_features": media_payload_features,
@@ -1265,6 +1344,7 @@ ORACLES: dict[str, str] = {
     "docs_dedup_survivors": DOCS_SURVIVORS_SQL,
     "docs_bpe_tokens": DOCS_BPE_SQL,
     "docs_quality_features": DOCS_QUALITY_SQL,
+    "docs_text_statistics_full": DOCS_TEXTSTATS_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
