@@ -347,7 +347,13 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                       max_hamming: int = 3,
                       n_tables: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash over a text column (see
-    :func:`simhash_pairs_from_hashes` for the guaranteed-recall blocking)."""
+    :func:`simhash_pairs_from_hashes` for the guaranteed-recall blocking).
+
+    The (id, sh) signatures are cached: the blocking self-join otherwise
+    evaluates the simhash UDF once per join side AND once more per side
+    for the extracted isnotnull(key) filter (4 full UDF passes, visible as
+    repeated ArrowEvalPython nodes in the plan). 16 bytes/doc is cacheable
+    at any scale; one Python pass is the whole point."""
     sh = df.select(F.col(id_col).alias("id"),
-                   simhash_udf(F.col(text_col)).alias("sh"))
+                   simhash_udf(F.col(text_col)).alias("sh")).cache()
     return simhash_pairs_from_hashes(sh, max_hamming, n_tables)
