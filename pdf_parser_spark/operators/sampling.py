@@ -1,0 +1,72 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A training corpus needs reproducible train/validation/test membership that
+is (a) stable across runs and cluster sizes, (b) independent of row order
+and partitioning, and (c) recomputable by any engine auditing the split.
+Content/id hashing gives all three: bucket = md5-derived integer mod B,
+split = first label whose cumulative weight covers the bucket.
+
+Everything is JVM expressions (one md5 + conv + pmod per row — the same
+portable construction the MinHash family uses, operators/dedup.py), so
+split assignment rides whole-stage codegen and pushes through scans
+unchanged at any scale. The DuckDB oracle recomputes it verbatim
+(queries.py: DOCS_SPLIT_SQL).
+
+The reference has no splitting machinery (its corpus is 5 documents); this
+is part of the training-pipeline extension surface the task brief names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, salt: str = "split",
+                buckets: int = SPLIT_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(salt:value).
+
+    Engine-portable: the first 15 md5 hex digits as an integer (< 2^60,
+    overflow-free in any 64-bit engine) mod ``buckets``.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                  F.lit(buckets)).cast("int")
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        weights: list[tuple[str, float]] | None = None,
+                        salt: str = "split") -> DataFrame:
+    """Assign each row a stable split label by id hash.
+
+    ``weights``: ordered (label, fraction) pairs summing to 1.0 (default
+    90/5/5 train/val/test). A row's label depends only on (salt, id) — not
+    on order, partitioning, or cluster size — so reruns, resumes, and
+    engines all agree, and adding corpus data never reshuffles existing
+    rows between splits (the hash-split property that makes eval sets
+    stable as a crawl grows).
+    """
+    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    for label, frac in weights[:-1]:
+        cum += frac
+        bound = int(round(cum * SPLIT_BUCKETS))
+        branch = (F.when(bucket < bound, F.lit(label)) if expr is None
+                  else expr.when(bucket < bound, F.lit(label)))
+        expr = branch
+    last_label = weights[-1][0]
+    expr = (F.lit(last_label) if expr is None
+            else expr.otherwise(F.lit(last_label)))
+    return df.withColumn("split", expr)
+
+
+def sample_fraction(df: DataFrame, id_col: str, fraction: float,
+                    salt: str = "sample") -> DataFrame:
+    """Deterministic ~fraction subsample by id hash (same row set every
+    run; complement = the rows it excludes — disjoint by construction)."""
+    bound = int(round(fraction * SPLIT_BUCKETS))
+    return df.where(hash_bucket(F.col(id_col), salt) < bound)

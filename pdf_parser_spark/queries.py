@@ -611,6 +611,32 @@ LIMIT 8
 """
 
 
+def docs_train_val_split(spark, sf):
+    # deterministic hash split (90/5/5) + per-split counts: the
+    # training-pipeline eval-split staple, order/partitioning-invariant
+    from pdf_parser_spark.operators.sampling import deterministic_split
+    d = _t(spark, sf, "documents")
+    return (deterministic_split(d, "doc_id")
+            .groupBy("split").agg(F.count("*").alias("n_docs"),
+                                  F.min("doc_id").alias("min_doc_id")))
+
+
+DOCS_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM b GROUP BY 1
+"""
+
+
 def docs_lang_source_matrix(spark, sf):
     # A1 type-distribution matrix (reference pdf_parser.py:101-114)
     d = _t(spark, sf, "documents")
@@ -1288,6 +1314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_context_expansion": docs_context_expansion,
     "docs_priority_union": docs_priority_union,
     "docs_image_reference_search": docs_image_reference_search,
+    "docs_train_val_split": docs_train_val_split,
     "docs_lang_source_matrix": docs_lang_source_matrix,
     "docs_dup_histogram": docs_dup_histogram,
     "docs_dedup_survivors": docs_dedup_survivors,
@@ -1339,6 +1366,7 @@ ORACLES: dict[str, str] = {
     "docs_context_expansion": DOCS_CONTEXT_SQL,
     "docs_priority_union": DOCS_PRIORITY_SQL,
     "docs_image_reference_search": DOCS_IMAGE_REF_SQL,
+    "docs_train_val_split": DOCS_SPLIT_SQL,
     "docs_lang_source_matrix": DOCS_MATRIX_SQL,
     "docs_dup_histogram": DOCS_DUP_SQL,
     "docs_dedup_survivors": DOCS_SURVIVORS_SQL,

@@ -558,3 +558,34 @@ def test_write_to_vector_store_batching(spark, tmp_path):
     meta = batches[0]["metadatas"][0]
     assert set(meta) == {"source", "turn", "type", "char_count",
                          "block_indices", "has_cells"}
+
+
+def test_deterministic_split_properties(spark):
+    """Hash-split invariants: partition of the corpus, stable under
+    repartitioning/order, ~weight-proportional, and monotone under corpus
+    growth (existing rows never change split)."""
+    from pdf_parser_spark.operators.sampling import (deterministic_split,
+                                                     sample_fraction)
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id int")
+    out = deterministic_split(df, "doc_id").collect()
+    by_id = {r.doc_id: r.split for r in out}
+    assert len(by_id) == 2000 and set(by_id.values()) == {"train", "val",
+                                                          "test"}
+    counts = {s: sum(1 for v in by_id.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert 0.85 * 2000 <= counts["train"] <= 0.95 * 2000
+    assert counts["val"] + counts["test"] == 2000 - counts["train"]
+    # invariance under partitioning / order
+    shuffled = deterministic_split(
+        df.repartition(7).orderBy(F.desc("doc_id")), "doc_id").collect()
+    assert {r.doc_id: r.split for r in shuffled} == by_id
+    # growth monotonicity: adding rows never moves existing ones
+    grown = deterministic_split(
+        spark.createDataFrame([(i,) for i in range(4000)], "doc_id int"),
+        "doc_id").collect()
+    assert all({r.doc_id: r.split for r in grown}[i] == by_id[i]
+               for i in range(2000))
+    # sample_fraction is a deterministic subset, disjoint from complement
+    s1 = {r.doc_id for r in sample_fraction(df, "doc_id", 0.2).collect()}
+    s2 = {r.doc_id for r in sample_fraction(df, "doc_id", 0.2).collect()}
+    assert s1 == s2 and 0.15 * 2000 <= len(s1) <= 0.25 * 2000
