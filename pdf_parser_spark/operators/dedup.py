@@ -357,3 +357,65 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sh")).cache()
     return simhash_pairs_from_hashes(sh, max_hamming, n_tables)
+
+
+# --- near-dup components (pair graph -> cluster assignment) ---------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(id, component) for every vertex of the pair graph; component =
+    the minimum id reachable from the vertex.
+
+    Candidate-pair lists alone do not deduplicate a corpus — transitive
+    near-dups (A~B, B~C) must collapse into one cluster with one survivor.
+    This is min-label propagation: each round every vertex adopts the
+    minimum label among itself and its neighbors; converges within the
+    graph diameter (near-dup clusters are shallow — diameter is tiny), and
+    the loop stops at the first fixpoint. Per round: one join + one
+    map-side-combined groupBy, both partitioned on the vertex key.
+    Iterates plans grow per round, so each round is cut with an eager
+    ``localCheckpoint`` — the standard pattern for iterative DataFrame
+    algorithms (same family as the large-star/small-star formulation used
+    for web-scale dedup graphs; this simple propagation suffices because
+    near-dup components are small and shallow, unlike web link graphs).
+
+    The convergence test costs one count per round on labels-changed —
+    bounded, and it is what makes the loop terminate early instead of
+    always paying ``max_iter`` rounds.
+    """
+    a = F.col(id_a)
+    b = F.col(id_b)
+    edges = (pairs.select(a.alias("src"), b.alias("dst"))
+             .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    comps = (edges.select(F.col("src").alias("id")).distinct()
+             .withColumn("component", F.col("id"))
+             .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (edges.join(comps.withColumnRenamed("id", "src"), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.min("component").alias("n_min")))
+        new = (comps.join(neigh, "id", "left")
+               .select("id", F.least(F.col("component"),
+                                     F.coalesce("n_min", "component"))
+                       .alias("component"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(comps.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        comps = new
+        if changed == 0:
+            break
+    return comps
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
+                        ) -> DataFrame:
+    """Keep one survivor per near-dup cluster: the minimum id of each
+    component (plus every row that is in no pair at all)."""
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("component")).select("id")
+    return df.join(losers.withColumnRenamed("id", id_col),
+                   id_col, "left_anti")

@@ -774,6 +774,18 @@ FROM based GROUP BY doc_id
 DOCS_MINHASH_SQL = _minhash_sql()
 
 
+def docs_near_dup_clusters(spark, sf):
+    # transitive near-dup clustering: simhash pairs -> connected
+    # components (min-label propagation; the step that turns pair lists
+    # into an actual dedup decision). DuckDB oracle recomputes the
+    # components with a recursive-CTE transitive closure.
+    from pdf_parser_spark.operators.dedup import (connected_components,
+                                                  simhash_dup_pairs)
+    pairs = simhash_dup_pairs(_t_wide(spark, sf, "documents"),
+                              "doc_id", "text", max_hamming=3)
+    return connected_components(pairs)
+
+
 def emb_cosine_topk(spark, sf):
     # V3+T1: brute-force cosine top-k; double-precision on both sides
     emb = _t_wide(spark, sf, "embeddings")
@@ -1216,6 +1228,24 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 
+# transitive closure over the simhash pairs: the components oracle
+DOCS_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + DOCS_SIMHASH_SQL + """
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT a AS id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+""")
+
+
+
 def emb_ann_topk(spark, sf):
     # multi-table sign-LSH ANN (recall measured + gated in
     # tests/test_analytics_ops.py::test_ann_recall_gates; tradeoff table in
@@ -1323,6 +1353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_near_dup_clusters": docs_near_dup_clusters,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_l2_similarity": emb_l2_similarity,
     "emb_batch_topk": emb_batch_topk,
@@ -1376,6 +1407,7 @@ ORACLES: dict[str, str] = {
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
+    "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_l2_similarity": EMB_L2_SQL,

@@ -589,3 +589,26 @@ def test_deterministic_split_properties(spark):
     s1 = {r.doc_id for r in sample_fraction(df, "doc_id", 0.2).collect()}
     s2 = {r.doc_id for r in sample_fraction(df, "doc_id", 0.2).collect()}
     assert s1 == s2 and 0.15 * 2000 <= len(s1) <= 0.25 * 2000
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    """Min-label propagation over the pair graph: transitive chains
+    collapse into one component; cluster dedup keeps the min id."""
+    from pdf_parser_spark.operators.dedup import (connected_components,
+                                                  dedup_by_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11),                      # pair  -> component 10
+         (20, 21), (21, 22), (20, 22)],  # triangle -> component 20
+        "id_a int, id_b int")
+    comps = {r.id: r.component
+             for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1,
+                     10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20}
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id int, text string")
+    kept = sorted(r.doc_id for r in
+                  dedup_by_components(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 20, 99]      # survivors + untouched singleton
