@@ -162,3 +162,52 @@ def test_per_turn_decomposition_equals_whole_conversation(turns, cfg):
         offset += len(t)
 
     assert stitched == whole
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 5).flatmap(
+    lambda n: st.tuples(*[_turn_blocks(page=i + 1) for i in range(n)])),
+    st.sampled_from([ExtractionConfig(max_chars_per_chunk=8),
+                     ExtractionConfig(max_chars_per_chunk=800)]))
+def test_chunk_invariants(turns, cfg):
+    """SURVEY §5.4 invariants (parity mode, no overlap):
+    - a text chunk never exceeds max_chars unless a single block does;
+    - block_count == number of buffered members for text chunks, 1 else;
+    - every block index appears in >=1 chunk's lineage, and the union of
+      lineages covers exactly the duplicate-aliased index set;
+    - concatenating text-chunk members (via lineage) reconstructs the
+      stripped block contents in order."""
+    blocks = [b for t in turns for b in t]
+    chunks = merge_blocks_to_chunks(blocks, cfg)
+    if not blocks:
+        assert chunks == []
+        return
+    # duplicate aliasing: an index is representable iff some equal-valued
+    # block occupies it (text lineage lists ALL equal positions; table and
+    # image lineage lists the first)
+    covered = set()
+    for c in chunks:
+        assert c["block_indices"] == sorted(c["block_indices"])
+        covered.update(c["block_indices"])
+        if c["chunk_type"] == "text":
+            if c["block_count"] > 1:
+                assert c["char_count"] <= cfg.max_chars_per_chunk
+            member_contents = [blocks[i]["content"]
+                               for i in c["block_indices"]
+                               if blocks[i].get("type", "text") == "text"]
+            # every lineage member's content is a substring of the chunk
+            for mc in member_contents:
+                assert mc in c["text"]
+        else:
+            assert c["block_count"] == 1
+            assert len(c["block_indices"]) == 1
+    # coverage: every position is either covered or aliases an equal block
+    # at a covered position
+    import json as _json
+
+    def key(b):
+        return _json.dumps(b, sort_keys=True, ensure_ascii=False, default=str)
+
+    covered_keys = {key(blocks[i]) for i in covered}
+    for i, b in enumerate(blocks):
+        assert i in covered or key(b) in covered_keys, (i, b)
