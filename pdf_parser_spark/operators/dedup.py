@@ -27,11 +27,21 @@ from pyspark.sql.types import LongType
 # --- exact -----------------------------------------------------------------
 
 
+def content_key(col: Column) -> Column:
+    """THE content address of a document: md5 of the null-coalesced text.
+
+    Every dedup surface — batch exact dedup, duplicate histograms, and
+    the streaming ingest dedup (streaming/dedupe.py) — keys on this one
+    expression, so "duplicate" means the same thing everywhere by
+    construction."""
+    return F.md5(F.coalesce(col, F.lit("")))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep one row per distinct text (lowest id wins is NOT guaranteed by
     dropDuplicates; we make the survivor deterministic via min over a
     window-free groupBy + join back on the content hash)."""
-    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    h = content_key(F.col(text_col))
     first_cols = [c for c in df.columns]
     keyed = df.withColumn("__h", h)
     survivors = keyed.groupBy("__h").agg(
@@ -41,8 +51,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(content_hash, n_copies) for every text with more than one copy."""
-    return (df.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))
-                        .alias("content_hash"))
+    return (df.groupBy(content_key(F.col(text_col)).alias("content_hash"))
               .agg(F.count("*").alias("n_copies"))
               .where(F.col("n_copies") > 1))
 
@@ -240,7 +249,8 @@ def simhash_py(text: str | None, bits: int = 64) -> int:
     """
     if not text:
         return 0
-    tokens = text.split()
+    from pdf_parser_spark.operators.textstats import ascii_tokens
+    tokens = ascii_tokens(text)
     if not tokens:
         return 0
     acc = [0] * bits
@@ -265,7 +275,8 @@ def _simhash_np(text: str | None) -> int:
 
     if not text:
         return 0
-    tokens = text.split()
+    from pdf_parser_spark.operators.textstats import ascii_tokens
+    tokens = ascii_tokens(text)
     if not tokens:
         return 0
     digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
@@ -353,7 +364,10 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     evaluates the simhash UDF once per join side AND once more per side
     for the extracted isnotnull(key) filter (4 full UDF passes, visible as
     repeated ArrowEvalPython nodes in the plan). 16 bytes/doc is cacheable
-    at any scale; one Python pass is the whole point."""
+    at any scale; one Python pass is the whole point. The cache lives
+    until the session ends (the returned DF is lazy, so there is no safe
+    unpersist point here) — a long-lived driver looping over corpora
+    should clearCache() between runs."""
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sh")).cache()
     return simhash_pairs_from_hashes(sh, max_hamming, n_tables)
@@ -369,20 +383,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     Candidate-pair lists alone do not deduplicate a corpus — transitive
     near-dups (A~B, B~C) must collapse into one cluster with one survivor.
-    This is min-label propagation: each round every vertex adopts the
-    minimum label among itself and its neighbors; converges within the
-    graph diameter (near-dup clusters are shallow — diameter is tiny), and
-    the loop stops at the first fixpoint. Per round: one join + one
-    map-side-combined groupBy, both partitioned on the vertex key.
-    Iterates plans grow per round, so each round is cut with an eager
-    ``localCheckpoint`` — the standard pattern for iterative DataFrame
-    algorithms (same family as the large-star/small-star formulation used
-    for web-scale dedup graphs; this simple propagation suffices because
-    near-dup components are small and shallow, unlike web link graphs).
-
-    The convergence test costs one count per round on labels-changed —
-    bounded, and it is what makes the loop terminate early instead of
-    always paying ``max_iter`` rounds.
+    Each round does min-label propagation (every vertex adopts the minimum
+    label among itself and its neighbors) PLUS pointer jumping (it also
+    adopts its current label's own label), so the effective propagation
+    distance doubles per round: ``max_iter`` rounds cover components of
+    diameter ~2^max_iter, not max_iter — a 30-revision chain converges in
+    ~5 rounds, and no realistic cluster shape can exhaust the default
+    budget. If the fixpoint is still not reached the function RAISES
+    instead of returning silently-split components (which would make
+    ``dedup_by_components`` keep several "survivors" of one cluster).
+    Per round: two key-partitioned joins + one map-side-combined groupBy;
+    plans are cut per round with an eager ``localCheckpoint`` (the
+    standard iterative-DataFrame pattern), and the loop stops at the first
+    fixpoint, verified by a bounded labels-changed count.
     """
     a = F.col(id_a)
     b = F.col(id_b)
@@ -396,9 +409,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         neigh = (edges.join(comps.withColumnRenamed("id", "src"), "src")
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("component").alias("n_min")))
-        new = (comps.join(neigh, "id", "left")
+        stepped = (comps.join(neigh, "id", "left")
+                   .select("id", F.least(F.col("component"),
+                                         F.coalesce("n_min", "component"))
+                           .alias("component")))
+        # pointer jump: comp[v] <- min(comp[v], comp[comp[v]]) — doubles
+        # the propagation distance every round (log-diameter convergence)
+        grand = stepped.select(F.col("id").alias("component"),
+                               F.col("component").alias("g"))
+        new = (stepped.join(grand, "component", "left")
                .select("id", F.least(F.col("component"),
-                                     F.coalesce("n_min", "component"))
+                                     F.coalesce("g", "component"))
                        .alias("component"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n")
@@ -407,8 +428,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                    .count())
         comps = new
         if changed == 0:
-            break
-    return comps
+            return comps
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(diameter > ~2^{max_iter}); raise max_iter")
 
 
 def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,

@@ -48,7 +48,16 @@ def deterministic_split(df: DataFrame, id_col: str,
     rows between splits (the hash-split property that makes eval sets
     stable as a crawl grows).
     """
-    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if weights is None:
+        weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if not weights:
+        raise ValueError("weights must be a non-empty list")
+    total = sum(f for _, f in weights)
+    if any(f <= 0 for _, f in weights) or abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must be positive and sum to 1.0, got "
+            f"{weights} (sum {total}) — a silent shortfall would dump the "
+            "remainder onto the last label and mis-size the eval split")
     bucket = hash_bucket(F.col(id_col), salt)
     expr = None
     cum = 0.0

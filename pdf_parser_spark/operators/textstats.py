@@ -16,12 +16,26 @@ training-pipeline extension surface.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
+
+# tokenization is ASCII-whitespace EVERYWHERE in this engine: JVM split
+# on \s+ (Java: ASCII), DuckDB string_split_regex '\s+' (RE2: ASCII), and
+# Python via this regex (re.ASCII — NOT str.split(), whose Unicode
+# White_Space set would silently disagree with both engines on U+3000 /
+# U+00A0 and friends)
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def ascii_tokens(text: str) -> list[str]:
+    """Whitespace tokens under the engine-wide ASCII-\\s+ convention."""
+    return [t for t in _WS_ASCII.split(text) if t]
+
 
 # --- token counting (pure expressions; C1-analog guards for null/empty) ---
 
@@ -103,7 +117,7 @@ def lang_id_py(text: str | None) -> str:
     cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
     if cjk / max(len(text), 1) > 0.05:
         return "zh"
-    tokens = text.lower().split()
+    tokens = ascii_tokens(text.lower())
     if not tokens:
         return "und"
     counts = {lang: sum(1 for t in tokens if t in markers)
@@ -130,7 +144,7 @@ def fingerprint_py(text: str | None, window: int = 8) -> str:
     """
     if not text:
         return ""
-    tokens = text.split()
+    tokens = ascii_tokens(text)
     if not tokens:
         return ""
     if len(tokens) < window:

@@ -29,8 +29,9 @@ def stream_dedup(docs: DataFrame, text_col: str = "text",
     passes ``retention``; duplicates inside the horizon are dropped
     exactly once, state is bounded by unique-docs-per-horizon.
     """
-    keyed = docs.withColumn(
-        "__content_key", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    from pdf_parser_spark.operators.dedup import content_key
+
+    keyed = docs.withColumn("__content_key", content_key(F.col(text_col)))
     keys = ["__content_key"] + list(extra_keys or [])
     return (keyed.withWatermark(ts_col, retention)
             .dropDuplicatesWithinWatermark(keys)

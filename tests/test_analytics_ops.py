@@ -574,7 +574,9 @@ def test_deterministic_split_properties(spark):
     counts = {s: sum(1 for v in by_id.values() if v == s)
               for s in ("train", "val", "test")}
     assert 0.85 * 2000 <= counts["train"] <= 0.95 * 2000
-    assert counts["val"] + counts["test"] == 2000 - counts["train"]
+    # val and test each land near their 5% weight (binomial tolerance)
+    assert 0.02 * 2000 <= counts["val"] <= 0.08 * 2000, counts
+    assert 0.02 * 2000 <= counts["test"] <= 0.08 * 2000, counts
     # invariance under partitioning / order
     shuffled = deterministic_split(
         df.repartition(7).orderBy(F.desc("doc_id")), "doc_id").collect()
@@ -612,3 +614,24 @@ def test_connected_components_and_cluster_dedup(spark):
     kept = sorted(r.doc_id for r in
                   dedup_by_components(docs, pairs, "doc_id").collect())
     assert kept == [1, 10, 20, 99]      # survivors + untouched singleton
+
+
+def test_split_weight_validation(spark):
+    from pdf_parser_spark.operators.sampling import deterministic_split
+    df = spark.createDataFrame([(1,)], "doc_id int")
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", weights=[("a", 0.5), ("b", 0.25)])
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", weights=[])
+
+
+def test_components_long_chain_converges(spark):
+    """Pointer jumping: a 40-link chain (diameter 40) must converge well
+    inside the round budget — the failure mode of pure propagation was a
+    silently split cluster."""
+    from pdf_parser_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id_a int, id_b int")
+    comps = {r.id: r.component
+             for r in connected_components(pairs, max_iter=8).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 41
