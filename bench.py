@@ -94,6 +94,43 @@ def build_spark(cores: int, app: str = "bench"):
             .getOrCreate())
 
 
+def build_spark_cluster(n_executors: int, cores_per_exec: int = 4,
+                        app: str = "bench-cluster"):
+    """A REAL multi-executor topology: local-cluster spawns one worker JVM
+    (+ its own Python workers) per executor, talking to the driver over
+    loopback sockets — actual serialization, actual executor-side imports
+    (code ships via the --py-files zip), actual inter-JVM shuffle. The
+    strongest local rendition of the north rule's "N and 4N executors"."""
+    import subprocess as _sp
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    # executors import the package from the packaged zip ONLY
+    _sp.run([_sys.executable, os.path.join(REPO, "jobs", "package.py")],
+            check=True, capture_output=True)
+    zip_path = os.path.join(REPO, "dist", "pdf_parser_spark.zip")
+    total = n_executors * cores_per_exec
+    return (SparkSession.builder
+            .master(f"local-cluster[{n_executors},{cores_per_exec},3072]")
+            .appName(app)
+            .config("spark.executor.memory", "2g")
+            .config("spark.submit.pyFiles", zip_path)
+            .config("spark.sql.shuffle.partitions", str(max(total, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+            .config("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+            .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate())
+
+
 def _materialize(df) -> int:
     """Force full evaluation without collecting rows to the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -258,16 +295,21 @@ def _last_scaling() -> dict:
         return {}
 
 
-def main_extract_only(cores: int, n_convs: int) -> None:
+def main_extract_only(cores: int, n_convs: int,
+                      executors: int | None = None) -> None:
     tmp_root = os.path.join(tempfile.gettempdir(), "pdf_parser_spark_bench")
     os.makedirs(tmp_root, exist_ok=True)
     corpus, n_turns = _synth_corpus_path(tmp_root, n_convs)
-    spark = build_spark(cores, app=f"extract-bench-{cores}")
+    if executors:
+        spark = build_spark_cluster(executors, cores_per_exec=cores,
+                                    app=f"extract-bench-x{executors}")
+    else:
+        spark = build_spark(cores, app=f"extract-bench-{cores}")
     try:
         ext = run_extraction_bench(spark, corpus, n_turns, full=False)
     finally:
         spark.stop()
-    print(json.dumps({"cores": cores, **ext}))
+    print(json.dumps({"cores": cores, "executors": executors, **ext}))
 
 
 def main_scaling(n_cores: int, n4_cores: int, n_convs: int) -> None:
@@ -337,10 +379,69 @@ def main_scaling(n_cores: int, n4_cores: int, n_convs: int) -> None:
     print(json.dumps(payload))
 
 
+def main_scaling_cluster(n_exec: int, n4_exec: int, n_convs: int,
+                         cores_per_exec: int = 4) -> None:
+    """The north rule verbatim: the identical job at N and 4N EXECUTORS
+    (separate worker JVMs, code via --py-files), each level CPU-pinned to
+    exactly executors x cores_per_exec cores. Same paired-rounds/median
+    protocol as --scaling; writes BENCH_SCALING_CLUSTER.json."""
+    import shutil as _shutil
+    taskset = _shutil.which("taskset")
+    tmp_root = os.path.join(tempfile.gettempdir(), "pdf_parser_spark_bench")
+    os.makedirs(tmp_root, exist_ok=True)
+    _synth_corpus_path(tmp_root, n_convs)
+
+    def _one(execs: int) -> dict:
+        cores_total = execs * cores_per_exec
+        cmd = [sys.executable, os.path.abspath(__file__), "--extract-only",
+               "--cores", str(cores_per_exec), "--executors", str(execs),
+               "--convs", str(n_convs)]
+        if taskset:
+            cmd = [taskset, "-c", f"0-{cores_total - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                             cwd=REPO)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    ratio = n4_exec / n_exec
+    rounds = []
+    for _ in range(3):
+        a = _one(n_exec)
+        b = _one(n4_exec)
+        rounds.append((
+            (b["turns_per_sec"] / a["turns_per_sec"]) / ratio, a, b))
+    rounds.sort(key=lambda t: t[0])
+    eff, med_a, med_b = rounds[len(rounds) // 2]
+    payload = {
+        "rounds_efficiency": [round(r[0], 3) for r in rounds],
+        "metric": f"extraction scaling efficiency {n_exec} -> {n4_exec} "
+                  f"executors (local-cluster, {cores_per_exec} cores each, "
+                  "CPU-pinned, code via --py-files zip)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_turns": med_a["n_turns"],
+        f"turns_per_sec_{n_exec}exec": med_a["turns_per_sec"],
+        f"turns_per_sec_{n4_exec}exec": med_b["turns_per_sec"],
+        f"sec_{n_exec}exec": med_a["extract_bucketed_sec"],
+        f"sec_{n4_exec}exec": med_b["extract_bucketed_sec"],
+        "pinned": bool(taskset),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING_CLUSTER.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cluster", action="store_true",
+                    help="N vs 4N EXECUTORS via local-cluster (separate "
+                         "worker JVMs, --py-files deployment), CPU-pinned")
     ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--executors", type=int, default=None,
+                    help="--extract-only on a local-cluster with this many "
+                         "executors of --cores each")
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--n-cores", type=int, default=4,
                     help="N for --scaling (4N is 4*N, or --cores if larger)."
@@ -358,7 +459,13 @@ if __name__ == "__main__":
         if args.cores != DEFAULT_CPUS:
             n4 = max(args.cores, n4)
         main_scaling(args.n_cores, n4, args.convs or SCALING_CONVS)
+    elif args.scaling_cluster:
+        main_scaling_cluster(1, 4, args.convs or SCALING_CONVS)
     elif args.extract_only:
-        main_extract_only(args.cores, args.convs or BENCH_CONVS)
+        main_extract_only(args.cores if args.executors is None
+                          else (args.cores if args.cores != DEFAULT_CPUS
+                                else 4),
+                          args.convs or BENCH_CONVS,
+                          executors=args.executors)
     else:
         main_bench(args.cores, args.sf_dir)
