@@ -611,6 +611,56 @@ LIMIT 8
 """
 
 
+def docs_training_selection(spark, sf):
+    # the capstone composition a training pipeline runs daily: exact-dedup
+    # survivors ∩ quality floor ∩ target language ∩ length band, projected
+    # to (doc_id, n_tokens, quality_score) — every stage oracle-verified
+    # elsewhere, here composed into one plan (filters fuse into the scan,
+    # the dedup groupBy is the only shuffle)
+    from pdf_parser_spark.operators.dedup import content_key
+    from pdf_parser_spark.operators.textstats import quality_features
+    d = quality_features(_t_wide(spark, sf, "documents"))
+    survivors = (d.groupBy(content_key(F.col("text")).alias("h"))
+                 .agg(F.min("doc_id").alias("doc_id")))
+    return (d.join(survivors, "doc_id")
+            .where((F.col("lang") == "en")
+                   & (F.col("quality_score") >= 0.5)
+                   & (F.col("n_tokens").between(20, 1000)))
+            .select("doc_id", "n_tokens", "quality_score"))
+
+
+DOCS_SELECTION_SQL = r"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         coalesce(text, '') AS c,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS n_tokens,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+           AS alnum,
+         length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\s]', '', 'g'))
+           AS punct,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, c, n_tokens,
+         round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+               + 0.4 * round(alnum::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+               + 0.2 * (1.0 - least(round(punct::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+                   * 4, 1.0)), 6) AS quality_score
+  FROM feat
+), survivors AS (
+  SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(c)
+)
+SELECT s.doc_id, s.n_tokens, s.quality_score
+FROM scored s JOIN survivors USING (doc_id)
+WHERE s.lang = 'en' AND s.quality_score >= 0.5
+  AND s.n_tokens BETWEEN 20 AND 1000
+"""
+
+
 def docs_train_val_split(spark, sf):
     # deterministic hash split (90/5/5) + per-split counts: the
     # training-pipeline eval-split staple, order/partitioning-invariant
@@ -1345,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_priority_union": docs_priority_union,
     "docs_image_reference_search": docs_image_reference_search,
     "docs_train_val_split": docs_train_val_split,
+    "docs_training_selection": docs_training_selection,
     "docs_lang_source_matrix": docs_lang_source_matrix,
     "docs_dup_histogram": docs_dup_histogram,
     "docs_dedup_survivors": docs_dedup_survivors,
@@ -1398,6 +1449,7 @@ ORACLES: dict[str, str] = {
     "docs_priority_union": DOCS_PRIORITY_SQL,
     "docs_image_reference_search": DOCS_IMAGE_REF_SQL,
     "docs_train_val_split": DOCS_SPLIT_SQL,
+    "docs_training_selection": DOCS_SELECTION_SQL,
     "docs_lang_source_matrix": DOCS_MATRIX_SQL,
     "docs_dup_histogram": DOCS_DUP_SQL,
     "docs_dedup_survivors": DOCS_SURVIVORS_SQL,
