@@ -198,6 +198,62 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
                             query_vec, k, emb_col, id_col)
 
 
+def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
+                     top_k: int = 5, emb_col: str = "embedding",
+                     id_col: str = "id", q_id_col: str = "q_id",
+                     q_emb_col: str = "q_emb", n_planes: int = 6,
+                     probe_hamming: int = 2, n_tables: int = 2,
+                     seed: int = 42) -> DataFrame:
+    """Beyond-broadcast batch retrieval: when the query set itself is too
+    large to broadcast (millions of queries x billions of corpus rows),
+    bucket BOTH sides with multi-table sign-LSH and join on
+    (table, bucket) — each query meets only its candidate corpus rows, so
+    the join is key-partitioned on both sides with no broadcast and no
+    cross product. Approximate with the same measured recall/scan
+    tradeoff as :func:`ann_topk` (same tables/probe geometry; gate in
+    tests/test_analytics_ops.py).
+
+    Shape per table t: corpus row -> 1 bucket row; query row -> its probe
+    set (buckets within ``probe_hamming`` of its own bucket, expanded as
+    an explode — a bounded fan-out of sum_{i<=h} C(planes, i) rows).
+    Candidates deduped on (q_id, id) across tables, exact cosine, window
+    top-k per query.
+    """
+    from pyspark.sql.window import Window
+
+    corp_sides = []
+    query_sides = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        bucket = sign_lsh_bucket(F.col(emb_col), planes)
+        corp_sides.append(corpus.select(
+            F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
+            F.lit(t).alias("tbl"), bucket.alias("bkt")))
+        q_bucket = sign_lsh_bucket(F.col(q_emb_col), planes)
+        # probe expansion: all masks within probe_hamming bits
+        masks = [m for m in range(1 << n_planes)
+                 if bin(m).count("1") <= probe_hamming]
+        probes = F.array(*[q_bucket.bitwiseXOR(F.lit(m)) for m in masks])
+        query_sides.append(queries.select(
+            F.col(q_id_col).alias("qid"), F.col(q_emb_col).alias("qe"),
+            F.lit(t).alias("tbl"), F.explode(probes).alias("bkt")))
+    corp = corp_sides[0]
+    for s in corp_sides[1:]:
+        corp = corp.unionByName(s)
+    qry = query_sides[0]
+    for s in query_sides[1:]:
+        qry = qry.unionByName(s)
+    cand = (qry.join(corp, ["tbl", "bkt"])
+            .dropDuplicates(["qid", "id"]))
+    w = Window.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))
+    return (cand.withColumn("similarity",
+                            F.round(cosine(F.col("e"), F.col("qe")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select(F.col("qid").alias(q_id_col), "rank",
+                    F.col("id").alias(id_col), "similarity"))
+
+
 def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                      emb_col: str = "embedding", id_col: str = "vec_id",
                      n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -635,3 +635,33 @@ def test_components_long_chain_converges(spark):
     comps = {r.id: r.component
              for r in connected_components(pairs, max_iter=8).collect()}
     assert set(comps.values()) == {0} and len(comps) == 41
+
+
+def test_batch_search_lsh_recall_gate(spark, emb_df):
+    """The beyond-broadcast batch-retrieval path: per-query recall@5 vs
+    the exact broadcast batch search, at the same LSH geometry the ANN
+    gate measures."""
+    from pdf_parser_spark.operators.retrieval import batch_search
+    from pdf_parser_spark.operators.similarity import batch_search_lsh
+
+    corpus = emb_df.select(F.col("vec_id").alias("id"),
+                           F.col("embedding"))
+    queries = (emb_df.where(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb")))
+    exact = {}
+    for r in batch_search(corpus, queries, top_k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.id)
+    approx = {}
+    got = batch_search_lsh(corpus, queries, dim=16, top_k=5,
+                           n_planes=6, probe_hamming=2,
+                           n_tables=3).collect()
+    for r in got:
+        approx.setdefault(r.q_id, set()).add(r.id)
+    recalls = [len(approx.get(q, set()) & hits) / len(hits)
+               for q, hits in exact.items()]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    # each query's own vector is its top hit and always in its own bucket
+    by_rank1 = {r.q_id: r.id for r in got if r.rank == 1}
+    for q in exact:
+        assert by_rank1.get(q) == q
