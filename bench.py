@@ -106,12 +106,15 @@ def build_spark_cluster(n_executors: int, cores_per_exec: int = 4,
 
     from pyspark.sql import SparkSession
 
-    # executors import the package from the packaged zip ONLY
-    _sp.run([_sys.executable, os.path.join(REPO, "jobs", "package.py")],
-            check=True, capture_output=True)
+    # executors import the package from the packaged zip ONLY (rebuilt
+    # here only if missing — --scaling-cluster builds it once up front
+    # instead of 6x inside CPU-pinned children)
     zip_path = os.path.join(REPO, "dist", "pdf_parser_spark.zip")
+    if not os.path.exists(zip_path):
+        _sp.run([_sys.executable, os.path.join(REPO, "jobs", "package.py")],
+                check=True, capture_output=True)
     total = n_executors * cores_per_exec
-    return (SparkSession.builder
+    spark = (SparkSession.builder
             .master(f"local-cluster[{n_executors},{cores_per_exec},3072]")
             .appName(app)
             .config("spark.executor.memory", "2g")
@@ -129,6 +132,13 @@ def build_spark_cluster(n_executors: int, cores_per_exec: int = 4,
             .config("spark.ui.enabled", "false")
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate())
+    # spark.submit.pyFiles only takes effect when THIS process's JVM is
+    # launched by spark-submit; if any prior session already started the
+    # JVM (e.g. corpus generation in local mode) the config is inert, so
+    # register the zip at runtime too — addPyFile ships it to executors
+    # AND prepends it to the driver's sys.path
+    spark.sparkContext.addPyFile(zip_path)
+    return spark
 
 
 def _materialize(df) -> int:
@@ -338,18 +348,7 @@ def main_scaling(n_cores: int, n4_cores: int, n_convs: int) -> None:
                              cwd=REPO)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # paired rounds, median efficiency: both levels measured back-to-back
-    # (same host-noise window), efficiency computed per pair, median taken
-    # across pairs — per-level max would let an unlucky small-level session
-    # inflate the ratio, a single pair would let one slow window sink it
-    ratio = n4_cores / n_cores
-    rounds = []
-    for _ in range(3):
-        a = _one(n_cores)
-        b = _one(n4_cores)
-        rounds.append((
-            (b["turns_per_sec"] / a["turns_per_sec"]) / ratio, a, b))
-    rounds.sort(key=lambda t: t[0])
+    rounds = _median_paired_rounds(_one, n_cores, n4_cores)
     eff, med_a, med_b = rounds[len(rounds) // 2]
     results = {n_cores: med_a, n4_cores: med_b}
     thr_n = med_a["turns_per_sec"]
@@ -379,20 +378,44 @@ def main_scaling(n_cores: int, n4_cores: int, n_convs: int) -> None:
     print(json.dumps(payload))
 
 
+def _median_paired_rounds(run_level, n, n4, rounds_n: int = 3):
+    """Paired-rounds/median protocol shared by both scaling modes: both
+    levels measured back-to-back per round (same host-noise window),
+    efficiency per pair, median across pairs (per-level max would let an
+    unlucky small-level session inflate the ratio; a single pair would
+    let one slow window sink it)."""
+    ratio = n4 / n
+    rounds = []
+    for _ in range(rounds_n):
+        a = run_level(n)
+        b = run_level(n4)
+        rounds.append(((b["turns_per_sec"] / a["turns_per_sec"]) / ratio,
+                       a, b))
+    rounds.sort(key=lambda t: t[0])
+    return rounds
+
+
 def main_scaling_cluster(n_exec: int, n4_exec: int, n_convs: int,
                          cores_per_exec: int = 4) -> None:
     """The north rule verbatim: the identical job at N and 4N EXECUTORS
-    (separate worker JVMs, code via --py-files), each level CPU-pinned to
-    exactly executors x cores_per_exec cores. Same paired-rounds/median
-    protocol as --scaling; writes BENCH_SCALING_CLUSTER.json."""
+    (separate worker JVMs, code via --py-files). Each level is CPU-pinned
+    to executors x cores_per_exec PLUS a constant 2-core driver allowance
+    — the driver/master/worker JVMs are separate processes here (unlike
+    --scaling's single local JVM), and pinning them INTO the lone
+    executor's cores at N=1 while the 4N level amortizes them over 4x the
+    cores would bias efficiency upward; a constant allowance keeps the
+    executor-core ratio exact. Writes BENCH_SCALING_CLUSTER.json."""
     import shutil as _shutil
     taskset = _shutil.which("taskset")
     tmp_root = os.path.join(tempfile.gettempdir(), "pdf_parser_spark_bench")
     os.makedirs(tmp_root, exist_ok=True)
     _synth_corpus_path(tmp_root, n_convs)
+    # build the --py-files zip ONCE, unpinned, before any timed child
+    subprocess.run([sys.executable, os.path.join(REPO, "jobs", "package.py")],
+                   check=True, capture_output=True)
 
     def _one(execs: int) -> dict:
-        cores_total = execs * cores_per_exec
+        cores_total = execs * cores_per_exec + 2   # +2 driver allowance
         cmd = [sys.executable, os.path.abspath(__file__), "--extract-only",
                "--cores", str(cores_per_exec), "--executors", str(execs),
                "--convs", str(n_convs)]
@@ -402,20 +425,14 @@ def main_scaling_cluster(n_exec: int, n4_exec: int, n_convs: int,
                              cwd=REPO)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    ratio = n4_exec / n_exec
-    rounds = []
-    for _ in range(3):
-        a = _one(n_exec)
-        b = _one(n4_exec)
-        rounds.append((
-            (b["turns_per_sec"] / a["turns_per_sec"]) / ratio, a, b))
-    rounds.sort(key=lambda t: t[0])
+    rounds = _median_paired_rounds(_one, n_exec, n4_exec)
     eff, med_a, med_b = rounds[len(rounds) // 2]
     payload = {
         "rounds_efficiency": [round(r[0], 3) for r in rounds],
         "metric": f"extraction scaling efficiency {n_exec} -> {n4_exec} "
-                  f"executors (local-cluster, {cores_per_exec} cores each, "
-                  "CPU-pinned, code via --py-files zip)",
+                  f"executors (local-cluster, {cores_per_exec} cores each "
+                  "+ constant 2-core driver allowance, CPU-pinned, code "
+                  "via --py-files zip)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "n_turns": med_a["n_turns"],
@@ -441,8 +458,11 @@ if __name__ == "__main__":
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--executors", type=int, default=None,
                     help="--extract-only on a local-cluster with this many "
-                         "executors of --cores each")
-    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+                         "executors of --cores each (default 4/executor)")
+    ap.add_argument("--cores", type=int, default=None,
+                    help=f"thread count (local mode, default {DEFAULT_CPUS})"
+                         " or cores per executor (--executors mode,"
+                         " default 4)")
     ap.add_argument("--n-cores", type=int, default=4,
                     help="N for --scaling (4N is 4*N, or --cores if larger)."
                          " Default 4 -> 16: both levels stay within the"
@@ -456,16 +476,16 @@ if __name__ == "__main__":
 
     if args.scaling:
         n4 = 4 * args.n_cores
-        if args.cores != DEFAULT_CPUS:
+        if args.cores is not None:
             n4 = max(args.cores, n4)
         main_scaling(args.n_cores, n4, args.convs or SCALING_CONVS)
     elif args.scaling_cluster:
         main_scaling_cluster(1, 4, args.convs or SCALING_CONVS)
     elif args.extract_only:
-        main_extract_only(args.cores if args.executors is None
-                          else (args.cores if args.cores != DEFAULT_CPUS
-                                else 4),
-                          args.convs or BENCH_CONVS,
+        cores = args.cores if args.cores is not None \
+            else (4 if args.executors else DEFAULT_CPUS)
+        main_extract_only(cores, args.convs or BENCH_CONVS,
                           executors=args.executors)
     else:
-        main_bench(args.cores, args.sf_dir)
+        main_bench(args.cores if args.cores is not None else DEFAULT_CPUS,
+                   args.sf_dir)

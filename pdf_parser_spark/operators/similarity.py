@@ -202,7 +202,7 @@ def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
                      top_k: int = 5, emb_col: str = "embedding",
                      id_col: str = "id", q_id_col: str = "q_id",
                      q_emb_col: str = "q_emb", n_planes: int = 6,
-                     probe_hamming: int = 2, n_tables: int = 2,
+                     probe_hamming: int = 2, n_tables: int = 3,
                      seed: int = 42) -> DataFrame:
     """Beyond-broadcast batch retrieval: when the query set itself is too
     large to broadcast (millions of queries x billions of corpus rows),
@@ -210,8 +210,12 @@ def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
     (table, bucket) — each query meets only its candidate corpus rows, so
     the join is key-partitioned on both sides with no broadcast and no
     cross product. Approximate with the same measured recall/scan
-    tradeoff as :func:`ann_topk` (same tables/probe geometry; gate in
-    tests/test_analytics_ops.py).
+    tradeoff as :func:`ann_topk`; the DEFAULT geometry (3 tables,
+    probe<=2) is exactly the configuration the pytest recall gate
+    measures (tests/test_analytics_ops.py). NB unlike the exact
+    broadcast path, a query whose probed buckets are all empty yields NO
+    output rows (the approximate analog of an empty result set) —
+    left-join back to the query table if per-query presence matters.
 
     Shape per table t: corpus row -> 1 bucket row; query row -> its probe
     set (buckets within ``probe_hamming`` of its own bucket, expanded as

@@ -102,7 +102,11 @@ def test_multi_executor_local_cluster_equality(tmp_path):
         spark.stop()
     """))
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(zip_path)
+    # NO PYTHONPATH at all: worker JVMs inherit the driver env and merge
+    # PYTHONPATH into executor Python workers, which would let the test
+    # pass even with --py-files shipping broken; the zip must reach both
+    # the driver sys.path and the executors via addPyFile alone
+    env.pop("PYTHONPATH", None)
     res = subprocess.run([sys.executable, str(script)], env=env,
                          capture_output=True, text=True, timeout=420)
     assert res.returncode == 0, res.stderr[-2000:]
