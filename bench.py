@@ -141,6 +141,64 @@ def build_spark_cluster(n_executors: int, cores_per_exec: int = 4,
     return spark
 
 
+def _pin_cluster_topology(exec_cores: str, driver_cores: str) -> None:
+    """Per-process pinning for local-cluster runs: this Python process and
+    its direct JVM child (the driver) onto ``driver_cores``; every deeper
+    descendant (worker JVMs -> executor JVMs -> their Python workers) onto
+    ``exec_cores``. This is the only scheme that reproduces a real
+    cluster's accounting — executors own EXACTLY their cores and the
+    driver owns its own — where a whole-tree taskset either crams driver
+    overhead into the small level's executor cores (overstates
+    efficiency) or hands the small level idle driver cores to free-ride
+    on (understates it). Uses ``taskset -a -p`` because
+    sched_setaffinity(pid) moves only one thread of an already-running
+    JVM."""
+    import subprocess as _sp
+
+    def _children(pid: int) -> list[int]:
+        out = []
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, IndexError, ValueError):
+                continue
+            if ppid == pid:
+                out.append(int(p))
+        return out
+
+    def _pin(pid: int, cores: str) -> None:
+        _sp.run(["taskset", "-a", "-p", "-c", cores, str(pid)],
+                capture_output=True)
+
+    def _cmdline(pid: int) -> str:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                return f.read().replace(b"\x00", b" ").decode(
+                    "utf-8", "replace")
+        except OSError:
+            return ""
+
+    # classify by COMMAND LINE, not tree depth (the driver JVM may sit
+    # behind a spark-submit/bash wrapper): Worker + executor JVMs and
+    # their descendants (python daemons/workers fork later and inherit)
+    # go to exec_cores; the bench process and driver JVM to driver_cores
+    me = os.getpid()
+    _pin(me, driver_cores)
+    exec_markers = ("CoarseGrainedExecutorBackend", "deploy.worker.Worker")
+    stack = [(c, False) for c in _children(me)]
+    while stack:
+        p, in_exec = stack.pop()
+        in_exec = in_exec or any(m in _cmdline(p) for m in exec_markers)
+        _pin(p, exec_cores if in_exec else driver_cores)
+        # everything below a Worker/executor JVM (executor JVMs, pyspark
+        # daemons + workers forked later inherit the -a affinity) is
+        # executor-side regardless of its own cmdline
+        stack.extend((c, in_exec) for c in _children(p))
+
+
 def _materialize(df) -> int:
     """Force full evaluation without collecting rows to the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -313,6 +371,14 @@ def main_extract_only(cores: int, n_convs: int,
     if executors:
         spark = build_spark_cluster(executors, cores_per_exec=cores,
                                     app=f"extract-bench-x{executors}")
+        pin_spec = os.environ.get("SPARK_GRAFT_PIN_TOPOLOGY")
+        if pin_spec:
+            exec_cores, driver_cores = pin_spec.split(";")
+            # one tiny job first so every executor JVM (and its python
+            # daemon) exists before pinning
+            spark.range(executors * cores * 4).repartition(
+                executors * cores).count()
+            _pin_cluster_topology(exec_cores, driver_cores)
     else:
         spark = build_spark(cores, app=f"extract-bench-{cores}")
     try:
@@ -398,13 +464,15 @@ def _median_paired_rounds(run_level, n, n4, rounds_n: int = 3):
 def main_scaling_cluster(n_exec: int, n4_exec: int, n_convs: int,
                          cores_per_exec: int = 4) -> None:
     """The north rule verbatim: the identical job at N and 4N EXECUTORS
-    (separate worker JVMs, code via --py-files). Each level is CPU-pinned
-    to executors x cores_per_exec PLUS a constant 2-core driver allowance
-    — the driver/master/worker JVMs are separate processes here (unlike
-    --scaling's single local JVM), and pinning them INTO the lone
-    executor's cores at N=1 while the 4N level amortizes them over 4x the
-    cores would bias efficiency upward; a constant allowance keeps the
-    executor-core ratio exact. Writes BENCH_SCALING_CLUSTER.json."""
+    (separate worker JVMs, code via --py-files). Pinning is PER PROCESS
+    CLASS (see :func:`_pin_cluster_topology`): the executor process tree
+    owns exactly executors x cores_per_exec cores, the driver JVM + bench
+    process own the same 2 dedicated cores at both levels — the
+    accounting a real cluster has, with neither the
+    overhead-crammed-into-the-small-level bias (whole-tree pinning to
+    executor cores, overstates efficiency) nor the idle-driver-cores
+    free-ride (flat allowance, understates it). Writes
+    BENCH_SCALING_CLUSTER.json."""
     import shutil as _shutil
     taskset = _shutil.which("taskset")
     tmp_root = os.path.join(tempfile.gettempdir(), "pdf_parser_spark_bench")
@@ -415,14 +483,16 @@ def main_scaling_cluster(n_exec: int, n4_exec: int, n_convs: int,
                    check=True, capture_output=True)
 
     def _one(execs: int) -> dict:
-        cores_total = execs * cores_per_exec + 2   # +2 driver allowance
+        cores_total = execs * cores_per_exec
         cmd = [sys.executable, os.path.abspath(__file__), "--extract-only",
                "--cores", str(cores_per_exec), "--executors", str(execs),
                "--convs", str(n_convs)]
+        env = dict(os.environ)
         if taskset:
-            cmd = [taskset, "-c", f"0-{cores_total - 1}"] + cmd
+            env["SPARK_GRAFT_PIN_TOPOLOGY"] = (
+                f"0-{cores_total - 1};{cores_total}-{cores_total + 1}")
         out = subprocess.run(cmd, capture_output=True, text=True, check=True,
-                             cwd=REPO)
+                             cwd=REPO, env=env)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     rounds = _median_paired_rounds(_one, n_exec, n4_exec)
