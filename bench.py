@@ -500,9 +500,10 @@ def main_scaling_cluster(n_exec: int, n4_exec: int, n_convs: int,
     payload = {
         "rounds_efficiency": [round(r[0], 3) for r in rounds],
         "metric": f"extraction scaling efficiency {n_exec} -> {n4_exec} "
-                  f"executors (local-cluster, {cores_per_exec} cores each "
-                  "+ constant 2-core driver allowance, CPU-pinned, code "
-                  "via --py-files zip)",
+                  f"executors (local-cluster, executor process tree pinned "
+                  f"to exactly {cores_per_exec} cores/executor, driver JVM "
+                  "on its own 2 cores at both levels, code via --py-files "
+                  "zip)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "n_turns": med_a["n_turns"],
