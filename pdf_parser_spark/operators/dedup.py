@@ -19,10 +19,36 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
+
+# --- storage ownership -----------------------------------------------------
+
+
+def _own(result: DataFrame, *indexes: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to the result they serve.
+
+    Pair operators materialize a small index (hashed shingles, simhash
+    signatures) that several branches of one plan replay from. A bare
+    ``cache()`` would pin that index in executor storage for the session
+    (the round-2 hygiene defect); instead the index rides on the result
+    DataFrame as ``owned_storage``, so its lifetime is the result's —
+    consumers call :func:`release_owned_storage` when done (pinned by
+    test_dedup_operators_release_storage). Persist (not checkpoint) keeps
+    lineage intact: a released-then-reused result silently recomputes
+    instead of failing, and executor loss on a real cluster recovers."""
+    result.owned_storage = indexes
+    return result
+
+
+def release_owned_storage(df: DataFrame) -> None:
+    """Unpersist every index an operator pinned on behalf of ``df``."""
+    for h in getattr(df, "owned_storage", ()):  # absent -> no-op
+        h.unpersist()
+    df.owned_storage = ()
 
 # --- exact -----------------------------------------------------------------
 
@@ -70,6 +96,27 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
                      F.explode(_shingle_array(text_col, n)).alias("shingle"))
 
 
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """(id, shingle: long) — xxhash64 of each distinct word n-gram.
+
+    The fixed-width twin of :func:`shingles` for set-similarity math:
+    Jaccard needs only EQUALITY of shingles (intersection counts, set
+    sizes, document-frequency caps), never their text, so 8-byte hashes
+    carry the full signal at a bounded per-row cost. At 100 TB the raw
+    shingle relation is ~n x the corpus size (every token appears in n
+    shingles); the hashed relation is 16 bytes/row regardless of token
+    length — the difference between a cacheable index and a disk-thrashing
+    one. Distinct raw shingles collide at the 64-bit birthday bound
+    (~2^-24 per billion distinct shingles), the standard web-dedup
+    approximation.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(_shingle_array(text_col, n),
+                              lambda g: F.xxhash64(g))).alias("shingle"))
+
+
 # --- n-gram Jaccard --------------------------------------------------------
 
 
@@ -92,12 +139,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles carry no near-dup signal, the standard web-dedup
     approximation). None disables the cap. The adversarial hot-shingle
     test (tests/test_analytics_ops.py) pins the bound.
+
+    Storage hygiene: the shingle index is persisted ONCE as FIXED-WIDTH
+    (id, xxhash64) longs — the hot-df aggregation, the size aggregation,
+    and both self-join sides replay from those 16-byte rows instead of
+    re-running the shingle build (or caching raw strings, which at 100 TB
+    is larger than the corpus itself: every token appears in n shingles).
+    The index is owned by the RESULT, not the session — see
+    :func:`release_owned_storage`.
     """
-    # cache the RAW shingle table once: the hot-df aggregation AND every
-    # use of the capped table replay from the cache (the anti-join against
-    # the tiny broadcast hot set is cheap); building shingles is the
-    # expensive part and must run exactly one scan
-    sh = shingles(df, id_col, text_col, n).cache()
+    index = shingle_hashes(df, id_col, text_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = index
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle")
                  .agg(F.count("*").alias("df"))
@@ -111,17 +164,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     & (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count("*").alias("n_inter")))
-    return (inter
-            .join(sizes.withColumnRenamed("id", "id_a")
-                       .withColumnRenamed("sz", "sz_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b")
-                       .withColumnRenamed("sz", "sz_b"), "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_inter").cast("double")
-                                / (F.col("sz_a") + F.col("sz_b")
-                                   - F.col("n_inter")), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    return _own(
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_inter").cast("double")
+                            / (F.col("sz_a") + F.col("sz_b")
+                               - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"), index)
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -360,17 +414,17 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs by SimHash over a text column (see
     :func:`simhash_pairs_from_hashes` for the guaranteed-recall blocking).
 
-    The (id, sh) signatures are cached: the blocking self-join otherwise
-    evaluates the simhash UDF once per join side AND once more per side
-    for the extracted isnotnull(key) filter (4 full UDF passes, visible as
-    repeated ArrowEvalPython nodes in the plan). 16 bytes/doc is cacheable
-    at any scale; one Python pass is the whole point. The cache lives
-    until the session ends (the returned DF is lazy, so there is no safe
-    unpersist point here) — a long-lived driver looping over corpora
-    should clearCache() between runs."""
+    The (id, sh) signatures are persisted once: the blocking self-join
+    would otherwise evaluate the simhash UDF once per join side AND once
+    more per side for the extracted isnotnull(key) filter (4 full UDF
+    passes, visible as repeated ArrowEvalPython nodes in the plan).
+    16 bytes/doc is materializable at any scale; one Python pass is the
+    whole point. The signature store is owned by the RESULT, not the
+    session — see :func:`release_owned_storage`."""
     sh = df.select(F.col(id_col).alias("id"),
-                   simhash_udf(F.col(text_col)).alias("sh")).cache()
-    return simhash_pairs_from_hashes(sh, max_hamming, n_tables)
+                   simhash_udf(F.col(text_col)).alias("sh")) \
+           .persist(StorageLevel.MEMORY_AND_DISK)
+    return _own(simhash_pairs_from_hashes(sh, max_hamming, n_tables), sh)
 
 
 # --- near-dup components (pair graph -> cluster assignment) ---------------

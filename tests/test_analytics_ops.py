@@ -178,6 +178,40 @@ def test_jaccard_hot_shingle_cap_bounds_the_join(spark):
     assert all(a == 900 for a, _ in ids), ids
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def test_dedup_operators_release_storage(spark):
+    """Structural cache hygiene (VERDICT r2 #3): the shingle index /
+    simhash signatures the pair operators materialize must NOT outlive
+    their result DataFrames. A bare cache() would pin them until a global
+    clearCache(); the owning-handle design ties them to the result —
+    release_owned_storage(result) deterministically returns executor
+    storage to the pre-operator set, and a released result stays usable
+    (lineage intact -> recompute)."""
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+
+    rows = [(i, f"release test document number {i} with words {i % 3}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    before = _persistent_rdd_ids(spark)
+
+    jp = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2)
+    sp = simhash_dup_pairs(df, "doc_id", "text", max_hamming=6)
+    n_jp, n_sp = jp.count(), sp.count()  # consume
+    assert _persistent_rdd_ids(spark) - before, \
+        "operators should have materialized their index"
+
+    release_owned_storage(jp)
+    release_owned_storage(sp)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, f"persistent RDDs leaked after release: {leaked}"
+    # released results remain correct: plans recompute from lineage
+    assert jp.count() == n_jp and sp.count() == n_sp
+    release_owned_storage(jp)  # idempotent no-op after handles cleared
+
+
 def _np_cosine(a, b):
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(x * x for x in b))
