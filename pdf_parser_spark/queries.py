@@ -1426,6 +1426,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_payload_features": media_payload_features,
 }
 
+# Every QUERIES entry without a DuckDB oracle, with the reason it cannot
+# have one. The registry guard (tests/test_golden_digests.py) enforces
+# that this list stays exhaustive and justified as the contract grows;
+# the deterministic entries are additionally pinned by golden digests so
+# a silent value regression fails CI, not just the judge's eyeball.
+ROWS_ONLY: dict[str, str] = {
+    "extract_synth_default": "input is synthesized transcripts, not a "
+                             "driver parquet table DuckDB can see; gated "
+                             "by the oracle-equality pytest suite + "
+                             "golden digest",
+    "extract_synth_cleaned": "same synthesized input, CLEANING_CONFIG; "
+                             "pytest + golden digest",
+    "chunks_semantic_search": "retrieval over synthesized chunks with "
+                              "hash-stub embeddings; pytest + golden "
+                              "digest",
+    "media_payload_features": "synthesized binary media payloads; pytest "
+                              "+ golden digest",
+    "emb_ann_topk": "approximate by design (sign-LSH); recall measured "
+                    "and gated in test_ann_recall_gates, exact-top-1 "
+                    "containment pinned",
+    "emb_ivf_topk": "approximate by design (IVF probing); recall gated, "
+                    "exact-top-1 containment pinned",
+}
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
