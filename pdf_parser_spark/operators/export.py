@@ -45,14 +45,42 @@ def flatten_for_store(chunks: DataFrame,
     )
 
 
+def format_table_cells(cells, max_rows: int = 10):
+    """Nested table rows -> the reference's pretty-print (T4 truncation).
+
+    Mirrors ``_format_table`` (reference gea_rag_agent_openai.py:269-291)
+    exactly: first ``max_rows`` rows each rendered as
+    ``" | ".join(cell or "")``, joined by newlines, with the literal
+    suffix line ``... (还有 N 行)`` when rows were cut. Pure JVM
+    (slice/transform/array_join) — no Python in the hot path.
+    """
+    head = F.transform(
+        F.slice(cells, 1, max_rows),
+        lambda row: F.array_join(
+            F.transform(row, lambda c: F.coalesce(c, F.lit(""))),
+            " | ", ""))
+    n_more = F.size(cells) - F.lit(max_rows)
+    lines = F.when(
+        n_more > 0,
+        F.concat(head, F.array(F.format_string("... (还有 %d 行)", n_more)))
+    ).otherwise(head)
+    return F.array_join(lines, "\n")
+
+
 def build_context(chunks: DataFrame, query_vec: list[float],
-                  top_k: int = 5, max_chars: int = 4000) -> DataFrame:
+                  top_k: int = 5, max_chars: int = 4000,
+                  max_table_rows: int = 10) -> DataFrame:
     """Top-k retrieval -> one formatted context string (1-row DataFrame).
 
     Header format mirrors the reference (gea_rag_agent_openai.py:228-292):
     ``[文档N] 来源: <conv> | 轮次: <turn> | 类型: <type> | 相似度: <sim>``
-    followed by the chunk text; chunks joined by blank lines; final
-    truncation to ``max_chars`` (C9).
+    followed by the chunk body; chunks joined by blank lines; final
+    truncation to ``max_chars`` (C9). Table chunks render their nested
+    cells as ``表格内容：`` + the first ``max_table_rows`` rows with a
+    ``... (还有 N 行)`` suffix (reference ``_format_chunk``/
+    ``_format_table``, gea_rag_agent_openai.py:257-291) — text chunks
+    (and inputs without a ``table_cells`` column) keep the linearized
+    ``text``.
     """
     hits = with_chunk_id(search_by_text(chunks, query_vec, top_k=top_k)) \
         .dropDuplicates(["id"])                         # U2
@@ -60,10 +88,18 @@ def build_context(chunks: DataFrame, query_vec: list[float],
         "[文档%d] 来源: %s | 轮次: %d | 类型: %s | 相似度: %.4f",
         F.col("rank"), F.col("conv_id"), F.col("turn_idx"),
         F.col("chunk_type"), F.col("similarity"))
+    body = F.coalesce(F.col("text"), F.lit(""))
+    if "table_cells" in hits.columns:
+        body = F.when(
+            (F.col("chunk_type") == "table")
+            & F.col("table_cells").isNotNull(),
+            F.concat(F.lit("表格内容：\n"),
+                     format_table_cells(F.col("table_cells"),
+                                        max_table_rows))
+        ).otherwise(body)
     formatted = hits.select(
         F.col("rank"),
-        F.concat(header, F.lit("\n"),
-                 F.coalesce(F.col("text"), F.lit(""))).alias("entry"))
+        F.concat(header, F.lit("\n"), body).alias("entry"))
     w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding,
                                            Window.unboundedFollowing)
     ctx = (formatted

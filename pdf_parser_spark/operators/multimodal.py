@@ -39,8 +39,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+                               IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 MAGIC = b"PPSM"
 _KINDS = ("image", "audio", "video")
@@ -155,21 +156,78 @@ def payload_features(media: DataFrame) -> DataFrame:
             .mapInPandas(feats, FEATURE_SCHEMA))
 
 
-def decode_image(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Decode + resize images to fixed thumbnails (the real-codec path).
+THUMBNAIL_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("src_width", IntegerType()),
+    StructField("src_height", IntegerType()),
+    StructField("thumb_width", IntegerType()),
+    StructField("thumb_height", IntegerType()),
+    StructField("pixels", BinaryType()),     # raw RGB, thumb_w*thumb_h*3
+    StructField("ok", BooleanType()),
+    StructField("error", StringType()),
+])
 
-    Gated on PIL: raises ``NotImplementedError`` in this container. The
-    signature and output schema are the contract a codec-equipped cluster
-    implements; ``payload_features`` is the deterministic stand-in tests
-    run.
+
+def _pil_decoder(payload: bytes):
+    """Default decoder: PIL (gated — pillow absent in this container;
+    vendoring attempted round 3: no outbound network, see
+    tests/test_iceberg_gate.py docstring). Returns an object with the
+    ``.size`` / ``.convert`` / ``.resize`` / ``.tobytes`` protocol the
+    thumbnail pipeline below drives."""
+    import io
+
+    from PIL import Image
+    return Image.open(io.BytesIO(payload))
+
+
+def decode_image(media: DataFrame, max_side: int = 256,
+                 decoder=None) -> DataFrame:
+    """Decode + downscale images to bounded thumbnails (the codec path).
+
+    The FULL distributed pipeline is implemented and tested: mapInPandas
+    over Arrow batches of payload bytes, per-row decode -> RGB -> aspect-
+    preserving downscale to ``max_side`` -> raw-byte thumbnail rows with
+    typed error accounting (a corrupt payload yields ok=false + error,
+    never a task failure — one bad image in 10^9 must not kill a stage).
+    Only the codec itself is injected: ``decoder(payload)`` must return a
+    PIL-Image-like object (``.size``, ``.convert('RGB')``,
+    ``.resize((w, h))``, ``.tobytes()``). Default is PIL, which raises
+    ``NotImplementedError`` here (pillow absent, no network to vendor it);
+    tests drive the identical plumbing with a deterministic fake decoder
+    over the synthetic PPSM payloads.
     """
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires pillow, which is not installed in this "
-            "container; use payload_features() for the stubbed path") from e
-    raise NotImplementedError("real decode path not wired in this sandbox")
+    if decoder is None:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires pillow, which is not installed in "
+                "this container and cannot be vendored (no network); pass "
+                "decoder= explicitly or use payload_features()") from e
+        decoder = _pil_decoder
+
+    cols = [f.name for f in THUMBNAIL_SCHEMA.fields]
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decoder(bytes(payload) if payload is not None
+                                  else b"")
+                    w, h = img.size
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+                    px = img.convert("RGB").resize((tw, th)).tobytes()
+                    out.append((mid, w, h, tw, th, px, True, None))
+                except Exception as e:  # corrupt payload -> error row
+                    out.append((mid, 0, 0, 0, 0, b"", False,
+                                f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out, columns=cols)
+
+    return (media.where(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(thumbs, THUMBNAIL_SCHEMA))
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

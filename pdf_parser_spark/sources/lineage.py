@@ -50,7 +50,13 @@ LINEAGE_SCHEMA = StructType([
     StructField("n_convs", LongType()),
     StructField("n_chunks", LongType()),
     StructField("n_chars", LongType()),
+    # per-bucket cost: the measured job-group wall attributed to each
+    # bucket by its share of extracted characters (the map stage's cost
+    # driver) — distinguishable per-bucket figures for skew forensics at
+    # 4096 buckets without paying one timed job per bucket. The raw
+    # group measurement is kept alongside.
     StructField("wall_sec", DoubleType()),
+    StructField("group_wall_sec", DoubleType()),
     StructField("finished_ts", TimestampType()),
 ])
 
@@ -134,14 +140,20 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
         wall = time.monotonic() - t0
         import datetime as _dt
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        group_chars = sum(int(r["n_chars"]) for r in agg.values())
         lineage_rows = []
         for b in group:
             r = agg.get(b)
+            chars = int(r["n_chars"]) if r else 0
+            # char-weighted share of the group wall; empty buckets (and
+            # all-empty groups) fall back to an equal split
+            share = (chars / group_chars if group_chars
+                     else 1.0 / len(group))
             lineage_rows.append((b, "done",
                                  r["n_convs"] if r else 0,
                                  r["n_chunks"] if r else 0,
-                                 r["n_chars"] if r else 0,
-                                 wall, now))
+                                 chars,
+                                 wall * share, wall, now))
         (spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
               .coalesce(1).write.mode("append").parquet(lineage_path))
         processed.extend(group)

@@ -272,6 +272,37 @@ def test_embed_chunks_deterministic_unit_norm(spark):
     assert v == pytest.approx(exp, abs=1e-6)
 
 
+def test_real_encoder_factory_seam(spark):
+    """Exercises the encoder_factory seam with an ACTUAL
+    sentence-transformers model wherever the package exists (reference
+    embedding_service.py:92-191: batched encode, normalized vectors).
+    Skips in this container (package absent, verified along with the
+    no-network vendoring attempt — see tests/test_iceberg_gate.py
+    docstring); the point is that the factory/batching contract is
+    proven by more than the hash stub on any host that has the model."""
+    st = pytest.importorskip("sentence_transformers")
+    from pdf_parser_spark.operators.embedding import make_embed_udf
+
+    class _Real:
+        def __init__(self):
+            # smallest public model; cached local download on real hosts
+            self.m = st.SentenceTransformer("all-MiniLM-L6-v2")
+
+        def encode(self, texts):
+            return self.m.encode(texts, normalize_embeddings=True).tolist()
+
+    udf = make_embed_udf(dim=384, encoder_factory=_Real)
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("the quick brown fox",)], "text string")
+    rows = df.select(udf(F.col("text")).alias("e")).collect()
+    assert all(len(r.e) == 384 for r in rows)
+    for r in rows:  # normalize_embeddings=True contract
+        assert sum(x * x for x in r.e) == pytest.approx(1.0, abs=1e-3)
+    # identical text -> identical vector through the Arrow batch path
+    again = df.select(udf(F.col("text")).alias("e")).collect()
+    assert [r.e for r in again] == [r.e for r in rows]
+
+
 @pytest.fixture(scope="module")
 def chunks_df(spark):
     rows = []
@@ -391,6 +422,47 @@ def test_build_context_formats_and_truncates(spark, chunks_df):
     assert "相似度: " in row.context
     if row.raw_chars > 200:
         assert row.context.endswith("...") and len(row.context) == 203
+
+
+def test_build_context_table_rows_truncation(spark):
+    """T4 completeness: table chunks in the assembled context render their
+    nested cells with the reference's [:max_rows] slice and the EXACT
+    '... (还有 N 行)' suffix (gea_rag_agent_openai.py:285-291); None
+    cells render as ''."""
+    from pdf_parser_spark.operators.embedding import (embed_chunks,
+                                                      hash_embed_py)
+    from pdf_parser_spark.operators.export import (build_context,
+                                                   format_table_cells)
+
+    cells = [[f"r{i}c0", f"r{i}c1" if i != 2 else None] for i in range(13)]
+    rows = [("conv_t", 0, 0, "table", "linearized fallback text", cells),
+            ("conv_t", 1, 1, "text", "plain text chunk spark", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, chunk_idx long, turn_idx int, "
+              "chunk_type string, text string, "
+              "table_cells array<array<string>>")
+    q = hash_embed_py("linearized fallback text", 16)
+    ctx = build_context(embed_chunks(df, dim=16), q, top_k=2,
+                        max_chars=10_000, max_table_rows=10) \
+        .collect()[0].context
+    assert "表格内容：\nr0c0 | r0c1\n" in ctx
+    assert "r2c0 | \n" in ctx                 # None cell -> ""
+    assert "... (还有 3 行)" in ctx           # 13 rows, 10 shown
+    assert "r9c0 | r9c1" in ctx and "r10c0" not in ctx
+    assert "plain text chunk spark" in ctx    # text chunk unaffected
+    # exact-string pin of the formatter against a python oracle
+    exp_lines = [" | ".join("" if c is None else c for c in r)
+                 for r in cells[:10]] + ["... (还有 3 行)"]
+    got = df.where(F.col("chunk_type") == "table").select(
+        format_table_cells(F.col("table_cells"), 10).alias("s")) \
+        .collect()[0].s
+    assert got == "\n".join(exp_lines)
+    # no truncation -> no suffix; empty table -> empty string
+    short = spark.createDataFrame([(cells[:2],), ([],)],
+                                  "table_cells array<array<string>>")
+    vals = [r.s for r in short.select(
+        format_table_cells(F.col("table_cells"), 10).alias("s")).collect()]
+    assert vals[0] == "r0c0 | r0c1\nr1c0 | r1c1" and vals[1] == ""
 
 
 def test_ivf_ann(spark, emb_df):

@@ -2,7 +2,15 @@
 
 The sandbox ships no Iceberg runtime, so the full create/append path is
 exercised only when the jar is present (a real deployment); here we pin
-the gate's behavior and the DDL contract the production wiring relies on."""
+the gate's behavior and the DDL contract the production wiring relies on.
+
+Vendoring attempt (round 3, 2026-08-17): fetching
+``iceberg-spark-runtime`` from public Maven (repo1.maven.org) fails at
+DNS resolution — the sandbox has no outbound network (``curl`` exit 6,
+``pip download`` likewise) — and no local jar exists anywhere on the
+image (``find / -name '*iceberg*'``). The gate therefore stays; the
+parquet dynamic-overwrite twin (tests/test_resume.py) remains the
+executable evidence for the commit semantics."""
 
 from __future__ import annotations
 

@@ -88,8 +88,80 @@ def test_media_dedup_exact(media, spark):
 
 
 def test_decode_image_gated(media):
+    # default codec is PIL, absent here (and unvendorable: no network)
     with pytest.raises(NotImplementedError):
         decode_image(media)
+
+
+def _make_fake_decoder():
+    """Minimal PIL-protocol codec the decode pipeline drives: parses the
+    synthetic PPSM header, emits deterministic md5-stream 'pixels'.
+    Defined in a closure so cloudpickle ships it by VALUE to executors
+    (a module-level test class is not importable worker-side)."""
+
+    class FakeImage:
+        def __init__(self, w, h, key):
+            self.size = (w, h)
+            self._key = key
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def resize(self, wh):
+            return FakeImage(wh[0], wh[1], self._key)
+
+        def tobytes(self):
+            w, h = self.size
+            need = w * h * 3
+            buf = bytearray()
+            i = 0
+            while len(buf) < need:
+                buf.extend(
+                    hashlib.md5(f"{self._key}:{i}".encode()).digest())
+                i += 1
+            return bytes(buf[:need])
+
+    def fake_decoder(payload: bytes):
+        kind, w, h, _ = parse_header(payload)  # ValueError on corrupt
+        if kind != "image":
+            raise ValueError(f"cannot decode {kind} as image")
+        return FakeImage(w, h, hashlib.md5(payload).hexdigest())
+
+    return fake_decoder
+
+
+def test_decode_image_pipeline_with_injected_codec(media, spark):
+    """The decode path is REAL distributed plumbing (mapInPandas over
+    payload bytes -> bounded RGB thumbnails with error rows, never task
+    failures); only the codec is injected. Pinned: aspect-preserving
+    downscale bound, pixel buffer sizing, determinism, per-row error
+    capture on corrupt payloads."""
+    from pdf_parser_spark.operators.multimodal import MEDIA_SCHEMA
+    _fake_decoder = _make_fake_decoder()
+
+    corrupt = spark.createDataFrame(
+        [("mBAD", "conv_x", 0, "image", b"\x00garbage",
+          ("image/x-ppsm", 0, 0, 0, 0, 8))], MEDIA_SCHEMA)
+    rows = {r.media_id: r
+            for r in decode_image(media.union(corrupt), max_side=100,
+                                  decoder=_fake_decoder).collect()}
+    ok = [r for r in rows.values() if r.ok]
+    assert ok and len(rows) == media.where("kind = 'image'").count() + 1
+    for r in ok:
+        assert max(r.thumb_width, r.thumb_height) <= 100
+        assert len(r.pixels) == r.thumb_width * r.thumb_height * 3
+        if r.src_width > 100:  # downscale preserves aspect (3:4 synth)
+            assert r.thumb_width == 100
+            assert abs(r.thumb_height / r.thumb_width
+                       - r.src_height / r.src_width) < 0.02
+    bad = rows["mBAD"]
+    assert not bad.ok and "ValueError" in bad.error and bad.pixels == b""
+    # determinism through the Arrow batch path
+    again = {r.media_id: r.pixels
+             for r in decode_image(media, max_side=100,
+                                   decoder=_fake_decoder).collect()}
+    assert all(again[m] == r.pixels for m, r in rows.items() if m != "mBAD")
 
 
 # --- streaming ---------------------------------------------------------------

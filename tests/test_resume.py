@@ -52,6 +52,29 @@ def test_interrupted_run_resumes_without_reprocessing(spark, tmp_path):
     assert _rows(read_extracted(spark, part_dir).drop("bucket_id")) == expected
 
 
+def test_lineage_carries_per_bucket_costs(spark, tmp_path):
+    """Buckets in one job group must carry DISTINGUISHABLE wall costs
+    (char-weighted attribution of the measured group wall), not one
+    group-wide stamp — the skew-forensics signal at 4096 buckets. The
+    raw group measurement is preserved in group_wall_sec."""
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=24, seed=3)
+    out = str(tmp_path / "out")
+    run_extraction(spark, src, out, DEFAULT_CONFIG, n_buckets=4,
+                   buckets_per_job=4)
+    rows = read_lineage(spark, out).collect()
+    assert len(rows) == 4
+    group_wall = rows[0].group_wall_sec
+    assert all(r.group_wall_sec == group_wall for r in rows)
+    # attribution: proportional to n_chars, sums back to the group wall
+    total_chars = sum(r.n_chars for r in rows)
+    for r in rows:
+        assert abs(r.wall_sec - group_wall * r.n_chars / total_chars) < 1e-9
+    assert abs(sum(r.wall_sec for r in rows) - group_wall) < 1e-6
+    # distinguishable: bucket char counts differ, so must the costs
+    assert len({r.wall_sec for r in rows}) > 1
+
+
 def test_rerun_of_done_bucket_is_idempotent(spark, tmp_path):
     src = str(tmp_path / "t.parquet")
     write_transcripts_parquet(src, n_convs=12, seed=9)
