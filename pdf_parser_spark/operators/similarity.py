@@ -123,6 +123,73 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(bucketed.where(pred), qf, k, emb_col, id_col)
 
 
+def _probe_masks(n_planes: int, margins: list[float],
+                 n_probe: int) -> list[int]:
+    """Flip masks ordered by the summed |margin| of their flipped planes —
+    the multi-probe LSH probing sequence (Lv et al., VLDB 2007): a plane
+    whose hyperplane the query sits nearly ON (small |<q, p>|) is the one
+    most likely to separate the query from its true neighbors, so its
+    flip is probed first. Deterministic (ties broken by mask value);
+    mask 0 (the query's own bucket) always sorts first with score 0."""
+    def score(m: int) -> float:
+        return sum(abs(margins[i]) for i in range(n_planes) if (m >> i) & 1)
+
+    return sorted(range(1 << n_planes), key=lambda m: (score(m), m))[:n_probe]
+
+
+def ann_topk_multiprobe(df: DataFrame, query_vec: list[float], k: int = 10,
+                        emb_col: str = "embedding", id_col: str = "vec_id",
+                        n_planes: int = 8, n_probe: int = 16,
+                        n_tables: int = 3, seed: int = 42,
+                        min_candidates: int | None = None) -> DataFrame:
+    """Margin-guided ANN: per table, probe the ``n_probe`` buckets MOST
+    LIKELY to hold the query's neighbors instead of a blind hamming ball.
+
+    :func:`ann_topk`'s hamming-ball probe treats all h-bit flips as
+    equally likely; the query's actual margins say otherwise — flipping
+    the 2 planes it nearly touches matters far more than the 2 it is far
+    from. Ordering candidate buckets by summed flipped-margin lets a
+    budget of 16/256 buckets (6 % scan per table) reach the recall a
+    41-bucket hamming ball needs (measured frontier in BASELINE.md; gate
+    in test_ann_recall_gates). Same execution shape as ann_topk: bucket
+    expressions + isin predicate + exact cosine rerank, which at scale is
+    partition pruning on a bucketed table.
+
+    ``min_candidates``: optional two-stage budget — if the probed
+    candidate set holds fewer rows, the probe budget doubles (and the
+    count re-checks) until satisfied or all buckets are probed. Costs one
+    cheap count job per expansion; bounds worst-case recall on queries
+    whose neighborhood is spread thin without paying the expanded budget
+    on every query.
+    """
+    dim = len(query_vec)
+    qf = [float(x) for x in query_vec]
+
+    def build_pred(budget: int):
+        pred = None
+        bucketed = df
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed + t)
+            qb = _py_bucket(qf, planes)
+            margins = [sum(x * y for x, y in zip(qf, p)) for p in planes]
+            probes = [qb ^ m for m in _probe_masks(n_planes, margins,
+                                                   budget)]
+            col = f"__lsh_{t}"
+            bucketed = bucketed.withColumn(
+                col, sign_lsh_bucket(F.col(emb_col), planes))
+            term = F.col(col).isin(probes)
+            pred = term if pred is None else (pred | term)
+        return bucketed.where(pred)
+
+    budget = n_probe
+    cand = build_pred(budget)
+    if min_candidates is not None:
+        while cand.count() < min_candidates and budget < (1 << n_planes):
+            budget = min(budget * 2, 1 << n_planes)
+            cand = build_pred(budget)
+    return brute_force_topk(cand, qf, k, emb_col, id_col)
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 

@@ -1307,6 +1307,19 @@ def emb_ann_topk(spark, sf):
     return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2, n_tables=2)
 
 
+def emb_ann_multiprobe_topk(spark, sf):
+    # round-3 frontier: margin-guided multi-probe LSH (Lv et al. 2007) —
+    # probes the buckets the query's hyperplane margins say are likeliest,
+    # not a blind hamming ball: measured 0.92/0.90 recall@10 at ~0.49 scan
+    # vs 0.92/0.96 at 0.70 for the hamming gate (BASELINE.md)
+    from pdf_parser_spark.operators.similarity import ann_topk_multiprobe
+    emb = _t_wide(spark, sf, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ann_topk_multiprobe(emb, q, k=10, n_planes=8, n_probe=32,
+                               n_tables=5)
+
+
 def emb_ivf_topk(spark, sf):
     # IVF ANN: deterministic k-means cells, probe the closest cells only
     from pdf_parser_spark.operators.similarity import ivf_topk, ivf_train
@@ -1422,6 +1435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_synth_cleaned": extract_synth_cleaned,
     "chunks_semantic_search": chunks_semantic_search,
     "emb_ann_topk": emb_ann_topk,
+    "emb_ann_multiprobe_topk": emb_ann_multiprobe_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "media_payload_features": media_payload_features,
 }
@@ -1448,6 +1462,10 @@ ROWS_ONLY: dict[str, str] = {
                     "containment pinned",
     "emb_ivf_topk": "approximate by design (IVF probing); recall gated, "
                     "exact-top-1 containment pinned",
+    "emb_ann_multiprobe_topk": "approximate by design (margin-guided "
+                               "multi-probe LSH); recall gated vs brute "
+                               "force AND vs blind hamming at equal "
+                               "budget, exact-top-1 containment pinned",
 }
 
 ORACLES: dict[str, str] = {

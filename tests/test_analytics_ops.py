@@ -515,6 +515,22 @@ def test_ann_recall_gates(spark):
                                         probe_hamming=2, n_tables=3))
     assert avg >= 0.8 and mn >= 0.7, (avg, mn)
 
+    # round-3 frontier: margin-guided multi-probe (Lv et al.) — measured
+    # 0.92 avg / 0.80 min at ~0.49 scan fraction (vs 0.70 scan for the
+    # hamming-ball gate above; full tradeoff table in BASELINE.md)
+    from pdf_parser_spark.operators.similarity import ann_topk_multiprobe
+    avg_mp, mn_mp = recall(lambda q: ann_topk_multiprobe(
+        emb, q, k=10, n_planes=8, n_probe=32, n_tables=5))
+    assert avg_mp >= 0.85 and mn_mp >= 0.7, (avg_mp, mn_mp)
+
+    # margin-guidance must beat the blind hamming ball at EQUAL probe
+    # budget (37 buckets/table): measured 0.90 vs 0.84 avg
+    avg_blind, _ = recall(lambda q: ann_topk(emb, q, k=10, n_planes=8,
+                                             probe_hamming=2, n_tables=4))
+    avg_guided, _ = recall(lambda q: ann_topk_multiprobe(
+        emb, q, k=10, n_planes=8, n_probe=37, n_tables=4))
+    assert avg_guided >= avg_blind, (avg_guided, avg_blind)
+
     # single table baseline — measured 0.60/0.50: the multi-table union
     # must beat it (the point of the construction)
     avg1, _ = recall(lambda q: ann_topk(emb, q, k=10, n_planes=6,
@@ -527,6 +543,25 @@ def test_ann_recall_gates(spark):
     avg_i, mn_i = recall(lambda q: ivf_topk(emb, cents, q, k=10, n_probe=4))
     assert avg_i >= 0.6 and mn_i >= 0.4, (avg_i, mn_i)
     emb.unpersist()
+
+
+def test_ann_multiprobe_adaptive_budget(spark, emb_df):
+    """The two-stage budget: a deliberately starved probe budget must
+    expand (doubling) until the candidate set reaches min_candidates —
+    with the floor at the full table, results equal brute force."""
+    from pdf_parser_spark.operators.similarity import ann_topk_multiprobe
+
+    q = hash_embed_py("doc number 3", 16)
+    n = emb_df.count()
+    got = ann_topk_multiprobe(emb_df, q, k=5, n_planes=6, n_probe=1,
+                              n_tables=1, min_candidates=n).collect()
+    exact = brute_force_topk(emb_df, q, k=5).collect()
+    assert [(r.vec_id, r.similarity) for r in got] == \
+           [(r.vec_id, r.similarity) for r in exact]
+    # and without the floor, the starved budget scans a strict subset
+    starved = ann_topk_multiprobe(emb_df, q, k=5, n_planes=6, n_probe=1,
+                                  n_tables=1).count()
+    assert starved <= 5
 
 
 def test_image_priority_rerank_semantics(spark):

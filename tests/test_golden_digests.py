@@ -76,6 +76,12 @@ def test_ann_topk_contains_exact_hit_driver_entry(spark):
     assert abs(top[0].similarity - 1.0) < 1e-6
 
 
+def test_ann_multiprobe_contains_exact_hit(spark):
+    top = QUERIES["emb_ann_multiprobe_topk"](spark, SF_DIR).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].similarity - 1.0) < 1e-6
+
+
 def test_registry_guard():
     """Contract self-consistency: every oracle names a query, and every
     query without an oracle is explicitly declared rows-only WITH a
@@ -87,4 +93,5 @@ def test_registry_guard():
         f"stale={set(ROWS_ONLY) - unverified}")
     assert all(isinstance(v, str) and v for v in ROWS_ONLY.values())
     # the deterministic rows-only entries must all carry a golden digest
-    assert set(GOLDEN) == set(ROWS_ONLY) - {"emb_ann_topk", "emb_ivf_topk"}
+    assert set(GOLDEN) == set(ROWS_ONLY) - {
+        "emb_ann_topk", "emb_ivf_topk", "emb_ann_multiprobe_topk"}
