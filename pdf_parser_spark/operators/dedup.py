@@ -450,49 +450,96 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     plans are cut per round with an eager ``localCheckpoint`` (the
     standard iterative-DataFrame pattern), and the loop stops at the first
     fixpoint, verified by a bounded labels-changed count.
+
+    Storage hygiene (round 3): each round's checkpoint blocks are
+    unpersisted as soon as the next round supersedes them — only the
+    FINAL labeling's blocks survive the call, attached to the result as
+    an ``owned_storage`` handle (release with
+    :func:`release_owned_storage`; note a released result cannot
+    recompute — checkpointing truncates lineage by design — so release
+    only after its consumers finish).
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _pids() -> set[int]:
+        return set(sc._jsc.getPersistentRDDs().keySet())
+
+    owned: dict[int, set[int]] = {}   # python id(df) -> its JVM RDD ids
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        pre = _pids()
+        out = df.localCheckpoint(eager=True)
+        owned[id(out)] = _pids() - pre
+        return out
+
+    def _drop(df: DataFrame) -> None:
+        for rid in owned.pop(id(df), ()):
+            # package-private Scala method, public in bytecode: frees the
+            # checkpoint blocks deterministically (non-blocking)
+            sc._jsc.sc().unpersistRDD(rid, False)
+
     a = F.col(id_a)
     b = F.col(id_b)
-    edges = (pairs.select(a.alias("src"), b.alias("dst"))
-             .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
-             .distinct().localCheckpoint(eager=True))
-    comps = (edges.select(F.col("src").alias("id")).distinct()
-             .withColumn("component", F.col("id"))
-             .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        neigh = (edges.join(comps.withColumnRenamed("id", "src"), "src")
-                 .groupBy(F.col("dst").alias("id"))
-                 .agg(F.min("component").alias("n_min")))
-        stepped = (comps.join(neigh, "id", "left")
-                   .select("id", F.least(F.col("component"),
-                                         F.coalesce("n_min", "component"))
-                           .alias("component")))
-        # pointer jump: comp[v] <- min(comp[v], comp[comp[v]]) — doubles
-        # the propagation distance every round (log-diameter convergence)
-        grand = stepped.select(F.col("id").alias("component"),
-                               F.col("component").alias("g"))
-        new = (stepped.join(grand, "component", "left")
-               .select("id", F.least(F.col("component"),
-                                     F.coalesce("g", "component"))
-                       .alias("component"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(comps.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
-        comps = new
-        if changed == 0:
-            return comps
+    edges = _ckpt(pairs.select(a.alias("src"), b.alias("dst"))
+                  .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+                  .distinct())
+    comps = _ckpt(edges.select(F.col("src").alias("id")).distinct()
+                  .withColumn("component", F.col("id")))
+    try:
+        for _ in range(max_iter):
+            neigh = (edges.join(comps.withColumnRenamed("id", "src"), "src")
+                     .groupBy(F.col("dst").alias("id"))
+                     .agg(F.min("component").alias("n_min")))
+            stepped = (comps.join(neigh, "id", "left")
+                       .select("id", F.least(F.col("component"),
+                                             F.coalesce("n_min",
+                                                        "component"))
+                               .alias("component")))
+            # pointer jump: comp[v] <- min(comp[v], comp[comp[v]]) —
+            # doubles the propagation distance every round (log-diameter
+            # convergence)
+            grand = stepped.select(F.col("id").alias("component"),
+                                   F.col("component").alias("g"))
+            new = _ckpt(stepped.join(grand, "component", "left")
+                        .select("id", F.least(F.col("component"),
+                                              F.coalesce("g", "component"))
+                                .alias("component")))
+            changed = (new.alias("n")
+                       .join(comps.alias("o"), "id")
+                       .where(F.col("n.component") != F.col("o.component"))
+                       .count())
+            _drop(comps)            # superseded round's blocks freed NOW
+            comps = new
+            if changed == 0:
+                handles = [_RddHandle(sc, rid)
+                           for rid in owned.pop(id(comps), ())]
+                return _own(comps, *handles)
+    finally:
+        _drop(edges)
+    _drop(comps)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(diameter > ~2^{max_iter}); raise max_iter")
 
 
+class _RddHandle:
+    """unpersist()-able wrapper for a checkpointed RDD id, so iterative
+    results compose with :func:`release_owned_storage`."""
+
+    def __init__(self, sc, rdd_id: int):
+        self._sc, self._id = sc, rdd_id
+
+    def unpersist(self) -> None:
+        self._sc._jsc.sc().unpersistRDD(self._id, False)
+
+
 def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
                         ) -> DataFrame:
     """Keep one survivor per near-dup cluster: the minimum id of each
-    component (plus every row that is in no pair at all)."""
+    component (plus every row that is in no pair at all). The component
+    labeling's checkpoint blocks ride along as ``owned_storage``."""
     comps = connected_components(pairs)
     losers = comps.where(F.col("id") != F.col("component")).select("id")
-    return df.join(losers.withColumnRenamed("id", id_col),
-                   id_col, "left_anti")
+    return _own(df.join(losers.withColumnRenamed("id", id_col),
+                        id_col, "left_anti"),
+                *getattr(comps, "owned_storage", ()))

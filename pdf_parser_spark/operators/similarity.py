@@ -265,12 +265,46 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
                             query_vec, k, emb_col, id_col)
 
 
+def _margin_probe_masks_udf(planes: list[list[float]], n_probe: int):
+    """Vectorized per-query probe-mask selection for the batch path: the
+    multi-probe ordering of :func:`_probe_masks`, computed for a whole
+    Arrow batch of queries in two matmuls (|Q @ P^T| gives per-plane
+    margins, margins @ maskbits^T scores every flip mask), then a
+    lexsorted top-``n_probe`` per row. A JVM-expression rendition would
+    reference each margin across ~2^planes mask structs and Catalyst's
+    projection collapse would re-inline the dot product per reference
+    (the PLANS.md §8 trap) — the batched numpy form is one pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    n_planes = len(planes)
+    P = np.asarray(planes, dtype=np.float64)            # planes x dim
+    masks = np.arange(1 << n_planes, dtype=np.int64)
+    maskbits = ((masks[:, None] >> np.arange(n_planes)) & 1) \
+        .astype(np.float64)                             # 2^p x planes
+
+    def pick(batch):  # pd.Series -> pd.Series (hints omitted: the
+        # `from __future__ import annotations` stringized form defeats
+        # pandas_udf's signature inference for nested functions)
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
+        margins = np.abs(Q @ P.T)                       # b x planes
+        scores = margins @ maskbits.T                   # b x 2^p
+        # argsort by (score, mask): stable sort on the pre-ordered masks
+        order = np.argsort(scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return pandas_udf(pick, ArrayType(IntegerType()))
+
+
 def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
                      top_k: int = 5, emb_col: str = "embedding",
                      id_col: str = "id", q_id_col: str = "q_id",
                      q_emb_col: str = "q_emb", n_planes: int = 6,
                      probe_hamming: int = 2, n_tables: int = 3,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42,
+                     margin_probes: int | None = None) -> DataFrame:
     """Beyond-broadcast batch retrieval: when the query set itself is too
     large to broadcast (millions of queries x billions of corpus rows),
     bucket BOTH sides with multi-table sign-LSH and join on
@@ -289,6 +323,13 @@ def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
     an explode — a bounded fan-out of sum_{i<=h} C(planes, i) rows).
     Candidates deduped on (q_id, id) across tables, exact cosine, window
     top-k per query.
+
+    ``margin_probes`` (round 3): when set, each query probes its
+    ``margin_probes`` MOST LIKELY buckets (multi-probe ordering by
+    flipped-hyperplane margin, computed per Arrow batch — see
+    :func:`_margin_probe_masks_udf`) instead of the blind hamming ball —
+    the same frontier win :func:`ann_topk_multiprobe` measures, at batch
+    scale with a budget that is exact per query rather than a ball size.
     """
     from pyspark.sql.window import Window
 
@@ -301,10 +342,16 @@ def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
             F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
             F.lit(t).alias("tbl"), bucket.alias("bkt")))
         q_bucket = sign_lsh_bucket(F.col(q_emb_col), planes)
-        # probe expansion: all masks within probe_hamming bits
-        masks = [m for m in range(1 << n_planes)
-                 if bin(m).count("1") <= probe_hamming]
-        probes = F.array(*[q_bucket.bitwiseXOR(F.lit(m)) for m in masks])
+        if margin_probes is not None:
+            mask_udf = _margin_probe_masks_udf(planes, margin_probes)
+            probes = F.transform(mask_udf(F.col(q_emb_col)),
+                                 lambda m: q_bucket.bitwiseXOR(m))
+        else:
+            # probe expansion: all masks within probe_hamming bits
+            masks = [m for m in range(1 << n_planes)
+                     if bin(m).count("1") <= probe_hamming]
+            probes = F.array(*[q_bucket.bitwiseXOR(F.lit(m))
+                               for m in masks])
         query_sides.append(queries.select(
             F.col(q_id_col).alias("qid"), F.col(q_emb_col).alias("qe"),
             F.lit(t).alias("tbl"), F.explode(probes).alias("bkt")))

@@ -212,6 +212,27 @@ def test_dedup_operators_release_storage(spark):
     release_owned_storage(jp)  # idempotent no-op after handles cleared
 
 
+def test_connected_components_releases_rounds(spark):
+    """The iterative operator frees each superseded round's checkpoint
+    blocks DURING the loop and hands the final labeling's blocks to the
+    caller via owned_storage — nothing outlives release."""
+    from pdf_parser_spark.operators.dedup import (connected_components,
+                                                  release_owned_storage)
+
+    # a 12-vertex chain: several propagation rounds -> several checkpoints
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a int, id_b int")
+    before = _persistent_rdd_ids(spark)
+    comps = connected_components(pairs)
+    rows = comps.collect()
+    assert {r.component for r in rows} == {0}  # one chain, one component
+    held = _persistent_rdd_ids(spark) - before
+    # only the FINAL labeling persists (superseded rounds + edges freed)
+    assert len(held) == 1, held
+    release_owned_storage(comps)
+    assert not (_persistent_rdd_ids(spark) - before)
+
+
 def _np_cosine(a, b):
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(x * x for x in b))
@@ -806,3 +827,24 @@ def test_batch_search_lsh_recall_gate(spark, emb_df):
     by_rank1 = {r.q_id: r.id for r in got if r.rank == 1}
     for q in exact:
         assert by_rank1.get(q) == q
+
+    # round-3 margin mode: the SAME budget as the blind h<=2 ball
+    # (22 masks at 6 planes) ordered by flipped-margin must not lose
+    # recall — and mask 0 sorts first, so rank-1 self-hits still hold
+    def _recall(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, set()).add(r.id)
+        return sum(len(by_q.get(q, set()) & hits) / len(hits)
+                   for q, hits in exact.items()) / len(exact)
+
+    got_m = batch_search_lsh(corpus, queries, dim=16, top_k=5,
+                             n_planes=6, n_tables=3,
+                             margin_probes=22).collect()
+    assert _recall(got_m) >= sum(recalls) / len(recalls) - 1e-9
+    assert all(r.id == r.q_id for r in got_m if r.rank == 1)
+    # a third of the budget still clears the gate (the ordering works)
+    got_s = batch_search_lsh(corpus, queries, dim=16, top_k=5,
+                             n_planes=6, n_tables=3,
+                             margin_probes=8).collect()
+    assert _recall(got_s) >= 0.7
