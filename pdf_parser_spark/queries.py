@@ -864,6 +864,44 @@ LIMIT 10
 """
 
 
+def emb_quantized_topk(spark, sf):
+    # int8-quantized exact top-k: 4x less scan I/O at 100 TB, scales
+    # cancel in cosine so scoring is an integer dot product; quantization
+    # (trunc(x/s + copysign(.5, x)), s = max|x|/127) is recomputed
+    # verbatim by the DuckDB oracle
+    from pdf_parser_spark.operators.quantize import quantized_topk
+    emb = _t_wide(spark, sf, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return quantized_topk(emb, q, k=10)
+
+
+EMB_QUANTIZED_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qz AS (
+  SELECT vec_id, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s, e
+  FROM base),
+q8 AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(e, x -> trunc(x / s +
+                   CASE WHEN x < 0 THEN -0.5 ELSE 0.5 END))
+              ELSE list_transform(e, x -> 0.0) END AS q
+  FROM qz),
+qq AS (SELECT q AS qv FROM q8 WHERE vec_id = 0)
+SELECT vec_id,
+       round(CASE WHEN sqrt(list_dot_product(q, q))
+                       * sqrt(list_dot_product(qv, qv)) > 0
+                  THEN list_dot_product(q, qv)
+                       / (sqrt(list_dot_product(q, q))
+                          * sqrt(list_dot_product(qv, qv)))
+                  ELSE 0.0 END, 6) AS similarity
+FROM q8, qq
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def emb_batch_topk(spark, sf):
     # batch retrieval: 8 query vectors x corpus in ONE job (broadcast +
     # window rank) — the throughput shape of operators/retrieval.batch_search
@@ -1419,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
     "emb_batch_topk": emb_batch_topk,
     "emb_label_centroids": emb_label_centroids,
@@ -1504,6 +1543,7 @@ ORACLES: dict[str, str] = {
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
+    "emb_quantized_topk": EMB_QUANTIZED_SQL,
     "emb_l2_similarity": EMB_L2_SQL,
     "emb_batch_topk": EMB_BATCH_SQL,
     "emb_label_centroids": EMB_CENTROID_SQL,

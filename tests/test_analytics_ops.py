@@ -445,6 +445,35 @@ def test_build_context_formats_and_truncates(spark, chunks_df):
         assert row.context.endswith("...") and len(row.context) == 203
 
 
+def test_quantized_embeddings(spark, emb_df):
+    """Int8 quantization: UDF == scalar oracle twin, reconstruction error
+    bounded by scale/2 per component, zero vectors safe, and the
+    quantized top-k matches the float top-k on this corpus (8-bit is
+    near-lossless for cosine ranking)."""
+    from pdf_parser_spark.operators.quantize import (quantize_embeddings,
+                                                     quantize_py,
+                                                     quantized_topk)
+
+    rows = {r.vec_id: r for r in quantize_embeddings(emb_df).collect()}
+    src = {r.vec_id: list(r.embedding) for r in emb_df.collect()}
+    for vid, r in rows.items():
+        q_exp, s_exp = quantize_py(src[vid])
+        assert list(r.q) == q_exp and r.q_scale == pytest.approx(s_exp)
+        assert all(abs(v) <= 127 for v in r.q)
+        for x, qi in zip(src[vid], r.q):
+            assert abs(x - qi * r.q_scale) <= r.q_scale / 2 + 1e-12
+    # zero vector -> scale 0, all-zero q, similarity 0 downstream
+    z = spark.createDataFrame([(99, [0.0] * 16)],
+                              "vec_id int, embedding array<float>")
+    rz = quantize_embeddings(z).collect()[0]
+    assert rz.q_scale == 0.0 and set(rz.q) == {0}
+    # ranking fidelity vs float cosine
+    q = hash_embed_py("doc number 5", 16)
+    exact = [r.vec_id for r in brute_force_topk(emb_df, q, k=5).collect()]
+    quant = [r.vec_id for r in quantized_topk(emb_df, q, k=5).collect()]
+    assert len(set(exact) & set(quant)) >= 4
+
+
 def test_build_context_table_rows_truncation(spark):
     """T4 completeness: table chunks in the assembled context render their
     nested cells with the reference's [:max_rows] slice and the EXACT
