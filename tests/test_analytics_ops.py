@@ -595,6 +595,42 @@ def test_ann_recall_gates(spark):
     emb.unpersist()
 
 
+def test_probe_mask_ordering_invariants():
+    """Pure-python pins for the multi-probe ordering: own bucket first,
+    scores monotone over the returned prefix, ties broken by mask value,
+    and the cheapest single-bit flip is the lowest-|margin| plane."""
+    from pdf_parser_spark.operators.similarity import _probe_masks
+
+    margins = [0.9, -0.05, 0.4, -0.7]          # plane 1 is the weakest
+    masks = _probe_masks(4, margins, 16)        # full enumeration
+    assert masks[0] == 0
+    assert masks[1] == 0b0010                   # flip plane 1 first
+
+    def score(m):
+        return sum(abs(margins[i]) for i in range(4) if (m >> i) & 1)
+
+    scores = [score(m) for m in masks]
+    assert scores == sorted(scores)
+    for a, b in zip(masks, masks[1:]):
+        assert (score(a), a) < (score(b), b)
+    # prefix property: a smaller budget is a prefix of a larger one
+    assert _probe_masks(4, margins, 5) == masks[:5]
+
+
+def test_quantize_py_edge_cases():
+    from pdf_parser_spark.operators.quantize import quantize_py
+
+    q, s = quantize_py([-1.0, -0.5, -0.25])     # all-negative
+    assert s == pytest.approx(1.0 / 127.0)
+    assert q[0] == -127 and q[1] == -64 and q[2] == -32
+    assert quantize_py([]) == ([], 0.0)
+    q2, s2 = quantize_py([0.0, 0.0])
+    assert q2 == [0, 0] and s2 == 0.0
+    # exact half rounds away from zero on both signs (the SQL round() law)
+    q3, _ = quantize_py([127.0, 0.5, -0.5])     # scale = 1.0
+    assert q3 == [127, 1, -1]
+
+
 def test_ann_multiprobe_adaptive_budget(spark, emb_df):
     """The two-stage budget: a deliberately starved probe budget must
     expand (doubling) until the candidate set reaches min_candidates —
