@@ -79,3 +79,34 @@ def sample_fraction(df: DataFrame, id_col: str, fraction: float,
     run; complement = the rows it excludes — disjoint by construction)."""
     bound = int(round(fraction * SPLIT_BUCKETS))
     return df.where(hash_bucket(F.col(id_col), salt) < bound)
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum sampling (the reproducible twin of
+    ``DataFrame.sampleBy``): each stratum keeps ~its own fraction, chosen
+    by the same id-hash bucket as every other sampler here — so the kept
+    set is stable across runs/partitioning/engines, and rebalancing a
+    skewed corpus (e.g. downsampling the dominant language) is one
+    pushdown-friendly WHERE, no shuffle, no RNG state.
+
+    Strata absent from ``fractions`` keep ``default_fraction``. Fractions
+    must be in [0, 1]; membership for a row depends only on
+    (salt, id, its stratum's fraction), so growing ``fractions`` never
+    reshuffles rows of untouched strata.
+    """
+    for s, frac in {**fractions, "__default__": default_fraction}.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], "
+                             f"got {frac}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    bound = None
+    for s, frac in sorted(fractions.items()):
+        b = F.lit(int(round(frac * SPLIT_BUCKETS)))
+        bound = (F.when(F.col(strata_col) == s, b) if bound is None
+                 else bound.when(F.col(strata_col) == s, b))
+    default_b = F.lit(int(round(default_fraction * SPLIT_BUCKETS)))
+    bound = default_b if bound is None else bound.otherwise(default_b)
+    return df.where(bucket < bound)

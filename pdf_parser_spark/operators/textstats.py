@@ -174,3 +174,49 @@ def text_statistics(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("lang_pred", lang_id_udf(F.col(text_col)))
             .withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
             .withColumn("content_id", md5_fingerprint(F.col(text_col))))
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+
+def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 5,
+                     min_df: int = 2) -> DataFrame:
+    """Per-document top-k terms by tf-idf over the whole corpus.
+
+    (id, term, tf, df, tf_idf, rank) with tf_idf = round(tf * ln(N/df), 6)
+    and rank the per-document position under (tf_idf DESC, term ASC) —
+    deterministic ties. Terms in fewer than ``min_df`` documents are
+    dropped (hapax noise); N counts every document, including empty ones.
+
+    Scale shape: one token explode (the corpus-sized stream), two
+    map-side-combined groupBys (term frequency per doc; document
+    frequency per term), a key-partitioned join on ``term`` (the
+    vocabulary is corpus-scale — never broadcast it), the 1-row corpus
+    count broadcast, and one per-document window for the top-k. The
+    tokenizer is the engine-wide ASCII-\\s+ convention (see module
+    header), so DuckDB recomputes every value (DOCS_TFIDF_SQL).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+"),
+            lambda t: F.length(t) > 0)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dft = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .where(F.col("df") >= min_df))
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dft, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tf_idf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs").cast("double")
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy("id").orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), "term", "tf", "df",
+                    "tf_idf", "rank"))

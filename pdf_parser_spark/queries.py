@@ -746,6 +746,61 @@ FROM documents
 """
 
 
+def docs_tfidf_top_terms(spark, sf):
+    # per-document top-5 tf-idf terms: explode -> two map-side-combined
+    # groupBys -> vocabulary join (key-partitioned, never broadcast) ->
+    # per-doc window; DuckDB recomputes every value incl. ln()
+    from pdf_parser_spark.operators.textstats import tf_idf_top_terms
+    return tf_idf_top_terms(_t_wide(spark, sf, "documents"),
+                            "doc_id", "text", k=5, min_df=2)
+
+
+DOCS_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE length(t) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(n_docs::DOUBLE / df), 6) AS tf_idf
+  FROM tf JOIN dft USING (term), nd
+)
+SELECT doc_id, term, tf, df, tf_idf, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf_idf DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+def docs_stratified_sample(spark, sf):
+    # per-stratum deterministic sampling (sampleBy twin): downsample the
+    # dominant language, keep minority strata at higher rates — one
+    # pushdown-friendly WHERE, recomputable by any engine
+    from pdf_parser_spark.operators.sampling import stratified_sample
+    return (stratified_sample(_t(spark, sf, "documents"), "doc_id", "lang",
+                              {"en": 0.2, "zh": 0.8},
+                              default_fraction=0.5)
+            .select("doc_id", "lang"))
+
+
+DOCS_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 10000
+      < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 ELSE 5000 END
+"""
+
+
 def docs_jaccard_pairs(spark, sf):
     # n-gram Jaccard near-dup pairs via shingle inverted index
     from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
@@ -1452,6 +1507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_survivors": docs_dedup_survivors,
     "docs_bpe_tokens": docs_bpe_tokens,
     "docs_quality_features": docs_quality_features,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_stratified_sample": docs_stratified_sample,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
@@ -1537,6 +1594,8 @@ ORACLES: dict[str, str] = {
     "docs_bpe_tokens": DOCS_BPE_SQL,
     "docs_quality_features": DOCS_QUALITY_SQL,
     "docs_text_statistics_full": DOCS_TEXTSTATS_SQL,
+    "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
+    "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,

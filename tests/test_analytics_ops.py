@@ -787,6 +787,78 @@ def test_write_to_vector_store_batching(spark, tmp_path):
                          "block_indices", "has_cells"}
 
 
+def test_stratified_sample(spark):
+    """Per-stratum fractions land near target, membership is stable
+    across reruns and partitioning, and disjoint strata never interact
+    (growing the fractions map cannot reshuffle untouched strata)."""
+    import hashlib as _hl
+
+    from pdf_parser_spark.operators.sampling import (SPLIT_BUCKETS,
+                                                     stratified_sample)
+
+    rows = [(i, "en" if i % 3 else "zh") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.1, "zh": 0.9})
+    got = {(r.doc_id, r.lang) for r in kept.collect()}
+    # python oracle: identical md5-bucket law
+    exp = set()
+    for i, lang in rows:
+        b = int(_hl.md5(f"strat:{i}".encode()).hexdigest()[:15], 16) \
+            % SPLIT_BUCKETS
+        if b < int({"en": 0.1, "zh": 0.9}[lang] * SPLIT_BUCKETS):
+            exp.add((i, lang))
+    assert got == exp
+    n_en = sum(1 for _, l in got if l == "en")
+    n_zh = sum(1 for _, l in got if l == "zh")
+    assert abs(n_en / 2000 - 0.1) < 0.03 and abs(n_zh / 1000 - 0.9) < 0.03
+    # partition invariance + changing one stratum leaves others untouched
+    assert {(r.doc_id, r.lang)
+            for r in stratified_sample(df.repartition(13), "doc_id",
+                                       "lang", {"en": 0.1, "zh": 0.9})
+            .collect()} == got
+    bumped = {(r.doc_id, r.lang)
+              for r in stratified_sample(df, "doc_id", "lang",
+                                         {"en": 0.1, "zh": 0.2}).collect()}
+    assert {x for x in bumped if x[1] == "en"} == \
+           {x for x in got if x[1] == "en"}
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_tf_idf_top_terms(spark):
+    """tf-idf against a hand-computed oracle: tf counts duplicates, df
+    counts documents, min_df drops hapax terms, rank ties break by term,
+    N includes empty documents."""
+    import math
+
+    from pdf_parser_spark.operators.textstats import tf_idf_top_terms
+
+    rows = [(0, "apple banana apple cherry"),
+            (1, "banana cherry cherry date"),
+            (2, "apple banana"),
+            (3, "")]                         # counted in N, emits nothing
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tf_idf_top_terms(df, "doc_id", "text", k=2, min_df=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    # 'date' appears in 1 doc < min_df -> dropped everywhere
+    assert all(r.term != "date" for r in out)
+    # doc 0: apple tf=2 df=2 -> 2*ln(4/2); banana tf=1 df=3 -> ln(4/3);
+    # cherry tf=1 df=2 -> ln(2)
+    d0 = {r.term: r for r in by_doc[0]}
+    assert d0["apple"].tf_idf == pytest.approx(
+        round(2 * math.log(4 / 2), 6))
+    assert d0["apple"].rank == 1 and len(by_doc[0]) == 2
+    # doc 0's #2 is cherry (ln2 = .693 > ln(4/3) = .288)
+    assert [r.term for r in sorted(by_doc[0], key=lambda r: r.rank)] == \
+        ["apple", "cherry"]
+    # doc 2: apple and banana both tf=1; apple idf ln(2) > banana ln(4/3)
+    assert [r.term for r in sorted(by_doc[2], key=lambda r: r.rank)] == \
+        ["apple", "banana"]
+
+
 def test_deterministic_split_properties(spark):
     """Hash-split invariants: partition of the corpus, stable under
     repartitioning/order, ~weight-proportional, and monotone under corpus
