@@ -782,6 +782,35 @@ WHERE rn <= 5
 """
 
 
+def docs_heavy_terms(spark, sf):
+    # two-pass exact heavy hitters: Misra-Gries candidate sketch (bounded
+    # memory, no vocabulary shuffle) -> broadcast semi-join exact recount
+    # -> exact top-20; the sketch changes COST, not answers, so the naive
+    # DuckDB top-k is a full value oracle
+    from pdf_parser_spark.operators.sketches import heavy_hitters_exact
+    d = _t_wide(spark, sf, "documents")
+    toks = d.select(F.explode(F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0)).alias("term"))
+    return heavy_hitters_exact(toks, "term", k=20, capacity=512)
+
+
+DOCS_HEAVY_SQL = r"""
+WITH toks AS (
+  SELECT t AS term
+  FROM (SELECT unnest(string_split_regex(trim(coalesce(text, '')),
+                                         '\s+')) AS t
+        FROM documents)
+  WHERE length(t) > 0
+)
+SELECT term AS value, count(*) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC)
+            AS INTEGER) AS rank
+FROM toks GROUP BY term
+ORDER BY n DESC, value ASC LIMIT 20
+"""
+
+
 def docs_stratified_sample(spark, sf):
     # per-stratum deterministic sampling (sampleBy twin): downsample the
     # dominant language, keep minority strata at higher rates — one
@@ -1508,6 +1537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_tokens": docs_bpe_tokens,
     "docs_quality_features": docs_quality_features,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_heavy_terms": docs_heavy_terms,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_signatures": docs_minhash_signatures,
@@ -1595,6 +1625,7 @@ ORACLES: dict[str, str] = {
     "docs_quality_features": DOCS_QUALITY_SQL,
     "docs_text_statistics_full": DOCS_TEXTSTATS_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
+    "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,

@@ -859,6 +859,40 @@ def test_tf_idf_top_terms(spark):
         ["apple", "banana"]
 
 
+def test_heavy_hitters_exact(spark):
+    """Two-pass heavy hitters must equal the naive exact top-k on a
+    zipf-ish stream, bound pass-1 output per partition, and raise when
+    the distribution is too flat for the capacity guarantee."""
+    from pdf_parser_spark.operators.sketches import (heavy_hitters_exact,
+                                                     mg_candidates)
+
+    rows = []
+    for i in range(1, 60):           # value v_i appears ~3000/i times
+        rows.extend([(f"v{i:03d}",)] * (3000 // i))
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+
+    got = [(r.value, r.n, r.rank)
+           for r in heavy_hitters_exact(df, "term", k=10, capacity=64)
+           .collect()]
+    exact = (df.groupBy(F.col("term").alias("value"))
+             .agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("value")).limit(10).collect())
+    assert got == [(r.value, r.n, i + 1) for i, r in enumerate(exact)]
+
+    # pass-1 bound: <= capacity rows per partition
+    per_part = (mg_candidates(df, "term", capacity=16)
+                .groupBy(F.spark_partition_id().alias("p"))
+                .count().collect())
+    assert all(r["count"] <= 16 for r in per_part)
+
+    # flat distribution + tiny capacity -> the guarantee check refuses
+    # to return a silently-unverifiable answer
+    flat = spark.createDataFrame([(f"u{i}",) for i in range(500)],
+                                 "term string")
+    with pytest.raises(ValueError, match="guarantee not met"):
+        heavy_hitters_exact(flat, "term", k=10, capacity=4)
+
+
 def test_deterministic_split_properties(spark):
     """Hash-split invariants: partition of the corpus, stable under
     repartitioning/order, ~weight-proportional, and monotone under corpus
