@@ -73,13 +73,37 @@ class _HashEncoder:
         self.dim = dim
 
     def encode(self, texts: list[str]) -> list[list[float]]:
+        """Whole-batch vectorized stub: one md5 per text (irreducible),
+        then ONE (n x dim) splitmix expansion + row norms for the entire
+        Arrow batch — the scalar path's ~10 tiny numpy calls per text
+        were pure call overhead at 100k+ texts/task. Values match
+        :func:`hash_embed_py` (same float64 ops elementwise; row norms
+        via per-row BLAS ddot, the same reduction the scalar path
+        uses)."""
         import numpy as np
 
         dim = self.dim
         out = np.zeros((len(texts), dim))
-        for i, t in enumerate(texts):
-            if t:
-                out[i] = _hash_embed_np(t, dim)
+        idx = [i for i, t in enumerate(texts) if t]
+        if not idx:
+            return out.tolist()
+        seeds = np.array(
+            [int.from_bytes(
+                hashlib.md5(texts[i].encode("utf-8")).digest()[:8], "big")
+             for i in idx], dtype=np.uint64)
+        x = (seeds[:, None]
+             + np.arange(1, dim + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        v = x.astype(np.float64) / 2.0**63 - 1.0
+        # per-row ddot keeps the norm bit-identical to the scalar twin
+        # (a batched gemm/einsum reduction can differ in the last ulp)
+        norms = np.sqrt(np.array([float(r @ r) for r in v]))
+        nz = norms > 0
+        v[nz] /= norms[nz, None]
+        out[idx] = v
         return out.tolist()
 
 
