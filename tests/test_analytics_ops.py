@@ -859,6 +859,39 @@ def test_tf_idf_top_terms(spark):
         ["apple", "banana"]
 
 
+def test_resident_index_matches_brute_force(spark, emb_df):
+    """The interactive serving path must return EXACTLY the distributed
+    scan's answer (same rounding, masking, ties), refuse over-bound
+    corpora, and serve single queries orders of magnitude under the
+    Spark per-job floor."""
+    import time
+
+    from pdf_parser_spark.operators.resident import ResidentIndex
+
+    idx = ResidentIndex.from_dataframe(emb_df)
+    for probe in ["doc number 3", "doc number 7", "unrelated words"]:
+        q = hash_embed_py(probe, 16)
+        exact = [(r.vec_id, r.similarity)
+                 for r in brute_force_topk(emb_df, q, k=5).collect()]
+        assert idx.topk(q, k=5) == exact
+    # zero-norm query -> all-zero sims, ties by id ascending
+    assert [i for i, _ in idx.topk([0.0] * 16, k=3)] == sorted(idx.ids)[:3]
+    # batch path == single path
+    qs = [hash_embed_py(f"doc number {i}", 16) for i in range(4)]
+    assert idx.topk_batch(qs, k=5) == [idx.topk(q, k=5) for q in qs]
+    # size bound enforced
+    with pytest.raises(ValueError, match="max_rows"):
+        ResidentIndex.from_dataframe(emb_df, max_rows=3)
+    # latency: resident single-query is sub-millisecond-ish (vs ~0.4 s
+    # Spark per-job floor); generous 50 ms bound for CI noise
+    q = hash_embed_py("doc number 3", 16)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        idx.topk(q, k=5)
+    per_query = (time.perf_counter() - t0) / 50
+    assert per_query < 0.05, per_query
+
+
 def test_heavy_hitters_exact(spark):
     """Two-pass heavy hitters must equal the naive exact top-k on a
     zipf-ish stream, bound pass-1 output per partition, and raise when
