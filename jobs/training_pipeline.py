@@ -1,0 +1,161 @@
+"""End-to-end training-data pipeline: transcripts -> curated, split corpus.
+
+The composition a training-data user actually runs, wired from the tested
+operators (extraction -> exact dedup -> simhash near-dup clusters ->
+quality/language/length funnel -> deterministic split -> partitioned
+write), in the engine's fused-plan shape: every per-row criterion is a
+FLAG COLUMN on one DataFrame, so the funnel metrics come from ONE
+aggregation pass and the final write filters the same plan — no
+per-stage materialization, no repeated scans of the chunk text. The only
+joins are the two dedup verdicts (content-hash survivor and near-dup
+cluster loser sets — both key-partitioned, the same shapes
+operators/dedup.py documents).
+
+Run::
+
+    python jobs/training_pipeline.py --input <transcripts_parquet> \
+        --output <dir> [--langs en,zh] [--quality-floor 0.25] \
+        [--min-chars 40] [--max-chars 4000]
+
+Writes ``<output>/corpus`` partitioned by ``split`` and
+``<output>/funnel.json`` with per-stage survivor counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+FUNNEL_STAGES = ("extracted", "exact_unique", "near_unique", "quality",
+                 "language", "length", "selected")
+
+
+def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
+           quality_floor: float = 0.25, min_chars: int = 40,
+           max_chars: int = 4000, max_hamming: int = 3,
+           split_weights=None) -> DataFrame:
+    """Chunk rows -> the same rows + per-stage boolean flags, a fused
+    ``selected`` flag, and a ``split`` label. Text chunks only pass the
+    quality tiers; the dedup tiers key on the engine-wide content hash."""
+    from pdf_parser_spark.operators.dedup import (content_key,
+                                                  dedup_by_components,
+                                                  simhash_dup_pairs)
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+    from pdf_parser_spark.operators.sampling import deterministic_split
+    from pdf_parser_spark.operators.textstats import text_statistics
+
+    base = with_chunk_id(chunks)
+
+    # exact dedup: survivor = the min chunk id of each content group
+    survivors = (base.groupBy(content_key(F.col("text")).alias("__h"))
+                 .agg(F.min("id").alias("__surv")))
+    flagged = (base.withColumn("__h", content_key(F.col("text")))
+               .join(survivors, "__h")
+               .withColumn("f_exact_unique", F.col("id") == F.col("__surv"))
+               .drop("__h", "__surv"))
+
+    # near-dup clusters over the exact survivors (simhash pairs ->
+    # connected components); losers flagged back onto every row
+    exact_side = flagged.where(F.col("f_exact_unique")).select("id", "text")
+    pairs = simhash_dup_pairs(exact_side, "id", "text",
+                              max_hamming=max_hamming)
+    near_survivors = dedup_by_components(exact_side.select("id"), pairs,
+                                         "id")
+    flagged = (flagged.join(
+        near_survivors.withColumn("f_near_unique", F.lit(True)), "id",
+        "left")
+        .withColumn("f_near_unique",
+                    F.col("f_exact_unique")
+                    & F.coalesce(F.col("f_near_unique"), F.lit(False))))
+
+    # text_statistics APPENDS its columns — no join, one pass over text
+    flagged = (text_statistics(flagged)
+               .withColumn("f_quality",
+                           F.col("quality_score") >= quality_floor)
+               .withColumn("f_language", F.col("lang_pred").isin(*langs))
+               .withColumn("f_length",
+                           F.col("char_count").between(min_chars,
+                                                       max_chars))
+               .withColumn("selected",
+                           F.col("f_near_unique") & F.col("f_quality")
+                           & F.col("f_language") & F.col("f_length")))
+    return deterministic_split(flagged, "id", split_weights)
+
+
+def funnel_metrics(curated: DataFrame) -> dict:
+    """ONE aggregation pass over the flag columns."""
+    row = curated.agg(
+        F.count("*").alias("extracted"),
+        F.sum(F.col("f_exact_unique").cast("int")).alias("exact_unique"),
+        F.sum(F.col("f_near_unique").cast("int")).alias("near_unique"),
+        F.sum((F.col("f_near_unique") & F.col("f_quality")).cast("int"))
+         .alias("quality"),
+        F.sum((F.col("f_near_unique") & F.col("f_quality")
+               & F.col("f_language")).cast("int")).alias("language"),
+        F.sum((F.col("f_near_unique") & F.col("f_quality")
+               & F.col("f_language") & F.col("f_length")).cast("int"))
+         .alias("length"),
+        F.sum(F.col("selected").cast("int")).alias("selected"),
+    ).collect()[0]
+    return {s: int(row[s]) for s in FUNNEL_STAGES}
+
+
+def run_training_pipeline(spark: SparkSession, input_path: str,
+                          output_dir: str, cleaning: bool = True,
+                          **curate_kwargs) -> dict:
+    from pdf_parser_spark.config import CLEANING_CONFIG, DEFAULT_CONFIG
+    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.pipeline import read_transcripts
+
+    cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
+    chunks = extract_chunks(read_transcripts(spark, input_path), cfg) \
+        .where(F.col("chunk_type") == "text").drop("table_cells")
+    curated = curate(chunks, **curate_kwargs)
+    funnel = funnel_metrics(curated)
+    (curated.where(F.col("selected"))
+     .drop("selected", "f_exact_unique", "f_near_unique", "f_quality",
+           "f_language", "f_length")
+     .write.partitionBy("split").mode("overwrite")
+     .parquet(f"{output_dir}/corpus"))
+    with open(f"{output_dir}/funnel.json", "w") as f:
+        json.dump(funnel, f, indent=2)
+    return funnel
+
+
+def main() -> int:
+    import argparse
+
+    from pdf_parser_spark.session import build_session
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--quality-floor", type=float, default=0.25)
+    ap.add_argument("--min-chars", type=int, default=40)
+    ap.add_argument("--max-chars", type=int, default=4000)
+    ap.add_argument("--parity", action="store_true",
+                    help="DEFAULT_CONFIG instead of CLEANING_CONFIG")
+    a = ap.parse_args()
+    spark = build_session("training-pipeline")
+    try:
+        funnel = run_training_pipeline(
+            spark, a.input, a.output, cleaning=not a.parity,
+            langs=tuple(a.langs.split(",")),
+            quality_floor=a.quality_floor, min_chars=a.min_chars,
+            max_chars=a.max_chars)
+        print(json.dumps(funnel))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
