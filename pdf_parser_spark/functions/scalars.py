@@ -103,3 +103,11 @@ def table_linearize_sql(cells: Column) -> Column:
 
     nonempty = F.filter(cells, lambda row: F.size(row) > 0)
     return F.trim(F.array_join(F.transform(nonempty, _line), "\n"))
+
+
+def estimate_cost(tokens: Column, rate_per_mtok: float = 0.75) -> Column:
+    """C16: LLM cost estimate — ``tokens / 1e6 * rate`` (reference
+    interactive_rag_demo.py:153, the gpt-4o-mini output rate). The data
+    operation is a plain expression; only the LLM call around it was out
+    of scope."""
+    return F.round(tokens.cast("double") / 1_000_000.0 * rate_per_mtok, 6)

@@ -230,3 +230,19 @@ def answer_with_context(chunks: DataFrame, query_vec: list[float],
     return joined.select(
         F.col("t_conv").alias("conv_id"), F.col("t_idx").alias("chunk_idx"),
         "similarity", truncate_preview(F.col("answer"), max_chars).alias("answer"))
+
+
+def conversation_history(df: DataFrame, key_col: str, order_cols: list[str],
+                         n: int = 10) -> DataFrame:
+    """J5's data semantics: bounded per-conversation history — keep only
+    the most recent ``n`` rows per key (the reference truncates its chat
+    history to the last ``max_history`` turns before each LLM call,
+    gea_rag_agent_openai.py:354-388; the LLM call itself stays out of
+    scope). ``recency_rank`` 1 = newest; ties broken by the full
+    ``order_cols`` list, so the kept set is deterministic. One
+    key-partitioned window — Spark's WindowGroupLimit pushes the n-row
+    cut below the shuffle."""
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.desc(c) for c in order_cols])
+    return (df.withColumn("recency_rank", F.row_number().over(w))
+            .where(F.col("recency_rank") <= n))

@@ -378,6 +378,48 @@ SELECT user_id, event_type, event_id FROM (
 """
 
 
+def events_history_window(spark, sf):
+    # J5 data semantics: bounded most-recent-n history per conversation
+    # (reference keeps the last max_history turns, gea_rag_agent_openai
+    # .py:354-388); WindowGroupLimit cuts to n rows below the shuffle
+    from pdf_parser_spark.operators.retrieval import conversation_history
+    ev = _t(spark, sf, "events")
+    return conversation_history(ev, "user_id", ["ts", "event_id"], n=3) \
+        .select("user_id", "event_id", "recency_rank")
+
+
+EVENTS_HISTORY_SQL = """
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS recency_rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def docs_cost_estimate(spark, sf):
+    # C16: token-based cost estimate as a plain expression (reference
+    # interactive_rag_demo.py:153 — tokens/1e6 * 0.75)
+    from pdf_parser_spark.functions.scalars import estimate_cost
+    from pdf_parser_spark.operators.textstats import token_count
+    d = _t(spark, sf, "documents")
+    toks = token_count(F.coalesce(F.col("text"), F.lit("")))
+    return d.select("doc_id", toks.alias("n_tokens"),
+                    estimate_cost(toks).alias("est_cost"))
+
+
+DOCS_COST_SQL = r"""
+SELECT doc_id,
+       n_tokens,
+       round(n_tokens::DOUBLE / 1000000.0 * 0.75, 6) AS est_cost
+FROM (SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                              '\s+')) END AS n_tokens
+      FROM documents)
+"""
+
+
 def orders_priority_topk(spark, sf):
     # T2/T3 per-group rank + truncate (reference gea_qa_agent_chroma.py:312-318)
     orders = _t(spark, sf, "orders")
@@ -1519,6 +1561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_context": events_window_context,
     "events_sessionize": events_sessionize,
     "events_first_per_user": events_first_per_user,
+    "events_history_window": events_history_window,
+    "docs_cost_estimate": docs_cost_estimate,
     "events_tumbling_window": events_tumbling_window,
     "events_rollup": events_rollup,
     "orders_priority_topk": orders_priority_topk,
@@ -1606,6 +1650,8 @@ ORACLES: dict[str, str] = {
     "events_window_context": EVENTS_WINDOW_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_first_per_user": EVENTS_FIRST_SQL,
+    "events_history_window": EVENTS_HISTORY_SQL,
+    "docs_cost_estimate": DOCS_COST_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "orders_priority_topk": ORDERS_TOPK_SQL,
