@@ -86,23 +86,33 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                .withColumn("selected",
                            F.col("f_near_unique") & F.col("f_quality")
                            & F.col("f_language") & F.col("f_length")))
-    return deterministic_split(flagged, "id", split_weights)
+    out = deterministic_split(flagged, "id", split_weights)
+    # the dedup tiers pinned executor storage (simhash signatures, the
+    # component labeling) — re-attach those handles to the final result
+    # so run_training_pipeline (or any caller) can release them; without
+    # this the joins above would orphan them into session-lifetime leaks
+    out.owned_storage = (tuple(getattr(pairs, "owned_storage", ()))
+                         + tuple(getattr(near_survivors,
+                                         "owned_storage", ())))
+    return out
 
 
 def funnel_metrics(curated: DataFrame) -> dict:
-    """ONE aggregation pass over the flag columns."""
+    """ONE aggregation pass over the flag columns. Sums coalesce to 0 so
+    an empty extraction yields a zeroed funnel, not NULLs."""
+    def _s(col):
+        return F.coalesce(F.sum(col.cast("int")), F.lit(0))
+
     row = curated.agg(
         F.count("*").alias("extracted"),
-        F.sum(F.col("f_exact_unique").cast("int")).alias("exact_unique"),
-        F.sum(F.col("f_near_unique").cast("int")).alias("near_unique"),
-        F.sum((F.col("f_near_unique") & F.col("f_quality")).cast("int"))
-         .alias("quality"),
-        F.sum((F.col("f_near_unique") & F.col("f_quality")
-               & F.col("f_language")).cast("int")).alias("language"),
-        F.sum((F.col("f_near_unique") & F.col("f_quality")
-               & F.col("f_language") & F.col("f_length")).cast("int"))
-         .alias("length"),
-        F.sum(F.col("selected").cast("int")).alias("selected"),
+        _s(F.col("f_exact_unique")).alias("exact_unique"),
+        _s(F.col("f_near_unique")).alias("near_unique"),
+        _s(F.col("f_near_unique") & F.col("f_quality")).alias("quality"),
+        _s(F.col("f_near_unique") & F.col("f_quality")
+           & F.col("f_language")).alias("language"),
+        _s(F.col("f_near_unique") & F.col("f_quality")
+           & F.col("f_language") & F.col("f_length")).alias("length"),
+        _s(F.col("selected")).alias("selected"),
     ).collect()[0]
     return {s: int(row[s]) for s in FUNNEL_STAGES}
 
@@ -114,18 +124,33 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
     from pdf_parser_spark.operators.merge import extract_chunks
     from pdf_parser_spark.pipeline import read_transcripts
 
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+
     cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
     chunks = extract_chunks(read_transcripts(spark, input_path), cfg) \
         .where(F.col("chunk_type") == "text").drop("table_cells")
     curated = curate(chunks, **curate_kwargs)
-    funnel = funnel_metrics(curated)
-    (curated.where(F.col("selected"))
-     .drop("selected", "f_exact_unique", "f_near_unique", "f_quality",
-           "f_language", "f_length")
-     .write.partitionBy("split").mode("overwrite")
-     .parquet(f"{output_dir}/corpus"))
-    with open(f"{output_dir}/funnel.json", "w") as f:
-        json.dump(funnel, f, indent=2)
+    try:
+        funnel = funnel_metrics(curated)
+        (curated.where(F.col("selected"))
+         .drop("selected", "f_exact_unique", "f_near_unique", "f_quality",
+               "f_language", "f_length")
+         .write.partitionBy("split").mode("overwrite")
+         .parquet(f"{output_dir}/corpus"))
+    finally:
+        # the dedup tiers' pinned storage rides on `curated`; a driver
+        # looping over corpora must not accumulate it
+        release_owned_storage(curated)
+    if "://" in output_dir:
+        # non-local filesystem: write the tiny funnel through Spark's
+        # Hadoop FS writer (a local open() would fail after the whole
+        # pipeline already ran)
+        (spark.createDataFrame([(json.dumps(funnel),)], "funnel string")
+         .coalesce(1).write.mode("overwrite")
+         .text(f"{output_dir}/funnel.json"))
+    else:
+        with open(f"{output_dir}/funnel.json", "w") as f:
+            json.dump(funnel, f, indent=2)
     return funnel
 
 

@@ -451,40 +451,44 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     standard iterative-DataFrame pattern), and the loop stops at the first
     fixpoint, verified by a bounded labels-changed count.
 
-    Storage hygiene (round 3): each round's checkpoint blocks are
-    unpersisted as soon as the next round supersedes them — only the
-    FINAL labeling's blocks survive the call, attached to the result as
-    an ``owned_storage`` handle (release with
-    :func:`release_owned_storage`; note a released result cannot
-    recompute — checkpointing truncates lineage by design — so release
-    only after its consumers finish).
+    Storage hygiene (round 3): rounds are cut with eager
+    ``localCheckpoint`` — checkpointing (not persist) is load-bearing
+    here, because each round's plan references the previous one TWICE
+    (neighbor join + pointer jump), so without truncation the logical
+    plan DAG doubles per round and the optimizer OOMs past ~10 rounds.
+    Each superseded round's checkpoint blocks are freed immediately via
+    its EXACT RDD id (read from the result's LogicalRDD plan node — no
+    storage-listing diffs that could misattribute a concurrent thread's
+    RDDs); only the FINAL labeling survives, attached as
+    ``owned_storage`` (release with :func:`release_owned_storage` AFTER
+    all consumers finish — a checkpointed result cannot recompute).
     """
     sc = pairs.sparkSession.sparkContext
 
-    def _pids() -> set[int]:
-        return set(sc._jsc.getPersistentRDDs().keySet())
+    def _mat(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
 
-    owned: dict[int, set[int]] = {}   # python id(df) -> its JVM RDD ids
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        pre = _pids()
-        out = df.localCheckpoint(eager=True)
-        owned[id(out)] = _pids() - pre
-        return out
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        try:
+            # localCheckpoint's analyzed plan IS the LogicalRDD holding
+            # the persisted internal RDD
+            return df._jdf.queryExecution().analyzed().rdd().id()
+        except Exception:
+            return None  # plan shape changed across Spark versions
 
     def _drop(df: DataFrame) -> None:
-        for rid in owned.pop(id(df), ()):
-            # package-private Scala method, public in bytecode: frees the
-            # checkpoint blocks deterministically (non-blocking)
+        rid = _ckpt_rdd_id(df)
+        if rid is not None:
+            # package-private Scala method, public in bytecode
             sc._jsc.sc().unpersistRDD(rid, False)
 
     a = F.col(id_a)
     b = F.col(id_b)
-    edges = _ckpt(pairs.select(a.alias("src"), b.alias("dst"))
-                  .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
-                  .distinct())
-    comps = _ckpt(edges.select(F.col("src").alias("id")).distinct()
-                  .withColumn("component", F.col("id")))
+    edges = _mat(pairs.select(a.alias("src"), b.alias("dst"))
+                 .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+                 .distinct())
+    comps = _mat(edges.select(F.col("src").alias("id")).distinct()
+                 .withColumn("component", F.col("id")))
     try:
         for _ in range(max_iter):
             neigh = (edges.join(comps.withColumnRenamed("id", "src"), "src")
@@ -500,10 +504,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             # convergence)
             grand = stepped.select(F.col("id").alias("component"),
                                    F.col("component").alias("g"))
-            new = _ckpt(stepped.join(grand, "component", "left")
-                        .select("id", F.least(F.col("component"),
-                                              F.coalesce("g", "component"))
-                                .alias("component")))
+            new = _mat(stepped.join(grand, "component", "left")
+                       .select("id", F.least(F.col("component"),
+                                             F.coalesce("g", "component"))
+                               .alias("component")))
             changed = (new.alias("n")
                        .join(comps.alias("o"), "id")
                        .where(F.col("n.component") != F.col("o.component"))
@@ -511,8 +515,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             _drop(comps)            # superseded round's blocks freed NOW
             comps = new
             if changed == 0:
-                handles = [_RddHandle(sc, rid)
-                           for rid in owned.pop(id(comps), ())]
+                rid = _ckpt_rdd_id(comps)
+                handles = ([_RddHandle(sc, rid)] if rid is not None
+                           else [])
                 return _own(comps, *handles)
     finally:
         _drop(edges)

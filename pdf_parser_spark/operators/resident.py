@@ -47,6 +47,8 @@ class ResidentIndex:
         import numpy as np
 
         n = len(sims)
+        if k <= 0 or n == 0:
+            return np.array([], dtype=int)
         if k >= n:
             cand = np.arange(n)
         else:
@@ -60,18 +62,23 @@ class ResidentIndex:
                        max_rows: int = 2_000_000) -> "ResidentIndex":
         """Collect (id, embedding) into the driver — bounded and checked.
 
-        One count() guards the collect: serving 10^9 rows from a driver
-        process is the wrong architecture and fails loudly here.
-        """
-        n = df.count()
-        if n > max_rows:
+        ONE job: the collect is limited to max_rows + 1 rows, so an
+        over-bound corpus fails loudly with bounded driver memory (and
+        no separate count() pass re-executing the upstream plan).
+        Rows with NULL/empty embeddings are dropped, mirroring the
+        reference loader's valid-embedding filter (F3,
+        gea_qa_agent.py:152-160)."""
+        rows = (df.where(F.col(emb_col).isNotNull()
+                         & (F.size(emb_col) > 0))
+                .select(F.col(id_col).alias("id"),
+                        F.col(emb_col).alias("e"))
+                .limit(max_rows + 1).collect())
+        if len(rows) > max_rows:
             raise ValueError(
-                f"corpus has {n} rows > max_rows={max_rows}; a resident "
-                "index is for interactive serving of process-sized "
-                "corpora — use brute_force_topk / ann_topk / ivf_topk "
-                "for the distributed path")
-        rows = df.select(F.col(id_col).alias("id"),
-                         F.col(emb_col).alias("e")).collect()
+                f"corpus exceeds max_rows={max_rows}; a resident index "
+                "is for interactive serving of process-sized corpora — "
+                "use brute_force_topk / ann_topk / ivf_topk for the "
+                "distributed path")
         return cls([r.id for r in rows],
                    [[float(x) for x in r.e] for r in rows])
 

@@ -47,6 +47,15 @@ def token_count(col: Column) -> Column:
             .otherwise(F.size(F.split(trimmed, r"\s+")))
 
 
+def tokens_array(col: Column) -> Column:
+    """Non-empty tokens of a string column under the engine-wide
+    ASCII-\\s+ convention, as ONE reusable array expression — the single
+    definition every token-exploding operator (tf-idf, heavy hitters)
+    shares, so the convention cannot silently fork per call site."""
+    return F.filter(F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"),
+                    lambda t: F.length(t) > 0)
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish token estimate: word pieces + digits + punctuation runs.
 
@@ -199,12 +208,8 @@ def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql.window import Window
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.filter(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
-                    r"\s+"),
-            lambda t: F.length(t) > 0)).alias("term"))
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_array(F.col(text_col))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dft = (tf.groupBy("term").agg(F.count("*").alias("df"))
              .where(F.col("df") >= min_df))

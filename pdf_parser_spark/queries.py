@@ -830,10 +830,9 @@ def docs_heavy_terms(spark, sf):
     # -> exact top-20; the sketch changes COST, not answers, so the naive
     # DuckDB top-k is a full value oracle
     from pdf_parser_spark.operators.sketches import heavy_hitters_exact
+    from pdf_parser_spark.operators.textstats import tokens_array
     d = _t_wide(spark, sf, "documents")
-    toks = d.select(F.explode(F.filter(
-        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
-        lambda t: F.length(t) > 0)).alias("term"))
+    toks = d.select(F.explode(tokens_array(F.col("text"))).alias("term"))
     return heavy_hitters_exact(toks, "term", k=20, capacity=512)
 
 

@@ -145,8 +145,9 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
         for b in group:
             r = agg.get(b)
             chars = int(r["n_chars"]) if r else 0
-            # char-weighted share of the group wall; empty buckets (and
-            # all-empty groups) fall back to an equal split
+            # char-weighted share of the group wall; an empty bucket in a
+            # non-empty group did (to first order) no work -> share 0;
+            # only an ALL-empty group falls back to an equal split
             share = (chars / group_chars if group_chars
                      else 1.0 / len(group))
             lineage_rows.append((b, "done",
@@ -167,4 +168,10 @@ def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
 
 
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{output_dir}/lineage")
+    # mergeSchema: lineage dirs are append-only across engine versions
+    # (round 3 added group_wall_sec and redefined wall_sec as the
+    # per-bucket char-weighted share; pre-round-3 rows surface
+    # group_wall_sec = NULL and their wall_sec is the whole group's wall
+    # — distinguish generations by that NULL before aggregating costs)
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(f"{output_dir}/lineage"))

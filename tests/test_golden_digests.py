@@ -1,14 +1,16 @@
 """Golden-digest pinning for the rows-only driver-contract entries, plus
 the registry self-consistency guard (VERDICT r2 items #2 and #10).
 
-The six entries in queries.ROWS_ONLY have no DuckDB oracle by
-construction (synthesized inputs / approximate ANN), so between rounds
-nothing guarded their row VALUES except the broader pytest suite. The
-four deterministic ones are pinned here by an order-insensitive digest
-(the jobs/equality_check.py scheme: md5 per canonical row, summed, plus
-row count — invariant to partitioning and row order, sensitive to any
-value change); the two ANN entries are pinned by exact-top-1 containment
-(the query vector is row 0's own embedding, so the true top-1 is known).
+The entries in queries.ROWS_ONLY have no DuckDB oracle by construction
+(synthesized inputs / approximate ANN), so between rounds nothing
+guarded their row VALUES except the broader pytest suite. The
+deterministic ones are pinned here by an order-insensitive digest (the
+jobs/equality_check.py scheme: md5 per canonical row, summed, plus row
+count — invariant to partitioning and row order, sensitive to any value
+change); the ANN entries are pinned by exact-top-1 containment (the
+query vector is row 0's own embedding, so the true top-1 is known).
+test_registry_guard enforces that GOLDEN + the ANN pins exactly cover
+ROWS_ONLY, so these sets cannot silently drift from the docstring.
 """
 
 from __future__ import annotations
