@@ -1,0 +1,89 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are implemented as compositions of existing DataFrame operators
+(the task brief's preferred route for missing operators) with the
+100 TB shape as the design driver:
+
+- ``asof_join``: for every left row, the most recent right row at or
+  before its timestamp (the trades/quotes classic). NOT a non-equi join
+  (Spark would plan a broadcast-nested-loop or a sort-merge over an
+  inequality — both explode at scale): both sides UNION into one stream,
+  ONE key-partitioned window sorts it by (ts, side), and
+  ``last(value, ignorenulls=True)`` carries the newest right value
+  forward onto each left row. One shuffle on the join key, linear work,
+  no cross product — the streaming-merge formulation of as-of.
+- ``range_join_binned``: points joined to enclosing [start, end]
+  intervals. The naive BETWEEN join is a cross product per key; binning
+  makes it an EQUI join: each interval explodes to the fixed-width time
+  bins it covers, each point maps to its single bin, the join key is
+  (key, bin) and the exact BETWEEN predicate filters within the bucket.
+  Fan-out is bounded by interval_length/bin_size (choose bin_size near
+  the typical interval length); a point matches an interval in exactly
+  one bin (its own), so no post-join dedup is needed.
+
+DuckDB cross-checks both: its native ASOF JOIN for the former, a plain
+BETWEEN join for the latter (affordable at oracle scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
+              ts_col: str, value_cols: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """Left rows + the latest right ``value_cols`` with right.ts <=
+    left.ts (inclusive), per ``key_cols``; NULL where no right row
+    precedes. Right should hold one row per (key, ts) — pre-aggregate if
+    not, or the carried value is the (ts, insertion)-latest and ties are
+    not deterministic.
+    """
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        *key_cols, ts_col,
+        *[F.col(v).alias(f"__rv_{v}") for v in value_cols]) \
+        .withColumn("__side", F.lit(0))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at the same timestamp, so an
+    # equal-ts right row is visible to the left row (inclusive as-of,
+    # matching DuckDB's ASOF JOIN >= semantics)
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = unioned
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}{suffix}",
+            F.last(F.col(f"__rv_{v}"), ignorenulls=True).over(w))
+    return (out.where(F.col("__side") == 1)
+            .drop("__side", *[f"__rv_{v}" for v in value_cols]))
+
+
+def range_join_binned(points: DataFrame, intervals: DataFrame,
+                      key_cols: list[str], ts_col: str,
+                      start_col: str, end_col: str,
+                      bin_size_sec: int = 300) -> DataFrame:
+    """(point row + its enclosing interval's columns) for every point
+    whose ts lies in [start, end] of an interval with matching keys.
+    Points inside several overlapping intervals emit one row per
+    enclosing interval.
+    """
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    start_s = F.unix_timestamp(F.col(start_col))
+    end_s = F.unix_timestamp(F.col(end_col))
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(
+            F.floor(start_s / bin_size_sec).cast("long"),
+            F.floor(end_s / bin_size_sec).cast("long"))))
+    pt = points.withColumn("__bin",
+                           F.floor(ts_s / bin_size_sec).cast("long"))
+    joined = pt.join(iv, [*key_cols, "__bin"])
+    return (joined.where(
+        (F.unix_timestamp(F.col(ts_col))
+         >= F.unix_timestamp(F.col(start_col)))
+        & (F.unix_timestamp(F.col(ts_col))
+           <= F.unix_timestamp(F.col(end_col))))
+        .drop("__bin"))

@@ -420,6 +420,74 @@ FROM (SELECT doc_id,
 """
 
 
+def events_asof_join(spark, sf):
+    # as-of join (task-brief custom operator): for every click, the most
+    # recent preceding purchase value per user — union + one windowed
+    # last() instead of a non-equi join (operators/joins.py)
+    from pdf_parser_spark.operators.joins import asof_join
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(clicks, purchases, ["user_id"], "ts",
+                    ["purchase_value"])
+    return out.select("user_id", "event_id",
+                      F.round("purchase_value_asof", 6)
+                      .alias("last_purchase_value"))
+
+
+EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.event_id,
+       round(p.purchase_value, 6) AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def events_range_join(spark, sf):
+    # range join (task-brief custom operator): points-in-interval via
+    # binned equi-join, never a per-key cross product — intervals here
+    # are 10-minute error windows per user, points are that user's clicks
+    from pdf_parser_spark.operators.joins import range_join_binned
+    ev = _t(spark, sf, "events")
+    intervals = (ev.where(F.col("event_type") == "error")
+                 .select("user_id",
+                         F.col("ts").alias("win_start"),
+                         (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                         .alias("win_end"),
+                         F.col("event_id").alias("error_id")))
+    points = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    out = range_join_binned(points, intervals, ["user_id"], "ts",
+                            "win_start", "win_end", bin_size_sec=600)
+    return out.select("user_id", "click_id", "error_id")
+
+
+EVENTS_RANGE_SQL = """
+WITH intervals AS (
+  SELECT user_id, ts AS win_start, ts + INTERVAL 10 MINUTE AS win_end,
+         event_id AS error_id
+  FROM events WHERE event_type = 'error'
+), points AS (
+  SELECT user_id, ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.click_id, i.error_id
+FROM points p JOIN intervals i
+  ON p.user_id = i.user_id
+ AND p.ts >= i.win_start AND p.ts <= i.win_end
+"""
+
+
 def orders_priority_topk(spark, sf):
     # T2/T3 per-group rank + truncate (reference gea_qa_agent_chroma.py:312-318)
     orders = _t(spark, sf, "orders")
@@ -1561,6 +1629,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": events_sessionize,
     "events_first_per_user": events_first_per_user,
     "events_history_window": events_history_window,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "docs_cost_estimate": docs_cost_estimate,
     "events_tumbling_window": events_tumbling_window,
     "events_rollup": events_rollup,
@@ -1650,6 +1720,8 @@ ORACLES: dict[str, str] = {
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_first_per_user": EVENTS_FIRST_SQL,
     "events_history_window": EVENTS_HISTORY_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_range_join": EVENTS_RANGE_SQL,
     "docs_cost_estimate": DOCS_COST_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,

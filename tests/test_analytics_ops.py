@@ -892,6 +892,64 @@ def test_resident_index_matches_brute_force(spark, emb_df):
     assert per_query < 0.05, per_query
 
 
+def test_asof_join_semantics(spark):
+    """Hand-pinned as-of edges: equal-ts right row IS visible
+    (inclusive), no-preceding-right yields NULL, carry-forward picks the
+    newest not just any, and keys never leak across partitions."""
+    import datetime as dt
+
+    from pdf_parser_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [("u1", t(5), "l1"), ("u1", t(10), "l2"), ("u1", t(20), "l3"),
+         ("u2", t(5), "l4"), ("u1", t(1), "l0")],
+        "user_id string, ts timestamp, lid string")
+    right = spark.createDataFrame(
+        [("u1", t(2), 100.0), ("u1", t(10), 200.0), ("u2", t(50), 9.0)],
+        "user_id string, ts timestamp, v double")
+    got = {r.lid: r.v_asof
+           for r in asof_join(left, right, ["user_id"], "ts",
+                              ["v"]).collect()}
+    assert got == {"l0": None,      # nothing at or before t=1
+                   "l1": 100.0,     # t=2 row carried
+                   "l2": 200.0,     # equal-ts right row visible
+                   "l3": 200.0,     # newest, not first
+                   "l4": None}      # u2's only right row is later
+
+
+def test_range_join_binned_semantics(spark):
+    """Bin boundaries must not lose matches: intervals spanning several
+    bins, points at exact interval edges (inclusive both ends),
+    overlapping intervals each emit a row, and a brute-force BETWEEN
+    join agrees exactly."""
+    import datetime as dt
+
+    from pdf_parser_spark.operators.joins import range_join_binned
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    intervals = spark.createDataFrame(
+        [("u1", t(0), t(650), "i1"),      # spans 3 bins at bin=300
+         ("u1", t(600), t(900), "i2"),    # overlaps i1 at [600, 650]
+         ("u2", t(0), t(100), "i3")],
+        "user_id string, s timestamp, e timestamp, iid string")
+    points = spark.createDataFrame(
+        [("u1", t(0), "p_start"), ("u1", t(650), "p_edge"),
+         ("u1", t(300), "p_bin_edge"), ("u1", t(901), "p_after"),
+         ("u2", t(50), "p_u2"), ("u1", t(899), "p_i2")],
+        "user_id string, ts timestamp, pid string")
+    got = {(r.pid, r.iid)
+           for r in range_join_binned(points, intervals, ["user_id"],
+                                      "ts", "s", "e",
+                                      bin_size_sec=300).collect()}
+    brute = {(p.pid, i.iid)
+             for p in points.collect() for i in intervals.collect()
+             if p.user_id == i.user_id and i.s <= p.ts <= i.e}
+    assert got == brute
+    assert ("p_edge", "i1") in got and ("p_edge", "i2") in got
+    assert ("p_after", "i2") not in got
+
+
 def test_heavy_hitters_exact(spark):
     """Two-pass heavy hitters must equal the naive exact top-k on a
     zipf-ish stream, bound pass-1 output per partition, and raise when
