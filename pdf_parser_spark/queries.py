@@ -420,6 +420,47 @@ FROM (SELECT doc_id,
 """
 
 
+def events_hypertable_rollup(spark, sf):
+    # hypertable rollup (task-brief custom op): minute/hour/day rollups
+    # of the event stream in ONE scan via GROUPING SETS — the batch form
+    # of a continuous aggregate (the streaming twin is the watermarked
+    # tumbling window, streaming/incremental + events_tumbling_window);
+    # each granularity is a partial-aggregated grouping set, so the scan
+    # and map-side combine are shared across all three
+    ev = _t(spark, sf, "events")
+    ev.createOrReplaceTempView("__events_ht")
+    return spark.sql("""
+        SELECT CASE WHEN g_min IS NOT NULL THEN 'minute'
+                    WHEN g_hour IS NOT NULL THEN 'hour'
+                    ELSE 'day' END AS granularity,
+               coalesce(g_min, g_hour, g_day) AS bucket_ts,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM (SELECT value,
+                     date_trunc('minute', ts) AS g_min,
+                     date_trunc('hour', ts) AS g_hour,
+                     date_trunc('day', ts) AS g_day
+              FROM __events_ht)
+        GROUP BY GROUPING SETS ((g_min), (g_hour), (g_day))
+    """)
+
+
+EVENTS_HYPERTABLE_SQL = """
+SELECT CASE WHEN g_min IS NOT NULL THEN 'minute'
+            WHEN g_hour IS NOT NULL THEN 'hour'
+            ELSE 'day' END AS granularity,
+       coalesce(g_min, g_hour, g_day) AS bucket_ts,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM (SELECT value,
+             date_trunc('minute', ts) AS g_min,
+             date_trunc('hour', ts) AS g_hour,
+             date_trunc('day', ts) AS g_day
+      FROM events)
+GROUP BY GROUPING SETS ((g_min), (g_hour), (g_day))
+"""
+
+
 def events_asof_join(spark, sf):
     # as-of join (task-brief custom operator): for every click, the most
     # recent preceding purchase value per user — union + one windowed
@@ -1630,6 +1671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_first_per_user": events_first_per_user,
     "events_history_window": events_history_window,
     "events_asof_join": events_asof_join,
+    "events_hypertable_rollup": events_hypertable_rollup,
     "events_range_join": events_range_join,
     "docs_cost_estimate": docs_cost_estimate,
     "events_tumbling_window": events_tumbling_window,
@@ -1721,6 +1763,7 @@ ORACLES: dict[str, str] = {
     "events_first_per_user": EVENTS_FIRST_SQL,
     "events_history_window": EVENTS_HISTORY_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_hypertable_rollup": EVENTS_HYPERTABLE_SQL,
     "events_range_join": EVENTS_RANGE_SQL,
     "docs_cost_estimate": DOCS_COST_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
