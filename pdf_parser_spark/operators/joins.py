@@ -42,7 +42,12 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     not deterministic.
     """
     lhs = left.withColumn("__side", F.lit(1))
-    rhs = right.select(
+    # a NULL-ts right row can never satisfy "at or before" (ASOF's
+    # predicate is never true for NULL), but Spark's asc ordering is
+    # NULLS FIRST and would carry its value onto every early left row —
+    # drop such rows. (A NULL-ts LEFT row correctly gets NULL: it sorts
+    # before every remaining right row, so last() sees nothing.)
+    rhs = right.where(F.col(ts_col).isNotNull()).select(
         *key_cols, ts_col,
         *[F.col(v).alias(f"__rv_{v}") for v in value_cols]) \
         .withColumn("__side", F.lit(0))
@@ -74,6 +79,12 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
     ts_s = F.unix_timestamp(F.col(ts_col))
     start_s = F.unix_timestamp(F.col(start_col))
     end_s = F.unix_timestamp(F.col(end_col))
+    # binning truncates to whole seconds, which is SAFE for candidate
+    # generation (ts in [start, end] implies floor(ts) in
+    # [floor(start), floor(end)]) but NOT for the exact predicate — the
+    # final filter compares the full-precision timestamps themselves
+    # (a unix_timestamp comparison would admit points up to ~1 s outside
+    # a sub-second interval boundary)
     iv = intervals.withColumn(
         "__bin", F.explode(F.sequence(
             F.floor(start_s / bin_size_sec).cast("long"),
@@ -81,9 +92,6 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
     pt = points.withColumn("__bin",
                            F.floor(ts_s / bin_size_sec).cast("long"))
     joined = pt.join(iv, [*key_cols, "__bin"])
-    return (joined.where(
-        (F.unix_timestamp(F.col(ts_col))
-         >= F.unix_timestamp(F.col(start_col)))
-        & (F.unix_timestamp(F.col(ts_col))
-           <= F.unix_timestamp(F.col(end_col))))
-        .drop("__bin"))
+    return (joined.where(F.col(ts_col).between(F.col(start_col),
+                                               F.col(end_col)))
+            .drop("__bin"))

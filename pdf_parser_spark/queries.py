@@ -426,28 +426,32 @@ def events_hypertable_rollup(spark, sf):
     # of a continuous aggregate (the streaming twin is the watermarked
     # tumbling window, streaming/incremental + events_tumbling_window);
     # each granularity is a partial-aggregated grouping set, so the scan
-    # and map-side combine are shared across all three
-    ev = _t(spark, sf, "events")
-    ev.createOrReplaceTempView("__events_ht")
-    return spark.sql("""
-        SELECT CASE WHEN g_min IS NOT NULL THEN 'minute'
-                    WHEN g_hour IS NOT NULL THEN 'hour'
-                    ELSE 'day' END AS granularity,
-               coalesce(g_min, g_hour, g_day) AS bucket_ts,
-               count(*) AS n_events,
-               round(sum(value), 6) AS sum_value
-        FROM (SELECT value,
-                     date_trunc('minute', ts) AS g_min,
-                     date_trunc('hour', ts) AS g_hour,
-                     date_trunc('day', ts) AS g_day
-              FROM __events_ht)
-        GROUP BY GROUPING SETS ((g_min), (g_hour), (g_day))
-    """)
+    # and map-side combine are shared across all three. Pure DataFrame
+    # API (no temp-view side effects); sets are labeled by GROUPING()
+    # (NOT key-NULLness — a NULL-ts group would otherwise mislabel), and
+    # NULL-ts rows are excluded as bucketless on both sides.
+    ev = _t(spark, sf, "events").where(F.col("ts").isNotNull()).select(
+        "value",
+        F.date_trunc("minute", F.col("ts")).alias("g_min"),
+        F.date_trunc("hour", F.col("ts")).alias("g_hour"),
+        F.date_trunc("day", F.col("ts")).alias("g_day"))
+    return (ev.groupingSets([["g_min"], ["g_hour"], ["g_day"]],
+                            "g_min", "g_hour", "g_day")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.grouping("g_min").alias("__gm"),
+                 F.grouping("g_hour").alias("__gh"))
+            .select(
+                F.when(F.col("__gm") == 0, "minute")
+                 .when(F.col("__gh") == 0, "hour")
+                 .otherwise("day").alias("granularity"),
+                F.coalesce("g_min", "g_hour", "g_day").alias("bucket_ts"),
+                "n_events", "sum_value"))
 
 
 EVENTS_HYPERTABLE_SQL = """
-SELECT CASE WHEN g_min IS NOT NULL THEN 'minute'
-            WHEN g_hour IS NOT NULL THEN 'hour'
+SELECT CASE WHEN grouping(g_min) = 0 THEN 'minute'
+            WHEN grouping(g_hour) = 0 THEN 'hour'
             ELSE 'day' END AS granularity,
        coalesce(g_min, g_hour, g_day) AS bucket_ts,
        count(*) AS n_events,
@@ -456,7 +460,7 @@ FROM (SELECT value,
              date_trunc('minute', ts) AS g_min,
              date_trunc('hour', ts) AS g_hour,
              date_trunc('day', ts) AS g_day
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
 GROUP BY GROUPING SETS ((g_min), (g_hour), (g_day))
 """
 

@@ -916,6 +916,19 @@ def test_asof_join_semantics(spark):
                    "l2": 200.0,     # equal-ts right row visible
                    "l3": 200.0,     # newest, not first
                    "l4": None}      # u2's only right row is later
+    # NULL-ts right rows never match (ASOF predicate is never true for
+    # NULL; without the guard they'd sort NULLS-FIRST and leak onto
+    # every early left row), and a NULL-ts left row gets NULL
+    right_n = spark.createDataFrame(
+        [("u1", None, 999.0), ("u1", t(2), 100.0)],
+        "user_id string, ts timestamp, v double")
+    left_n = left.union(spark.createDataFrame(
+        [("u1", None, "lN")], "user_id string, ts timestamp, lid string"))
+    got_n = {r.lid: r.v_asof
+             for r in asof_join(left_n, right_n, ["user_id"], "ts",
+                                ["v"]).collect()}
+    assert got_n["l0"] is None and got_n["lN"] is None
+    assert got_n["l1"] == 100.0 and got_n["l3"] == 100.0
 
 
 def test_range_join_binned_semantics(spark):
@@ -948,6 +961,24 @@ def test_range_join_binned_semantics(spark):
     assert got == brute
     assert ("p_edge", "i1") in got and ("p_edge", "i2") in got
     assert ("p_after", "i2") not in got
+    # sub-second precision: a point 0.7s past a sub-second interval end
+    # must NOT match (a whole-second unix_timestamp filter would admit
+    # it — the confirmed round-3 review bug)
+    us = lambda s, u: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s,
+                                                             microseconds=u)
+    iv2 = spark.createDataFrame(
+        [("u1", us(0, 500_000), us(100, 200_000), "j1")],
+        "user_id string, s timestamp, e timestamp, iid string")
+    pt2 = spark.createDataFrame(
+        [("u1", us(100, 900_000), "q_out"), ("u1", us(100, 100_000),
+                                             "q_in"),
+         ("u1", us(0, 100_000), "q_pre")],
+        "user_id string, ts timestamp, pid string")
+    got2 = {(r.pid, r.iid)
+            for r in range_join_binned(pt2, iv2, ["user_id"], "ts",
+                                       "s", "e",
+                                       bin_size_sec=300).collect()}
+    assert got2 == {("q_in", "j1")}
 
 
 def test_heavy_hitters_exact(spark):
