@@ -1141,3 +1141,77 @@ def test_batch_search_lsh_recall_gate(spark, emb_df):
                              n_planes=6, n_tables=3,
                              margin_probes=8).collect()
     assert _recall(got_s) >= 0.7
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ts_strat = st.integers(min_value=0, max_value=3_000)       # seconds
+_us_strat = st.integers(min_value=0, max_value=999_999)     # micros
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["u1", "u2"]), _ts_strat,
+                          _us_strat), min_size=1, max_size=12),
+       st.lists(st.tuples(st.sampled_from(["u1", "u2"]), _ts_strat,
+                          _us_strat,
+                          st.floats(min_value=-5, max_value=5,
+                                    allow_nan=False)),
+                min_size=0, max_size=12))
+def test_asof_join_property(spark, left_rows, right_rows):
+    """asof_join == python brute force on random microsecond data.
+    Right side deduped per (key, ts) (the documented precondition)."""
+    import datetime as dt
+
+    from pdf_parser_spark.operators.joins import asof_join
+
+    mk = lambda s, u: dt.datetime(2026, 1, 1) + dt.timedelta(
+        seconds=s, microseconds=u)
+    lrows = [(k, mk(s, u), i) for i, (k, s, u) in enumerate(left_rows)]
+    seen = {}
+    for k, s, u, v in right_rows:
+        seen[(k, mk(s, u))] = max(v, seen.get((k, mk(s, u)), v))
+    rrows = [(k, t, v) for (k, t), v in seen.items()]
+    left = spark.createDataFrame(lrows,
+                                 "k string, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        rrows or [("never", dt.datetime(1970, 1, 1), 0.0)],
+        "k string, ts timestamp, v double")
+    got = {r.lid: r.v_asof
+           for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()}
+    for k, t, lid in lrows:
+        cands = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt <= t]
+        exp = max(cands, key=lambda x: x[0])[1] if cands else None
+        assert got[lid] == exp, (lid, got[lid], exp)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["u1", "u2"]), _ts_strat,
+                          _us_strat), min_size=1, max_size=10),
+       st.lists(st.tuples(st.sampled_from(["u1", "u2"]), _ts_strat,
+                          _us_strat, st.integers(0, 900)),
+                min_size=1, max_size=8),
+       st.sampled_from([60, 300, 1000]))
+def test_range_join_property(spark, pt_rows, iv_rows, bin_size):
+    """range_join_binned == python brute force for any bin size."""
+    import datetime as dt
+
+    from pdf_parser_spark.operators.joins import range_join_binned
+
+    mk = lambda s, u: dt.datetime(2026, 1, 1) + dt.timedelta(
+        seconds=s, microseconds=u)
+    pts = [(k, mk(s, u), i) for i, (k, s, u) in enumerate(pt_rows)]
+    ivs = [(k, mk(s, u), mk(s + d, u), i)
+           for i, (k, s, u, d) in enumerate(iv_rows)]
+    points = spark.createDataFrame(pts,
+                                   "k string, ts timestamp, pid long")
+    intervals = spark.createDataFrame(
+        ivs, "k string, s timestamp, e timestamp, iid long")
+    got = {(r.pid, r.iid)
+           for r in range_join_binned(points, intervals, ["k"], "ts",
+                                      "s", "e",
+                                      bin_size_sec=bin_size).collect()}
+    brute = {(pid, iid) for (pk, pt_, pid) in pts
+             for (ik, s, e, iid) in ivs
+             if pk == ik and s <= pt_ <= e}
+    assert got == brute
