@@ -44,6 +44,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash."""
+    from pyspark import StorageLevel
+
     from pdf_parser_spark.operators.dedup import (content_key,
                                                   dedup_by_components,
                                                   simhash_dup_pairs)
@@ -51,7 +53,12 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     from pdf_parser_spark.operators.sampling import deterministic_split
     from pdf_parser_spark.operators.textstats import text_statistics
 
-    base = with_chunk_id(chunks)
+    # materialize the chunk rows ONCE: five consumers reference them
+    # (survivor agg, flag join, simhash side, funnel, write) and without
+    # this the extraction mapInPandas re-executes per consumer — measured
+    # 5x the wall on a 591k-turn corpus. Owned by the result (released
+    # via its owned_storage handles).
+    base = with_chunk_id(chunks).persist(StorageLevel.MEMORY_AND_DISK)
 
     # exact dedup: survivor = the min chunk id of each content group
     survivors = (base.groupBy(content_key(F.col("text")).alias("__h"))
@@ -91,7 +98,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     # component labeling) — re-attach those handles to the final result
     # so run_training_pipeline (or any caller) can release them; without
     # this the joins above would orphan them into session-lifetime leaks
-    out.owned_storage = (tuple(getattr(pairs, "owned_storage", ()))
+    out.owned_storage = ((base,)
+                         + tuple(getattr(pairs, "owned_storage", ()))
                          + tuple(getattr(near_survivors,
                                          "owned_storage", ())))
     return out
@@ -126,10 +134,15 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
 
     from pdf_parser_spark.operators.dedup import release_owned_storage
 
+    from pyspark import StorageLevel
+
     cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
     chunks = extract_chunks(read_transcripts(spark, input_path), cfg) \
         .where(F.col("chunk_type") == "text").drop("table_cells")
-    curated = curate(chunks, **curate_kwargs)
+    # curated feeds BOTH the funnel aggregation and the write; persist it
+    # so the flag joins + text-statistics UDFs execute once, not twice
+    curated = curate(chunks, **curate_kwargs) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         funnel = funnel_metrics(curated)
         (curated.where(F.col("selected"))
@@ -138,9 +151,10 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
          .write.partitionBy("split").mode("overwrite")
          .parquet(f"{output_dir}/corpus"))
     finally:
-        # the dedup tiers' pinned storage rides on `curated`; a driver
-        # looping over corpora must not accumulate it
+        # the dedup tiers' + base chunks' pinned storage rides on
+        # `curated`; a driver looping over corpora must not accumulate it
         release_owned_storage(curated)
+        curated.unpersist()
     if "://" in output_dir:
         # non-local filesystem: write the tiny funnel through Spark's
         # Hadoop FS writer (a local open() would fail after the whole
