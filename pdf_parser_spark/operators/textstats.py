@@ -142,6 +142,31 @@ def _lang_id_series(s: pd.Series) -> pd.Series:
 lang_id_udf = pandas_udf(_lang_id_series, StringType())
 
 
+def lang_id_expr(col: Column) -> Column:
+    """JVM twin of :func:`lang_id_py` — the hot-path implementation.
+
+    Same decision procedure, zero Python: CJK codepoint share via
+    regexp_count, stopword votes via a filtered token array per language,
+    and the (count, lang) tie-break as a single ``greatest`` over structs
+    (struct ordering is field-lexicographic, exactly Python's
+    ``max(counts, key=lambda k: (counts[k], k))``). Equality with the
+    pure-Python oracle is pinned row-for-row by
+    test_lang_id_expr_matches_python."""
+    c = F.coalesce(col, F.lit(""))
+    n_chars = F.length(c)
+    cjk = F.regexp_count(c, F.lit("[一-鿿]"))
+    toks = tokens_array(F.lower(c))
+    votes = F.greatest(*[
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("c"),
+            F.lit(lang).alias("l"))
+        for lang, markers in _LANG_MARKERS.items()])
+    return (F.when(n_chars == 0, F.lit("und"))
+            .when(cjk.cast("double") / n_chars > 0.05, F.lit("zh"))
+            .when(votes["c"] > 0, votes["l"])
+            .otherwise(F.lit("und")))
+
+
 # --- fingerprinting ---
 
 
@@ -171,6 +196,28 @@ def _fingerprint_series(s: pd.Series) -> pd.Series:
 fingerprint_udf = pandas_udf(_fingerprint_series, StringType())
 
 
+def fingerprint_expr(col: Column, window: int = 8) -> Column:
+    """JVM twin of :func:`fingerprint_py` — the hot-path implementation.
+
+    The winnowing min is order-compatible because md5 hex strings compare
+    lexicographically the same in Python and the JVM (both ASCII). Spans
+    are ``transform`` over a start-index ``sequence`` with ``slice`` +
+    ``concat_ws`` + built-in ``md5`` (UTF-8, identical to hashlib), then
+    ``array_min`` — all Catalyst expressions, no Arrow transfer. The
+    pure-Python twin remains the pytest/DuckDB oracle; equality is pinned
+    row-for-row by test_fingerprint_expr_matches_python. Per-row cost is
+    O(tokens x window) char copies either way — the JVM version removes
+    the interpreter + per-span hashlib object overhead that made this the
+    single hottest stage of the training pipeline."""
+    toks = tokens_array(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    span_md5 = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1,
+                                                         window))))
+    return F.when(n == 0, F.lit("")).otherwise(F.array_min(span_md5))
+
+
 def md5_fingerprint(col: Column, length: int = 16) -> Column:
     """Exact-content fingerprint as a JVM expression — built-in md5 matches
     hashlib (reference chunk ids: md5(...)[:16], gea_qa_agent.py:109)."""
@@ -178,10 +225,15 @@ def md5_fingerprint(col: Column, length: int = 16) -> Column:
 
 
 def text_statistics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full text-analysis projection: quality + lang + fingerprints."""
+    """Full text-analysis projection: quality + lang + fingerprints.
+
+    Entirely JVM expressions since round 3 — the lang-ID and winnowing
+    fingerprint run as Catalyst expression twins of the pure-Python
+    oracles (equality pinned per-row by tests), so the whole projection
+    stays inside codegen with no Arrow transfer."""
     return (quality_features(df, text_col)
-            .withColumn("lang_pred", lang_id_udf(F.col(text_col)))
-            .withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+            .withColumn("lang_pred", lang_id_expr(F.col(text_col)))
+            .withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
             .withColumn("content_id", md5_fingerprint(F.col(text_col))))
 
 

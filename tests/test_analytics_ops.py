@@ -69,6 +69,52 @@ def test_lang_id(spark, docs_df):
     assert lang_id_py(DOCS[2][1]) == "de"  # oracle == UDF by construction
 
 
+# adversarial rows for the JVM-expression twins: null, empty,
+# whitespace-only, unicode whitespace (U+3000/U+00A0 must NOT split under
+# the ASCII convention), CJK just above/below the 5% gate, inter-language
+# vote ties (max picks the lexicographically LARGER lang), sub-window
+# token counts, and exact-window boundaries
+_TWIN_EDGE_ROWS = [
+    None, "", "   ", "\t\n ", "one", "one two",
+    "seven tokens here to stay below window", # 7 < window=8
+    "exactly eight tokens sit right at the window edge",  # == 8
+    "nine tokens now just over the rolling window edge x",  # 9
+    "the la",                         # en=1, es=1 tie -> es (max by lang)
+    "the le",                         # en=1, fr=1 tie -> fr
+    "der el le the",                  # 4-way tie -> fr
+    "一二三 padding padding padding padding padding padding padding "
+    "padding padding padding padding padding padding padding pad",  # <5% cjk
+    "一二三四五 ok",                   # >5% cjk -> zh
+    "word　word",                 # ideographic space: ONE ascii token
+    "word word",                 # nbsp: one token
+    "MiXeD CaSe THE AND OF tokens",
+    "punctuation!!! ??? ;;; --- ...",
+    "the quick brown fox jumps over the lazy dog " * 30,  # long doc
+]
+
+
+def test_lang_id_expr_matches_python(spark):
+    from pdf_parser_spark.operators.textstats import lang_id_expr, lang_id_py
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_TWIN_EDGE_ROWS)],
+                               "i int, text string")
+    got = {r.i: r.l for r in
+           df.select("i", lang_id_expr(F.col("text")).alias("l")).collect()}
+    for i, t in enumerate(_TWIN_EDGE_ROWS):
+        assert got[i] == lang_id_py(t), (i, t, got[i], lang_id_py(t))
+
+
+def test_fingerprint_expr_matches_python(spark):
+    from pdf_parser_spark.operators.textstats import (fingerprint_expr,
+                                                      fingerprint_py)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_TWIN_EDGE_ROWS)],
+                               "i int, text string")
+    got = {r.i: r.f for r in
+           df.select("i",
+                     fingerprint_expr(F.col("text")).alias("f")).collect()}
+    for i, t in enumerate(_TWIN_EDGE_ROWS):
+        assert got[i] == fingerprint_py(t), (i, t)
+
+
 def test_exact_dedup(spark, docs_df):
     kept = exact_dedup(docs_df).collect()
     assert len(kept) == 7  # docs 0 and 7 identical
