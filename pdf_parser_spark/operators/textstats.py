@@ -143,7 +143,7 @@ lang_id_udf = pandas_udf(_lang_id_series, StringType())
 
 
 def lang_id_expr(col: Column) -> Column:
-    """JVM twin of :func:`lang_id_py` — the hot-path implementation.
+    """JVM twin of :func:`lang_id_py` — a no-Python-workers fallback.
 
     Same decision procedure, zero Python: CJK codepoint share via
     regexp_count, stopword votes via a filtered token array per language,
@@ -151,7 +151,15 @@ def lang_id_expr(col: Column) -> Column:
     (struct ordering is field-lexicographic, exactly Python's
     ``max(counts, key=lambda k: (counts[k], k))``). Equality with the
     pure-Python oracle is pinned row-for-row by
-    test_lang_id_expr_matches_python."""
+    test_lang_id_expr_matches_python.
+
+    NOT the hot path: measured together with :func:`fingerprint_expr` on
+    646k chunks, the expression twins ran ~8x SLOWER than the Arrow-
+    batched UDFs (32-34 s vs ~4 s, interleaved runs, identical outputs) —
+    higher-order array expressions evaluate interpreted (CodegenFallback)
+    with per-element boxing, while the UDF path is C-speed hashlib/str
+    ops behind one Arrow transfer. Kept because it needs no Python
+    workers on the executors; :func:`text_statistics` uses the UDFs."""
     c = F.coalesce(col, F.lit(""))
     n_chars = F.length(c)
     cjk = F.regexp_count(c, F.lit("[一-鿿]"))
@@ -197,18 +205,19 @@ fingerprint_udf = pandas_udf(_fingerprint_series, StringType())
 
 
 def fingerprint_expr(col: Column, window: int = 8) -> Column:
-    """JVM twin of :func:`fingerprint_py` — the hot-path implementation.
+    """JVM twin of :func:`fingerprint_py` — a no-Python-workers fallback.
 
     The winnowing min is order-compatible because md5 hex strings compare
     lexicographically the same in Python and the JVM (both ASCII). Spans
     are ``transform`` over a start-index ``sequence`` with ``slice`` +
     ``concat_ws`` + built-in ``md5`` (UTF-8, identical to hashlib), then
-    ``array_min`` — all Catalyst expressions, no Arrow transfer. The
-    pure-Python twin remains the pytest/DuckDB oracle; equality is pinned
-    row-for-row by test_fingerprint_expr_matches_python. Per-row cost is
-    O(tokens x window) char copies either way — the JVM version removes
-    the interpreter + per-span hashlib object overhead that made this the
-    single hottest stage of the training pipeline."""
+    ``array_min``. The pure-Python twin remains the pytest/DuckDB oracle;
+    equality is pinned row-for-row by test_fingerprint_expr_matches_python.
+
+    NOT the hot path — see the measurement note on :func:`lang_id_expr`:
+    the O(tokens x window) slice/concat/md5 chain inside ``transform``
+    runs interpreted (higher-order functions are CodegenFallback) and
+    measured ~8x slower than the Arrow-batched UDF on 646k chunks."""
     toks = tokens_array(col)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
@@ -227,13 +236,14 @@ def md5_fingerprint(col: Column, length: int = 16) -> Column:
 def text_statistics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection: quality + lang + fingerprints.
 
-    Entirely JVM expressions since round 3 — the lang-ID and winnowing
-    fingerprint run as Catalyst expression twins of the pure-Python
-    oracles (equality pinned per-row by tests), so the whole projection
-    stays inside codegen with no Arrow transfer."""
+    lang-ID and the winnowing fingerprint stay on the Arrow-batched
+    pandas UDFs: the Catalyst expression twins (:func:`lang_id_expr`,
+    :func:`fingerprint_expr`) were measured ~8x slower on 646k chunks
+    (higher-order array expressions run interpreted), so "UDFs are the
+    slow path" is inverted here — measured, not assumed."""
     return (quality_features(df, text_col)
-            .withColumn("lang_pred", lang_id_expr(F.col(text_col)))
-            .withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
+            .withColumn("lang_pred", lang_id_udf(F.col(text_col)))
+            .withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
             .withColumn("content_id", md5_fingerprint(F.col(text_col))))
 
 
