@@ -449,7 +449,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Per round: two key-partitioned joins + one map-side-combined groupBy;
     plans are cut per round with an eager ``localCheckpoint`` (the
     standard iterative-DataFrame pattern), and the loop stops at the first
-    fixpoint, verified by a bounded labels-changed count.
+    fixpoint. Two per-round costs are engineered away (round 3): the edge
+    relation is repartitioned on the join key and persisted once, so the
+    planner never re-shuffles it (only the label side exchanges), and the
+    fixpoint check reads a ``prev`` label carried INTO each round's
+    checkpoint — a scan over already-materialized rows, not the extra
+    join + shuffle per round it used to be.
 
     Storage hygiene (round 3): rounds are cut with eager
     ``localCheckpoint`` — checkpointing (not persist) is load-bearing
@@ -484,44 +489,58 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     a = F.col(id_a)
     b = F.col(id_b)
-    edges = _mat(pairs.select(a.alias("src"), b.alias("dst"))
-                 .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
-                 .distinct())
-    comps = _mat(edges.select(F.col("src").alias("id")).distinct()
-                 .withColumn("component", F.col("id")))
+    n_part = sc.defaultParallelism
+    # the symmetric edge list is built once: localCheckpoint truncates the
+    # caller's pair-plan lineage, then repartition-on-the-join-key +
+    # persist. The persist (NOT a second checkpoint) is load-bearing:
+    # a checkpointed scan reports UnknownPartitioning (verified on this
+    # Spark), while InMemoryRelation preserves the repartition's hash
+    # partitioning — so every round's neighbor join shuffles only the
+    # (label) side, never the edge relation
+    edges_ck = _mat(pairs.select(a.alias("src"), b.alias("dst"))
+                    .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+                    .distinct())
+    edges = edges_ck.repartition(n_part, "src") \
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+    ckpt = _mat(edges.select(F.col("src").alias("id")).distinct()
+                .withColumn("component", F.col("id")))
+    comps = ckpt  # comps is a (possibly projected) view; ckpt owns blocks
     try:
         for _ in range(max_iter):
             neigh = (edges.join(comps.withColumnRenamed("id", "src"), "src")
                      .groupBy(F.col("dst").alias("id"))
                      .agg(F.min("component").alias("n_min")))
             stepped = (comps.join(neigh, "id", "left")
-                       .select("id", F.least(F.col("component"),
-                                             F.coalesce("n_min",
-                                                        "component"))
-                               .alias("component")))
+                       .select("id",
+                               F.least(F.col("component"),
+                                       F.coalesce("n_min", "component"))
+                               .alias("c1"),
+                               F.col("component").alias("prev")))
             # pointer jump: comp[v] <- min(comp[v], comp[comp[v]]) —
             # doubles the propagation distance every round (log-diameter
             # convergence)
-            grand = stepped.select(F.col("id").alias("component"),
-                                   F.col("component").alias("g"))
-            new = _mat(stepped.join(grand, "component", "left")
-                       .select("id", F.least(F.col("component"),
-                                             F.coalesce("g", "component"))
-                               .alias("component")))
-            changed = (new.alias("n")
-                       .join(comps.alias("o"), "id")
-                       .where(F.col("n.component") != F.col("o.component"))
-                       .count())
-            _drop(comps)            # superseded round's blocks freed NOW
-            comps = new
+            grand = stepped.select(F.col("id").alias("c1"),
+                                   F.col("c1").alias("g"))
+            # the PREVIOUS label rides along into the checkpoint, so the
+            # convergence check below is a scan over already-materialized
+            # rows — not the extra join + shuffle per round it used to be
+            new = _mat(stepped.join(grand, "c1", "left")
+                       .select("id", F.least(F.col("c1"),
+                                             F.coalesce("g", "c1"))
+                               .alias("component"), "prev"))
+            changed = new.where(F.col("component") != F.col("prev")).count()
+            _drop(ckpt)             # superseded round's blocks freed NOW
+            ckpt = new
+            comps = new.select("id", "component")
             if changed == 0:
-                rid = _ckpt_rdd_id(comps)
+                rid = _ckpt_rdd_id(ckpt)
                 handles = ([_RddHandle(sc, rid)] if rid is not None
                            else [])
                 return _own(comps, *handles)
     finally:
-        _drop(edges)
-    _drop(comps)
+        edges.unpersist()
+        _drop(edges_ck)
+    _drop(ckpt)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(diameter > ~2^{max_iter}); raise max_iter")
