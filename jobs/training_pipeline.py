@@ -6,10 +6,11 @@ quality/language/length funnel -> deterministic split -> partitioned
 write), in the engine's fused-plan shape: every per-row criterion is a
 FLAG COLUMN on one DataFrame, so the funnel metrics come from ONE
 aggregation pass and the final write filters the same plan — no
-per-stage materialization, no repeated scans of the chunk text. The only
-joins are the two dedup verdicts (content-hash survivor and near-dup
-cluster loser sets — both key-partitioned, the same shapes
-operators/dedup.py documents).
+per-stage materialization, no repeated scans of the chunk text. The
+exact-dedup verdict is a window over the content hash (one exchange, no
+join); the only join is the near-dup LOSER set — the small side by
+construction, AQE-broadcastable (operators/dedup.py documents the
+shapes).
 
 Run::
 
@@ -45,9 +46,10 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    from pdf_parser_spark.operators.dedup import (content_key,
-                                                  dedup_by_components,
+    from pdf_parser_spark.operators.dedup import (connected_components,
+                                                  content_key,
                                                   simhash_dup_pairs)
     from pdf_parser_spark.operators.retrieval import with_chunk_id
     from pdf_parser_spark.operators.sampling import deterministic_split
@@ -60,27 +62,34 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     # via its owned_storage handles).
     base = with_chunk_id(chunks).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # exact dedup: survivor = the min chunk id of each content group
-    survivors = (base.groupBy(content_key(F.col("text")).alias("__h"))
-                 .agg(F.min("id").alias("__surv")))
+    # exact dedup as a WINDOW over the content hash, not a groupBy+join:
+    # survivor = min chunk id per content group either way, but the window
+    # is ONE exchange on __h with no second join-side subtree to recompute
+    # (the join shape re-evaluated the whole flag chain wherever the plan
+    # referenced it — measured as a repeated 646k-row shuffle join)
     flagged = (base.withColumn("__h", content_key(F.col("text")))
-               .join(survivors, "__h")
-               .withColumn("f_exact_unique", F.col("id") == F.col("__surv"))
-               .drop("__h", "__surv"))
+               .withColumn("f_exact_unique",
+                           F.col("id") == F.min("id").over(
+                               Window.partitionBy("__h")))
+               .drop("__h"))
 
     # near-dup clusters over the exact survivors (simhash pairs ->
-    # connected components); losers flagged back onto every row
+    # connected components). The flag joins against the LOSER set — the
+    # duplicates being dropped — not the survivor set: losers are the
+    # small side by construction (near-dup fraction of the corpus), so
+    # AQE can broadcast them, where the survivor join shuffled ~the whole
+    # corpus back onto itself
     exact_side = flagged.where(F.col("f_exact_unique")).select("id", "text")
     pairs = simhash_dup_pairs(exact_side, "id", "text",
                               max_hamming=max_hamming)
-    near_survivors = dedup_by_components(exact_side.select("id"), pairs,
-                                         "id")
-    flagged = (flagged.join(
-        near_survivors.withColumn("f_near_unique", F.lit(True)), "id",
-        "left")
-        .withColumn("f_near_unique",
-                    F.col("f_exact_unique")
-                    & F.coalesce(F.col("f_near_unique"), F.lit(False))))
+    comps = connected_components(pairs)
+    losers = (comps.where(F.col("id") != F.col("component"))
+              .select("id").withColumn("__loser", F.lit(True)))
+    flagged = (flagged.join(losers, "id", "left")
+               .withColumn("f_near_unique",
+                           F.col("f_exact_unique")
+                           & F.col("__loser").isNull())
+               .drop("__loser"))
 
     # text_statistics APPENDS its columns — no join, one pass over text
     flagged = (text_statistics(flagged)
@@ -100,8 +109,7 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     # this the joins above would orphan them into session-lifetime leaks
     out.owned_storage = ((base,)
                          + tuple(getattr(pairs, "owned_storage", ()))
-                         + tuple(getattr(near_survivors,
-                                         "owned_storage", ())))
+                         + tuple(getattr(comps, "owned_storage", ())))
     return out
 
 

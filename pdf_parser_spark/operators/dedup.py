@@ -497,9 +497,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # Spark), while InMemoryRelation preserves the repartition's hash
     # partitioning — so every round's neighbor join shuffles only the
     # (label) side, never the edge relation
-    edges_ck = _mat(pairs.select(a.alias("src"), b.alias("dst"))
-                    .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
-                    .distinct())
+    # single-reference symmetrization: explode([struct(a,b), struct(b,a)])
+    # references the pair plan ONCE — the union-of-two-selects shape
+    # evaluates an unpersisted candidate-pair join twice in the same job
+    # (measured: the full banding self-join ran 2x inside the edges build)
+    edges_ck = _mat(pairs.select(F.explode(F.array(
+                        F.struct(a.alias("src"), b.alias("dst")),
+                        F.struct(b.alias("src"), a.alias("dst"))))
+                    .alias("e"))
+                    .select("e.src", "e.dst").distinct())
     edges = edges_ck.repartition(n_part, "src") \
                     .persist(StorageLevel.MEMORY_AND_DISK)
     ckpt = _mat(edges.select(F.col("src").alias("id")).distinct()
