@@ -558,7 +558,10 @@ def docs_token_stats(spark, sf):
     # token counting + C1 null-safe length over documents
     d = _t_wide(spark, sf, "documents")
     toks = F.size(F.split(F.col("text"), " "))
-    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-z0-9]", ""))
+    # positive class, not length(regexp_replace(..., '[^a-z0-9]', '')):
+    # same count, but negated-class atoms that can match non-ASCII chars
+    # measured ~20x slower JVM-side (operators/textstats.py)
+    alnum = F.regexp_count(F.col("text"), F.lit("[a-z0-9]"))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
