@@ -321,34 +321,46 @@ def simhash_py(text: str | None, bits: int = 64) -> int:
     return v
 
 
-def _simhash_np(text: str | None) -> int:
-    """Vectorized twin of :func:`simhash_py` (bit votes in numpy; one
-    md5 per token stays hashlib). Equality with the scalar version is
-    pinned by tests — the pure-Python function remains the oracle."""
+def _simhash_series(s: pd.Series) -> pd.Series:
+    """Vectorized twin of :func:`simhash_py` (bit votes in numpy; md5
+    stays hashlib). Equality with the scalar oracle is pinned by tests.
+
+    The token-hash table is MEMOIZED ACROSS THE ARROW BATCH: token
+    frequencies are Zipfian, so most occurrences in a few-thousand-row
+    batch hit tokens already hashed — md5 (the dominant cost of SimHash)
+    runs once per distinct token per batch instead of once per
+    occurrence. Values are unchanged by construction (same hash per
+    token, same per-occurrence votes); memory is bounded by the batch's
+    distinct-token count."""
     import numpy as np
 
-    if not text:
-        return 0
     from pdf_parser_spark.operators.textstats import ascii_tokens
-    tokens = ascii_tokens(text)
-    if not tokens:
-        return 0
-    digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
-                       for t in tokens)
-    hs = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    ones = bits.sum(axis=0)
-    # vote > 0  <=>  ones > n_tokens - ones
-    v = int(np.bitwise_or.reduce(
-        (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        [2 * ones > len(tokens)], initial=np.uint64(0)))
-    if v >= 1 << 63:
-        v -= 1 << 64
-    return v
 
-
-def _simhash_series(s: pd.Series) -> pd.Series:
-    return s.map(_simhash_np).astype("int64")
+    memo: dict[str, int] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+    out = np.zeros(len(s), dtype=np.int64)
+    for j, text in enumerate(s.tolist()):
+        if not text:
+            continue
+        tokens = ascii_tokens(text)
+        if not tokens:
+            continue
+        hs = np.empty(len(tokens), dtype=np.uint64)
+        for k, t in enumerate(tokens):
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                memo[t] = v
+            hs[k] = v
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        ones = bits.sum(axis=0)
+        # vote > 0  <=>  ones > n_tokens - ones
+        v = int(np.bitwise_or.reduce(weights[2 * ones > len(tokens)],
+                                     initial=np.uint64(0)))
+        out[j] = v - (1 << 64) if v >= 1 << 63 else v
+    return pd.Series(out)
 
 
 simhash_udf = pandas_udf(_simhash_series, LongType())
@@ -371,29 +383,57 @@ def _band_specs(n_tables: int) -> list[tuple[int, int]]:
 
 
 def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3,
-                              n_tables: int | None = None) -> DataFrame:
+                              n_tables: int | None = None,
+                              n_blocks: int | None = None) -> DataFrame:
     """(id_a, id_b, hamming) over an (id, sh) DataFrame of 64-bit simhashes.
 
-    Multi-table (pigeonhole) blocking: the 64 bits split into ``n_tables``
-    (default max_hamming + 1) contiguous bands; two hashes within hamming
-    distance k <= n_tables - 1 must agree EXACTLY on at least one band, so
-    blocking on (band_idx, band_bits) guarantees every qualifying pair
-    becomes a candidate — recall 1.0 by construction (the standard
-    permuted-table construction from the web-dedup literature), unlike
-    single-prefix blocking which silently misses pairs that differ in the
-    prefix bits. Candidates are verified with exact popcount(xor).
+    Combination blocking (Manku/Jain/Sarma, WWW 2007 — the construction
+    Google's web near-dup system published): the 64 bits split into
+    ``n_blocks`` contiguous blocks; a table is keyed on each
+    C(n_blocks, n_blocks - max_hamming) combination of n_blocks - k
+    blocks. Two hashes within hamming distance k corrupt at most k
+    blocks, so some (n_blocks - k)-block combination is untouched and
+    matches EXACTLY — recall 1.0 by pigeonhole, for ANY n_blocks > k.
+    Candidates are verified with exact popcount(xor).
 
-    Still bucketed, never O(n^2): candidate volume tracks band-bucket
-    occupancy (~n/2^band_width rows per bucket; 16-bit bands at the
-    default k=3). The 100 TB shape is explode(n_tables) -> shuffle on
-    (band, key) -> within-bucket self-join.
+    ``n_blocks`` is the scale dial, and it matters QUADRATICALLY: with
+    the minimum n_blocks = k + 1 (single-block keys, 64/(k+1) bits) a
+    bucket holds ~n/2^16 rows at k=3, so candidate volume grows n^2 —
+    measured as a 4-straggler-task stage at 6.3M docs (~1.2G candidate
+    pairs). n_blocks = 5 keys tables on ~25 bits (C(5,2) = 10 tables):
+    32x fewer per-bucket collisions for 2.5x the explode — candidates
+    fall back to ~O(n) at tens of millions of docs. The legacy
+    ``n_tables`` parameter is an alias for minimum-geometry n_blocks.
+
+    The 100 TB shape is explode(tables) -> shuffle on (band, key) ->
+    within-bucket self-join; never O(n^2) when n_blocks matches scale
+    (see simhash_dup_pairs for the auto rule).
     """
-    n_tables = n_tables or (max_hamming + 1)
+    import itertools
+
+    n_blocks = n_blocks or n_tables or (max_hamming + 1)
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs an uncorrupted block combination)")
+    specs = _band_specs(n_blocks)
+    combos = list(itertools.combinations(range(n_blocks),
+                                         n_blocks - max_hamming))
+
+    def _key(combo):
+        # concatenated bits of the combo's blocks, packed into one long
+        key = None
+        for bi in combo:
+            lo, width = specs[bi]
+            piece = F.shiftrightunsigned(F.col("sh"), lo) \
+                     .bitwiseAND(F.lit((1 << width) - 1))
+            key = piece if key is None else \
+                F.shiftleft(key, width).bitwiseOR(piece)
+        return key
+
     bands = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned(F.col("sh"), lo)
-                  .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
-        for i, (lo, width) in enumerate(_band_specs(n_tables))])
+        F.struct(F.lit(ti).alias("band"), _key(combo).alias("key"))
+        for ti, combo in enumerate(combos)])
     buckets = (sh.select("id", "sh", F.explode(bands).alias("b"))
                  .select("id", "sh", "b.band", "b.key"))
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -409,8 +449,8 @@ def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3,
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3,
-                      n_tables: int | None = None) -> DataFrame:
+                      max_hamming: int = 3, n_tables: int | None = None,
+                      n_blocks: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash over a text column (see
     :func:`simhash_pairs_from_hashes` for the guaranteed-recall blocking).
 
@@ -420,11 +460,24 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     passes, visible as repeated ArrowEvalPython nodes in the plan).
     16 bytes/doc is materializable at any scale; one Python pass is the
     whole point. The signature store is owned by the RESULT, not the
-    session — see :func:`release_owned_storage`."""
+    session — see :func:`release_owned_storage`.
+
+    When no block geometry is forced, it is AUTO-SCALED from the corpus
+    count (the count materializes the signature persist it needs anyway):
+    minimum blocks (k+1, widest tables-fewest) up to 2M docs, 5 blocks to
+    50M, 6 beyond — keeping expected bucket occupancy O(1) so candidate
+    volume stays ~linear instead of quadratic in n (measured: the fixed
+    16-bit geometry hit ~1.2G candidates at 6.3M docs). Deterministic
+    for a given corpus; recall 1.0 at every setting."""
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sh")) \
            .persist(StorageLevel.MEMORY_AND_DISK)
-    return _own(simhash_pairs_from_hashes(sh, max_hamming, n_tables), sh)
+    if n_blocks is None and n_tables is None:
+        n = sh.count()
+        auto = 4 if n <= 2_000_000 else (5 if n <= 50_000_000 else 6)
+        n_blocks = max(auto, max_hamming + 1)
+    return _own(simhash_pairs_from_hashes(sh, max_hamming, n_tables,
+                                          n_blocks), sh)
 
 
 # --- near-dup components (pair graph -> cluster assignment) ---------------

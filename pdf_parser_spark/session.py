@@ -37,7 +37,13 @@ def build_session(app_name: str = "pdf_parser_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode puts all executor threads in the driver JVM: size the
+        # heap for cores x (execution + unroll) or 32 concurrent tasks
+        # OOM under persist+window pressure (measured at 6.5M chunks: 8g
+        # heap died in the exact-dedup window stage; 24g clears it with
+        # room). A real cluster sizes executors via spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM",
+                                                      "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

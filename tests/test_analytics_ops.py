@@ -203,6 +203,43 @@ def test_simhash_multiband_blocking_guarantees_recall(spark):
         assert ((ia, ib) in got) == (h <= 3), (ia, ib, h)
 
 
+def test_simhash_combination_blocking_same_pairs(spark):
+    """The scaled geometry (n_blocks > k+1: C(n_blocks, n_blocks-k)
+    tables keyed on block combinations, Manku/Jain/Sarma WWW'07) must
+    return EXACTLY the minimum-geometry pair set — recall 1.0 by
+    pigeonhole at every setting, narrower buckets being purely a
+    candidate-volume (cost) dial. Randomized hashes + adversarial rows
+    whose differing bits straddle block boundaries."""
+    import itertools
+    import random
+
+    from pdf_parser_spark.operators.dedup import simhash_pairs_from_hashes
+
+    rng = random.Random(7)
+
+    def i64(v):  # wrap an unsigned-64 bit pattern to signed int64
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(30)]
+    # plant near pairs at hamming 1..3 with differing bits spread so no
+    # single 13-bit block of the 5-block split contains them all
+    base = rows[0][1]
+    rows.append((100, i64(base ^ (1 << 63))))
+    rows.append((101, i64(base ^ (1 << 0) ^ (1 << 63))))
+    rows.append((102, i64(base ^ (1 << 0) ^ (1 << 20) ^ (1 << 45))))
+    sh = spark.createDataFrame(rows, "id int, sh long")
+    for geometry in ({"n_blocks": 5}, {"n_blocks": 6}):
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_pairs_from_hashes(
+                   sh, max_hamming=3, **geometry).collect()}
+        for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+            h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+            assert ((ia, ib) in got) == (h <= 3), (geometry, ia, ib, h)
+            if (ia, ib) in got:
+                assert got[(ia, ib)] == h
+
+
 def test_jaccard_hot_shingle_cap_bounds_the_join(spark):
     """A shingle shared by every document must NOT create the O(n^2) pair
     bucket: with the df cap, docs related only through the hot shingle
