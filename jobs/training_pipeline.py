@@ -7,9 +7,11 @@ write), in the engine's fused-plan shape: every per-row criterion is a
 FLAG COLUMN on one DataFrame, so the funnel metrics come from ONE
 aggregation pass and the final write filters the same plan — no
 per-stage materialization, no repeated scans of the chunk text. The
-exact-dedup verdict is a window over the content hash (one exchange, no
-join); the only join is the near-dup LOSER set — the small side by
-construction, AQE-broadcastable (operators/dedup.py documents the
+exact-dedup verdict is a map-side-combined groupBy over the content hash
+joined back on a 24-byte projection (skew-safe: a corpus-dominating
+boilerplate collapses per map task instead of serializing onto one
+window task); the near-dup verdict joins the LOSER set — the small side
+by construction, AQE-broadcastable (operators/dedup.py documents the
 shapes).
 
 Run::
@@ -46,10 +48,9 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
-    from pdf_parser_spark.operators.dedup import (connected_components,
-                                                  content_key,
+    from pdf_parser_spark.operators.dedup import (content_key,
+                                                  near_dup_losers,
                                                   simhash_dup_pairs)
     from pdf_parser_spark.operators.retrieval import with_chunk_id
     from pdf_parser_spark.operators.sampling import deterministic_split
@@ -62,16 +63,22 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     # via its owned_storage handles).
     base = with_chunk_id(chunks).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # exact dedup as a WINDOW over the content hash, not a groupBy+join:
-    # survivor = min chunk id per content group either way, but the window
-    # is ONE exchange on __h with no second join-side subtree to recompute
-    # (the join shape re-evaluated the whole flag chain wherever the plan
-    # referenced it — measured as a repeated 646k-row shuffle join)
+    # exact dedup: survivor = min chunk id per content group, as a
+    # map-side-combined groupBy + equi-join back. A window over __h
+    # computes the same flag in one exchange, but serializes each content
+    # group onto ONE task — a corpus-dominating boilerplate text (the
+    # exact input a dedup pipeline exists for) becomes an unsplittable
+    # straggler. The groupBy's partial aggregation collapses a hot hash
+    # to one row per map task, and AQE's skew-join splitting handles the
+    # join side; the agg input is a PROJECTION of the persisted base
+    # (id + hash only), so re-references replay 24-byte rows, not the
+    # flag chain
+    survivors = (base.select(content_key(F.col("text")).alias("__h"), "id")
+                 .groupBy("__h").agg(F.min("id").alias("__surv")))
     flagged = (base.withColumn("__h", content_key(F.col("text")))
-               .withColumn("f_exact_unique",
-                           F.col("id") == F.min("id").over(
-                               Window.partitionBy("__h")))
-               .drop("__h"))
+               .join(survivors, "__h")
+               .withColumn("f_exact_unique", F.col("id") == F.col("__surv"))
+               .drop("__h", "__surv"))
 
     # near-dup clusters over the exact survivors (simhash pairs ->
     # connected components). The flag joins against the LOSER set — the
@@ -82,9 +89,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     exact_side = flagged.where(F.col("f_exact_unique")).select("id", "text")
     pairs = simhash_dup_pairs(exact_side, "id", "text",
                               max_hamming=max_hamming)
-    comps = connected_components(pairs)
-    losers = (comps.where(F.col("id") != F.col("component"))
-              .select("id").withColumn("__loser", F.lit(True)))
+    loser_ids = near_dup_losers(pairs)  # owns the components checkpoint
+    losers = loser_ids.withColumn("__loser", F.lit(True))
     flagged = (flagged.join(losers, "id", "left")
                .withColumn("f_near_unique",
                            F.col("f_exact_unique")
@@ -109,7 +115,7 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     # this the joins above would orphan them into session-lifetime leaks
     out.owned_storage = ((base,)
                          + tuple(getattr(pairs, "owned_storage", ()))
-                         + tuple(getattr(comps, "owned_storage", ())))
+                         + tuple(getattr(loser_ids, "owned_storage", ())))
     return out
 
 

@@ -616,13 +616,24 @@ class _RddHandle:
         self._sc._jsc.sc().unpersistRDD(self._id, False)
 
 
+def near_dup_losers(pairs: DataFrame) -> DataFrame:
+    """(id) of every row to DROP from the near-dup pair graph — the ONE
+    definition of the survivor rule (survivor = the vertex whose id
+    equals its component's minimum label), shared by
+    :func:`dedup_by_components` and the training pipeline so the two can
+    never silently diverge. Rows in no pair are absent (= survivors).
+    The component labeling's checkpoint blocks ride along as
+    ``owned_storage``."""
+    comps = connected_components(pairs)
+    return _own(comps.where(F.col("id") != F.col("component")).select("id"),
+                *getattr(comps, "owned_storage", ()))
+
+
 def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
                         ) -> DataFrame:
     """Keep one survivor per near-dup cluster: the minimum id of each
-    component (plus every row that is in no pair at all). The component
-    labeling's checkpoint blocks ride along as ``owned_storage``."""
-    comps = connected_components(pairs)
-    losers = comps.where(F.col("id") != F.col("component")).select("id")
+    component (plus every row that is in no pair at all)."""
+    losers = near_dup_losers(pairs)
     return _own(df.join(losers.withColumnRenamed("id", id_col),
                         id_col, "left_anti"),
-                *getattr(comps, "owned_storage", ()))
+                *getattr(losers, "owned_storage", ()))

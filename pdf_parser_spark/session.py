@@ -19,6 +19,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """Quarter of physical RAM, clamped to [4g, 24g]."""
+    try:
+        total_gb = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+                    // (1 << 30))
+    except (ValueError, OSError, AttributeError):
+        return "4g"  # unknown platform: the conservative floor
+    return f"{min(24, max(4, total_gb // 4))}g"
+
+
 def build_session(app_name: str = "pdf_parser_spark",
                   cores: int | None = None,
                   shuffle_partitions: int | None = None,
@@ -38,12 +48,13 @@ def build_session(app_name: str = "pdf_parser_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # local mode puts all executor threads in the driver JVM: size the
-        # heap for cores x (execution + unroll) or 32 concurrent tasks
-        # OOM under persist+window pressure (measured at 6.5M chunks: 8g
-        # heap died in the exact-dedup window stage; 24g clears it with
-        # room). A real cluster sizes executors via spark-submit instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM",
-                                                      "24g"))
+        # heap for cores x (execution + unroll) — a flat 8g OOMed 32
+        # concurrent tasks under persist pressure at 6.5M chunks. Default
+        # = a quarter of physical RAM clamped to [4g, 24g] so small
+        # machines keep a survivable heap (the JVM must not outgrow the
+        # box). A real cluster sizes executors via spark-submit instead.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", _default_heap()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
