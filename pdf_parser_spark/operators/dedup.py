@@ -260,11 +260,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 8, bands: int = 4,
-                      ) -> DataFrame:
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: equal LSH band -> bucket self-join.
 
     bands of rows r = num_hashes/bands; band key = md5(concat of the band's
     row hashes). Returns (id_a, id_b, n_bands_shared).
+
+    ``max_bucket_size`` bounds the one quadratic shape LSH has: a bucket
+    of m near-identical documents emits C(m,2) pairs. Over-cap buckets
+    emit a star on the bucket's min id instead (m-1 pairs) — linear, and
+    component-preserving for downstream clustering; n_bands_shared for
+    star pairs counts only the over-cap bands. None (default) keeps
+    exact clique output.
 
     The signature DF is repartitioned before the band build: the band
     structs reference ``sig`` 2 x bands times, and Catalyst's projection
@@ -284,6 +291,37 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         for bi in range(bands)]
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("b")) \
                  .select("id", "b.band", "b.key")
+    if max_bucket_size is not None:
+        # a bucket of m near-identical documents (boilerplate clusters —
+        # the common case a dedup pipeline exists for) would emit
+        # C(m,2) pairs: quadratic in the cluster, the same pathology
+        # measured on the fixed simhash geometry. Over-cap buckets emit a
+        # STAR instead — every member paired with the bucket's min id —
+        # which is linear and preserves exactly the connectivity that
+        # downstream connected-components clustering consumes (same
+        # components, by construction). groupBy (map-side combined), not
+        # a window, so the hot bucket never serializes onto one task.
+        stats = (buckets.groupBy("band", "key")
+                 .agg(F.count("*").alias("__m"), F.min("id").alias("__hub")))
+        big = stats.where(F.col("__m") > max_bucket_size) \
+                   .select("band", "key", "__hub")
+        star = (buckets.join(big, ["band", "key"])
+                .where(F.col("id") != F.col("__hub"))
+                .select("id", "band", "key",
+                        F.col("__hub").alias("__pair_with")))
+        buckets = buckets.join(big.select("band", "key"), ["band", "key"],
+                               "left_anti")
+        a, b = buckets.alias("a"), buckets.alias("b")
+        clique_pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.key") == F.col("b.key"))
+                        & (F.col("a.id") < F.col("b.id")))
+                        .select(F.col("a.id").alias("id_a"),
+                                F.col("b.id").alias("id_b")))
+        star_pairs = star.select(F.col("__pair_with").alias("id_a"),
+                                 F.col("id").alias("id_b"))  # hub = min
+        return (clique_pairs.unionByName(star_pairs)
+                .groupBy("id_a", "id_b")
+                .agg(F.count("*").alias("n_bands_shared")))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))

@@ -163,6 +163,39 @@ def test_minhash_lsh_finds_near_dups(spark, docs_df):
     assert (2, 3) not in pairs     # unrelated
 
 
+def test_minhash_bucket_cap_star_preserves_components(spark):
+    """An over-cap LSH bucket (a boilerplate mega-cluster) must emit a
+    linear star, not the C(m,2) clique — with the SAME connected
+    components, since clustering is what consumes the pairs."""
+    from pdf_parser_spark.operators.dedup import (connected_components,
+                                                  minhash_lsh_pairs,
+                                                  release_owned_storage)
+
+    mega = [(i, "identical boilerplate terms of service text")
+            for i in range(40)]
+    other = [(100, "rare alpha beta gamma delta epsilon zeta"),
+             (101, "rare alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(mega + other, "doc_id int, text string")
+    exact = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    capped_rows = minhash_lsh_pairs(df, "doc_id", "text",
+                                    max_bucket_size=8).collect()
+    capped = {(r.id_a, r.id_b) for r in capped_rows}
+    # clique among 40 identical docs: C(40,2)=780 pairs x bands; star: 39
+    assert len([p for p in exact if p[0] < 100]) == 780
+    assert len([p for p in capped if p[0] < 100]) == 39
+    assert all(a == 0 for a, _ in capped if a < 100)  # hub = min id
+    assert (100, 101) in capped                       # small bucket intact
+    for pairs_set in (exact, capped):
+        sdf = spark.createDataFrame(sorted(pairs_set),
+                                    "id_a int, id_b int")
+        comps = connected_components(sdf)
+        got = {r.id: r.component for r in comps.collect()}
+        release_owned_storage(comps)
+        assert all(got[i] == 0 for i in range(40))
+        assert got[101] == got[100] == 100
+
+
 def test_simhash_matches_python_and_finds_dups(spark, docs_df):
     got = {r.doc_id: r.sh for r in docs_df.select(
         "doc_id", simhash_udf(F.col("text")).alias("sh")).collect()}
