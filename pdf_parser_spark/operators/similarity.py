@@ -374,15 +374,50 @@ def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
 
 def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                      emb_col: str = "embedding", id_col: str = "vec_id",
-                     n_planes: int = 8, seed: int = 42) -> DataFrame:
+                     n_planes: int = 8, seed: int = 42,
+                     max_bucket_size: int | None = None) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket self-join + exact cosine.
 
     Near-identical vectors share all sign bits with high probability, so
-    the self-join fans out per bucket (n/2^bits rows each), never O(n^2).
+    the self-join fans out per bucket (n/2^bits rows each under a spread
+    distribution), never all-pairs. ``max_bucket_size`` bounds the one
+    quadratic residual — a mega-cluster of near-identical embeddings
+    landing in one bucket emits C(m,2) pairs; over-cap buckets emit a
+    star on the bucket's min id instead (m-1 pairs, exact cosine still
+    verified per edge), which preserves the connected components that
+    dup clustering consumes (same cap-vs-clique trade as
+    dedup.minhash_lsh_pairs). None keeps exact clique output.
     """
     bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed) \
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
                 "lsh_bucket")
+    if max_bucket_size is not None:
+        stats = (bucketed.groupBy("lsh_bucket")
+                 .agg(F.count("*").alias("__m"), F.min("id").alias("__hub")))
+        big = stats.where(F.col("__m") > max_bucket_size) \
+                   .select("lsh_bucket", "__hub")
+        hubs = (bucketed.join(big, "lsh_bucket")
+                .where(F.col("id") == F.col("__hub"))
+                .select("lsh_bucket", F.col("id").alias("hub_id"),
+                        F.col("e").alias("hub_e")))
+        star = (bucketed.join(hubs, "lsh_bucket")
+                .where(F.col("id") != F.col("hub_id"))
+                .select(F.col("hub_id").alias("id_a"),  # hub = min id
+                        F.col("id").alias("id_b"),
+                        F.col("hub_e").alias("ea"), F.col("e").alias("eb")))
+        bucketed = bucketed.join(big.select("lsh_bucket"), "lsh_bucket",
+                                 "left_anti")
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        clique = (a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                  & (F.col("a.id") < F.col("b.id")))
+                  .select(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"),
+                          F.col("a.e").alias("ea"), F.col("b.e").alias("eb")))
+        cand = clique.unionByName(star)
+        return (cand.withColumn("similarity",
+                                F.round(cosine(F.col("ea"), F.col("eb")), 6))
+                .where(F.col("similarity") >= threshold)
+                .select("id_a", "id_b", "similarity"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
                    & (F.col("a.id") < F.col("b.id")))

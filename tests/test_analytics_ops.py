@@ -395,6 +395,23 @@ def test_cosine_dup_pairs(spark, emb_df):
     assert {(r.id_a, r.id_b) for r in pairs} == {(3, 99)}
 
 
+def test_cosine_dup_pairs_bucket_cap_star(spark, emb_df):
+    """An identical-embedding mega-cluster must emit a hub star (linear,
+    component-preserving, exact cosine per edge), not the C(m,2) clique;
+    under-cap buckets keep exact output."""
+    base = emb_df.where(F.col("vec_id") == 3)
+    clones = base.select(F.explode(F.array(
+        *[F.lit(200 + i) for i in range(30)])).alias("vec_id"), "embedding")
+    df = emb_df.unionByName(clones)
+    capped = cosine_dup_pairs(df, 16, threshold=0.99,
+                              max_bucket_size=8).collect()
+    got = {(r.id_a, r.id_b): r.similarity for r in capped}
+    mega = {p for p in got if p[1] >= 200 or p[0] >= 200 or 3 in p}
+    # star on hub 3 (the min id of the cluster): 30 edges, not C(31,2)=465
+    assert mega == {(3, 200 + i) for i in range(30)}
+    assert all(got[p] == 1.0 for p in mega)
+
+
 def test_embed_chunks_deterministic_unit_norm(spark):
     df = spark.createDataFrame([("c1", 0, "hello world"), ("c2", 1, "")],
                                "conv_id string, chunk_idx long, text string")
