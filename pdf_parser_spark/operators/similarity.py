@@ -384,9 +384,15 @@ def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     quadratic residual — a mega-cluster of near-identical embeddings
     landing in one bucket emits C(m,2) pairs; over-cap buckets emit a
     star on the bucket's min id instead (m-1 pairs, exact cosine still
-    verified per edge), which preserves the connected components that
-    dup clustering consumes (same cap-vs-clique trade as
-    dedup.minhash_lsh_pairs). None keeps exact clique output.
+    verified per edge). APPROXIMATE, stated precisely: because star
+    edges are verified against the hub, an over-cap bucket keeps exactly
+    its members within ``threshold`` of the hub — a member pair that
+    qualifies mutually but not via the hub loses its edge (canopy-style
+    center-link clustering). Exact for the motivating case (a
+    near-identical cluster, where every member clears the hub test);
+    dedup.minhash_lsh_pairs' star is exactly component-preserving
+    because its candidates are unverified. None keeps exact clique
+    output.
     """
     bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed) \
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
