@@ -141,17 +141,29 @@ def funnel_metrics(curated: DataFrame) -> dict:
 
 def run_training_pipeline(spark: SparkSession, input_path: str,
                           output_dir: str, cleaning: bool = True,
+                          layout: str = "windowed",
                           **curate_kwargs) -> dict:
+    """``layout="bucketed"`` takes the zero-shuffle extraction route for
+    input whose splits hold whole conversations contiguously (an Iceberg
+    ``bucket(N, conv_id)`` table, or the distributed synth corpora) —
+    ~1.5x extraction at any scale. Safe to attempt: the bucketed route's
+    in-task guard RAISES on a split that cuts a conversation instead of
+    mis-indexing silently; default stays the layout-agnostic window."""
     from pdf_parser_spark.config import CLEANING_CONFIG, DEFAULT_CONFIG
-    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.operators.merge import (extract_chunks,
+                                                  extract_chunks_bucketed)
     from pdf_parser_spark.pipeline import read_transcripts
 
     from pdf_parser_spark.operators.dedup import release_owned_storage
 
     from pyspark import StorageLevel
 
+    if layout not in ("windowed", "bucketed"):
+        raise ValueError(f"layout must be windowed|bucketed, got {layout!r}")
+    extract_fn = (extract_chunks_bucketed if layout == "bucketed"
+                  else extract_chunks)
     cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
-    chunks = extract_chunks(read_transcripts(spark, input_path), cfg) \
+    chunks = extract_fn(read_transcripts(spark, input_path), cfg) \
         .where(F.col("chunk_type") == "text").drop("table_cells")
     # curated feeds BOTH the funnel aggregation and the write; persist it
     # so the flag joins + text-statistics UDFs execute once, not twice
@@ -196,12 +208,16 @@ def main() -> int:
     ap.add_argument("--max-chars", type=int, default=4000)
     ap.add_argument("--parity", action="store_true",
                     help="DEFAULT_CONFIG instead of CLEANING_CONFIG")
+    ap.add_argument("--layout", default="windowed",
+                    choices=("windowed", "bucketed"),
+                    help="bucketed = zero-shuffle extraction for "
+                         "conversation-complete input splits")
     a = ap.parse_args()
     spark = build_session("training-pipeline")
     try:
         funnel = run_training_pipeline(
             spark, a.input, a.output, cleaning=not a.parity,
-            langs=tuple(a.langs.split(",")),
+            layout=a.layout, langs=tuple(a.langs.split(",")),
             quality_floor=a.quality_floor, min_chars=a.min_chars,
             max_chars=a.max_chars)
         print(json.dumps(funnel))

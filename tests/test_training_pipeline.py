@@ -89,3 +89,23 @@ def test_pipeline_flags_match_independent_operators(spark, tmp_path):
     m = funnel_metrics(cur)
     assert m["exact_unique"] == len(exact_ids)
     assert m["near_unique"] == len(indep_near)
+
+def test_pipeline_layouts_agree(spark, tmp_path):
+    """layout='bucketed' (zero-shuffle extraction) must produce the same
+    funnel and the same written corpus rows as the windowed default on
+    conversation-complete input."""
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=30, seed=31)
+    funnels, rows = [], []
+    for layout in ("windowed", "bucketed"):
+        out = str(tmp_path / f"out_{layout}")
+        funnels.append(run_training_pipeline(
+            spark, src, out, cleaning=True, layout=layout,
+            langs=("en", "und"), quality_floor=0.2, min_chars=40,
+            max_chars=2000))
+        rows.append(sorted(
+            (r.id, r.split, r.text) for r in
+            spark.read.parquet(f"{out}/corpus").select(
+                "id", "split", "text").collect()))
+    assert funnels[0] == funnels[1]
+    assert rows[0] == rows[1] and rows[0]
