@@ -142,13 +142,21 @@ def funnel_metrics(curated: DataFrame) -> dict:
 def run_training_pipeline(spark: SparkSession, input_path: str,
                           output_dir: str, cleaning: bool = True,
                           layout: str = "windowed",
+                          input_kind: str = "transcripts",
                           **curate_kwargs) -> dict:
     """``layout="bucketed"`` takes the zero-shuffle extraction route for
     input whose splits hold whole conversations contiguously (an Iceberg
     ``bucket(N, conv_id)`` table, or the distributed synth corpora) —
     ~1.5x extraction at any scale. Safe to attempt: the bucketed route's
     in-task guard RAISES on a split that cuts a conversation instead of
-    mis-indexing silently; default stays the layout-agnostic window."""
+    mis-indexing silently; default stays the layout-agnostic window.
+
+    ``input_kind="extracted"`` curates a chunk table that
+    ``sources.lineage.run_extraction`` already wrote (its
+    ``<dir>/extracted`` parquet/Iceberg output) instead of re-extracting
+    transcripts — the staged shape a 100 TB deployment runs: extraction
+    is checkpointed/resumable per bucket, and curation re-runs cheaply
+    on top of the committed table."""
     from pdf_parser_spark.config import CLEANING_CONFIG, DEFAULT_CONFIG
     from pdf_parser_spark.operators.merge import (extract_chunks,
                                                   extract_chunks_bucketed)
@@ -160,11 +168,19 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
 
     if layout not in ("windowed", "bucketed"):
         raise ValueError(f"layout must be windowed|bucketed, got {layout!r}")
-    extract_fn = (extract_chunks_bucketed if layout == "bucketed"
-                  else extract_chunks)
-    cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
-    chunks = extract_fn(read_transcripts(spark, input_path), cfg) \
-        .where(F.col("chunk_type") == "text").drop("table_cells")
+    if input_kind not in ("transcripts", "extracted"):
+        raise ValueError(
+            f"input_kind must be transcripts|extracted, got {input_kind!r}")
+    if input_kind == "extracted":
+        chunks = spark.read.parquet(input_path)
+        chunks = chunks.drop(*[c for c in ("bucket_id",)
+                               if c in chunks.columns])
+    else:
+        extract_fn = (extract_chunks_bucketed if layout == "bucketed"
+                      else extract_chunks)
+        cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
+        chunks = extract_fn(read_transcripts(spark, input_path), cfg)
+    chunks = chunks.where(F.col("chunk_type") == "text").drop("table_cells")
     # curated feeds BOTH the funnel aggregation and the write; persist it
     # so the flag joins + text-statistics UDFs execute once, not twice
     curated = curate(chunks, **curate_kwargs) \
@@ -212,12 +228,17 @@ def main() -> int:
                     choices=("windowed", "bucketed"),
                     help="bucketed = zero-shuffle extraction for "
                          "conversation-complete input splits")
+    ap.add_argument("--input-kind", default="transcripts",
+                    choices=("transcripts", "extracted"),
+                    help="extracted = curate run_extraction's committed "
+                         "chunk table without re-extracting")
     a = ap.parse_args()
     spark = build_session("training-pipeline")
     try:
         funnel = run_training_pipeline(
             spark, a.input, a.output, cleaning=not a.parity,
-            layout=a.layout, langs=tuple(a.langs.split(",")),
+            layout=a.layout, input_kind=a.input_kind,
+            langs=tuple(a.langs.split(",")),
             quality_floor=a.quality_floor, min_chars=a.min_chars,
             max_chars=a.max_chars)
         print(json.dumps(funnel))

@@ -109,3 +109,25 @@ def test_pipeline_layouts_agree(spark, tmp_path):
                 "id", "split", "text").collect()))
     assert funnels[0] == funnels[1]
     assert rows[0] == rows[1] and rows[0]
+
+def test_pipeline_from_extracted_table_agrees(spark, tmp_path):
+    """input_kind='extracted' over run_extraction's committed chunk table
+    (the staged, resumable shape) must equal extracting in-pipeline."""
+    from pdf_parser_spark.config import CLEANING_CONFIG
+    from pdf_parser_spark.sources.lineage import run_extraction
+
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=25, seed=41)
+    staged = str(tmp_path / "staged")
+    run_extraction(spark, src, staged, cfg=CLEANING_CONFIG, n_buckets=4,
+                   buckets_per_job=2)
+
+    inline = run_training_pipeline(
+        spark, src, str(tmp_path / "o1"), cleaning=True,
+        langs=("en", "und"), quality_floor=0.2, min_chars=40,
+        max_chars=2000)
+    from_table = run_training_pipeline(
+        spark, f"{staged}/extracted", str(tmp_path / "o2"),
+        input_kind="extracted", langs=("en", "und"), quality_floor=0.2,
+        min_chars=40, max_chars=2000)
+    assert inline == from_table and inline["selected"] > 0
