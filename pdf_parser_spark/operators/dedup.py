@@ -420,6 +420,43 @@ def _band_specs(n_tables: int) -> list[tuple[int, int]]:
     return specs
 
 
+def simhash_band_buckets(sh: DataFrame, max_hamming: int = 3,
+                         n_tables: int | None = None,
+                         n_blocks: int | None = None) -> DataFrame:
+    """(id, sh, band, key) — one row per blocking table for each hash of
+    an (id, sh) DataFrame, under the combination construction documented
+    on :func:`simhash_pairs_from_hashes`. Shared by the batch self-join
+    and the streaming ingest path (batch-vs-signature-store join), so the
+    two agree on the blocking by construction."""
+    import itertools
+
+    n_blocks = n_blocks or n_tables or (max_hamming + 1)
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs an uncorrupted block combination)")
+    specs = _band_specs(n_blocks)
+    combos = list(itertools.combinations(range(n_blocks),
+                                         n_blocks - max_hamming))
+
+    def _key(combo):
+        # concatenated bits of the combo's blocks, packed into one long
+        key = None
+        for bi in combo:
+            lo, width = specs[bi]
+            piece = F.shiftrightunsigned(F.col("sh"), lo) \
+                     .bitwiseAND(F.lit((1 << width) - 1))
+            key = piece if key is None else \
+                F.shiftleft(key, width).bitwiseOR(piece)
+        return key
+
+    bands = F.array(*[
+        F.struct(F.lit(ti).alias("band"), _key(combo).alias("key"))
+        for ti, combo in enumerate(combos)])
+    return (sh.select("id", "sh", F.explode(bands).alias("b"))
+              .select("id", "sh", "b.band", "b.key"))
+
+
 def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3,
                               n_tables: int | None = None,
                               n_blocks: int | None = None) -> DataFrame:
@@ -447,33 +484,7 @@ def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3,
     within-bucket self-join; never O(n^2) when n_blocks matches scale
     (see simhash_dup_pairs for the auto rule).
     """
-    import itertools
-
-    n_blocks = n_blocks or n_tables or (max_hamming + 1)
-    if n_blocks <= max_hamming:
-        raise ValueError(
-            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
-            "(pigeonhole needs an uncorrupted block combination)")
-    specs = _band_specs(n_blocks)
-    combos = list(itertools.combinations(range(n_blocks),
-                                         n_blocks - max_hamming))
-
-    def _key(combo):
-        # concatenated bits of the combo's blocks, packed into one long
-        key = None
-        for bi in combo:
-            lo, width = specs[bi]
-            piece = F.shiftrightunsigned(F.col("sh"), lo) \
-                     .bitwiseAND(F.lit((1 << width) - 1))
-            key = piece if key is None else \
-                F.shiftleft(key, width).bitwiseOR(piece)
-        return key
-
-    bands = F.array(*[
-        F.struct(F.lit(ti).alias("band"), _key(combo).alias("key"))
-        for ti, combo in enumerate(combos)])
-    buckets = (sh.select("id", "sh", F.explode(bands).alias("b"))
-                 .select("id", "sh", "b.band", "b.key"))
+    buckets = simhash_band_buckets(sh, max_hamming, n_tables, n_blocks)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
