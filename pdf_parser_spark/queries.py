@@ -1077,6 +1077,21 @@ def docs_near_dup_clusters(spark, sf):
     return connected_components(pairs)
 
 
+def docs_stream_near_dedup_admitted(spark, sf):
+    # the streaming ingest near-dedup tier's batch core
+    # (streaming/neardedup.near_dedup_batch) on a first micro-batch
+    # (empty signature store): admitted = one min-id survivor per
+    # transitive simhash near-dup cluster. DuckDB recomputes the full
+    # closure exhaustively.
+    from pdf_parser_spark.streaming.neardedup import (SIG_SCHEMA,
+                                                      near_dedup_batch)
+    docs = _t_wide(spark, sf, "documents")
+    store = spark.createDataFrame([], SIG_SCHEMA)
+    survivors, _ = near_dedup_batch(docs, store, id_col="doc_id",
+                                    text_col="text", max_hamming=3)
+    return survivors.select("doc_id")
+
+
 def emb_cosine_topk(spark, sf):
     # V3+T1: brute-force cosine top-k; double-precision on both sides
     emb = _t_wide(spark, sf, "embeddings")
@@ -1574,6 +1589,27 @@ FROM reach GROUP BY a
 """)
 
 
+# first-micro-batch streaming near-dedup == min-id survivor per cluster
+# of the same exhaustive closure (defined AFTER its dependencies:
+# module-level SQL strings compose top-to-bottom)
+DOCS_STREAM_NEARDEDUP_SQL = (
+    "WITH RECURSIVE pairs AS (" + DOCS_SIMHASH_SQL + """
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+), comp AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+""")
+
+
 
 def emb_ann_topk(spark, sf):
     # multi-table sign-LSH ANN (recall measured + gated in
@@ -1705,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
+    "docs_stream_near_dedup_admitted": docs_stream_near_dedup_admitted,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -1798,6 +1835,7 @@ ORACLES: dict[str, str] = {
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,
+    "docs_stream_near_dedup_admitted": DOCS_STREAM_NEARDEDUP_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
