@@ -140,8 +140,8 @@ def funnel_metrics(curated: DataFrame) -> dict:
 
 
 def run_training_pipeline(spark: SparkSession, input_path: str,
-                          output_dir: str, cleaning: bool = True,
-                          layout: str = "windowed",
+                          output_dir: str, cleaning: bool | None = None,
+                          layout: str | None = None,
                           input_kind: str = "transcripts",
                           **curate_kwargs) -> dict:
     """``layout="bucketed"`` takes the zero-shuffle extraction route for
@@ -166,19 +166,35 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
 
     from pyspark import StorageLevel
 
-    if layout not in ("windowed", "bucketed"):
+    if layout not in (None, "windowed", "bucketed"):
         raise ValueError(f"layout must be windowed|bucketed, got {layout!r}")
     if input_kind not in ("transcripts", "extracted"):
         raise ValueError(
             f"input_kind must be transcripts|extracted, got {input_kind!r}")
     if input_kind == "extracted":
-        chunks = spark.read.parquet(input_path)
-        chunks = chunks.drop(*[c for c in ("bucket_id",)
-                               if c in chunks.columns])
+        if cleaning is not None or layout is not None:
+            # the staged table was extracted under its OWN config/route;
+            # silently ignoring these would let a --parity run curate
+            # cleaned chunks (or vice versa) with no hint why downstream
+            # comparisons mismatch
+            raise ValueError(
+                "cleaning/layout apply to in-pipeline extraction; with "
+                "input_kind='extracted' the staged table's extraction "
+                "config is already decided — drop the flags")
+        from pdf_parser_spark.sources.lineage import staged_run_incomplete
+        if input_path.rstrip("/").endswith("/extracted"):
+            gap = staged_run_incomplete(
+                spark, input_path.rstrip("/").rsplit("/", 1)[0])
+            if gap is not None:
+                raise ValueError(
+                    f"staged extraction is incomplete ({gap[0]}/{gap[1]} "
+                    "buckets done) — resume run_extraction before "
+                    "curating, or a silently truncated corpus results")
+        chunks = spark.read.parquet(input_path).drop("bucket_id")
     else:
         extract_fn = (extract_chunks_bucketed if layout == "bucketed"
                       else extract_chunks)
-        cfg = CLEANING_CONFIG if cleaning else DEFAULT_CONFIG
+        cfg = (DEFAULT_CONFIG if cleaning is False else CLEANING_CONFIG)
         chunks = extract_fn(read_transcripts(spark, input_path), cfg)
     chunks = chunks.where(F.col("chunk_type") == "text").drop("table_cells")
     # curated feeds BOTH the funnel aggregation and the write; persist it
@@ -233,14 +249,18 @@ def main() -> int:
                     help="extracted = curate run_extraction's committed "
                          "chunk table without re-extracting")
     a = ap.parse_args()
+    if a.input_kind == "extracted" and (a.parity or a.layout != "windowed"):
+        ap.error("--parity/--layout apply to in-pipeline extraction; "
+                 "the staged table's extraction config is already decided")
+    extract_kw = ({} if a.input_kind == "extracted"
+                  else {"cleaning": not a.parity, "layout": a.layout})
     spark = build_session("training-pipeline")
     try:
         funnel = run_training_pipeline(
-            spark, a.input, a.output, cleaning=not a.parity,
-            layout=a.layout, input_kind=a.input_kind,
+            spark, a.input, a.output, input_kind=a.input_kind,
             langs=tuple(a.langs.split(",")),
             quality_floor=a.quality_floor, min_chars=a.min_chars,
-            max_chars=a.max_chars)
+            max_chars=a.max_chars, **extract_kw)
         print(json.dumps(funnel))
     finally:
         spark.stop()

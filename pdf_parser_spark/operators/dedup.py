@@ -269,9 +269,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ``max_bucket_size`` bounds the one quadratic shape LSH has: a bucket
     of m near-identical documents emits C(m,2) pairs. Over-cap buckets
     emit a star on the bucket's min id instead (m-1 pairs) — linear, and
-    component-preserving for downstream clustering; n_bands_shared for
-    star pairs counts only the over-cap bands. None (default) keeps
-    exact clique output.
+    component-preserving for downstream clustering. ``n_bands_shared``
+    still counts every band a surviving pair met in (star edges from
+    over-cap bands AND clique edges from under-cap bands both
+    contribute); what the cap removes is non-hub pairs of over-cap
+    buckets. None (default) keeps exact clique output.
 
     The signature DF is repartitioned before the band build: the band
     structs reference ``sig`` 2 x bands times, and Catalyst's projection

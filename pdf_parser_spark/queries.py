@@ -1573,7 +1573,10 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 
 
 # transitive closure over the simhash pairs: the components oracle
-DOCS_CLUSTERS_SQL = (
+# the ONE transitive-closure text both closure-consuming oracles share —
+# a recursion-guard fix applied to one copy and not the other would make
+# "the same exhaustive closure" silently disagree
+_SIMHASH_CLOSURE_SQL = (
     "WITH RECURSIVE pairs AS (" + DOCS_SIMHASH_SQL + """
 ), sym AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -1583,31 +1586,24 @@ DOCS_CLUSTERS_SQL = (
   SELECT a, b FROM sym
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
-)
+)""")
+
+DOCS_CLUSTERS_SQL = _SIMHASH_CLOSURE_SQL + """
 SELECT a AS id, least(a, min(b)) AS component
 FROM reach GROUP BY a
-""")
+"""
 
 
 # first-micro-batch streaming near-dedup == min-id survivor per cluster
 # of the same exhaustive closure (defined AFTER its dependencies:
 # module-level SQL strings compose top-to-bottom)
-DOCS_STREAM_NEARDEDUP_SQL = (
-    "WITH RECURSIVE pairs AS (" + DOCS_SIMHASH_SQL + """
-), sym AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-), reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
-), comp AS (
+DOCS_STREAM_NEARDEDUP_SQL = _SIMHASH_CLOSURE_SQL + """
+, comp AS (
   SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
-""")
+"""
 
 
 

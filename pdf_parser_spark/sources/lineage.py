@@ -81,6 +81,28 @@ def _done_buckets(spark: SparkSession, lineage_path: str) -> set[int]:
     return {r.bucket_id for r in rows}
 
 
+def write_manifest(spark: SparkSession, output_dir: str,
+                   n_buckets: int) -> None:
+    """One-row (n_buckets) parquet at ``<dir>/manifest`` — engine-written
+    (no driver-local open()), so it works on any Hadoop-visible FS."""
+    (spark.createDataFrame([(int(n_buckets),)], "n_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{output_dir}/manifest"))
+
+
+def staged_run_incomplete(spark: SparkSession,
+                          output_dir: str) -> tuple[int, int] | None:
+    """(done, expected) bucket counts when the staged extraction at
+    ``output_dir`` is verifiably incomplete; None when complete or when
+    no manifest exists (a foreign chunk table — nothing to check)."""
+    try:
+        expected = spark.read.parquet(f"{output_dir}/manifest") \
+            .collect()[0].n_buckets
+    except Exception:  # no manifest: not a run_extraction output
+        return None
+    done = len(_done_buckets(spark, f"{output_dir}/lineage"))
+    return None if done >= expected else (done, expected)
+
+
 def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
                    cfg: ExtractionConfig = ExtractionConfig(),
                    n_buckets: int = 16, buckets_per_job: int = 8,
@@ -95,6 +117,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
     extracted_path = f"{output_dir}/extracted"
     metrics_path = f"{output_dir}/metrics"
     lineage_path = f"{output_dir}/lineage"
+
+    # run manifest: records the bucket universe so downstream consumers
+    # (jobs/training_pipeline.py --input-kind extracted) can tell a
+    # completed table from one whose run was killed mid-way — lineage
+    # rows alone can't, because only DONE buckets ever get a row
+    write_manifest(spark, output_dir, n_buckets)
 
     transcripts = spark.read.parquet(input_path)
 

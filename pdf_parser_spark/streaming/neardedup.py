@@ -41,12 +41,28 @@ from pyspark.sql import functions as F
 SIG_SCHEMA = "id string, sh long"
 
 
-def read_signature_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """The accumulated (id, sh) signature table; empty on first batch."""
+def read_signature_store(spark: SparkSession, store_path: str,
+                         exclude_batch: int | None = None) -> DataFrame:
+    """The accumulated (id, sh) signature table; empty on first batch.
+
+    ``exclude_batch`` drops that ``batch=<id>`` partition from the read —
+    REQUIRED when processing batch ``<id>`` itself: a foreachBatch replay
+    after a pre-checkpoint crash would otherwise read the batch's own
+    committed signatures, self-suppress every previously admitted row,
+    and overwrite the batch's output with EMPTY data (permanent loss).
+
+    Only a missing store path is swallowed (first batch); any other read
+    failure raises — silently returning an empty store would disable
+    near-dedup for the batch and admit duplicates permanently."""
     try:
-        return spark.read.parquet(store_path).select("id", "sh")
-    except Exception:  # store not created yet
-        return spark.createDataFrame([], SIG_SCHEMA)
+        store = spark.read.parquet(store_path)
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], SIG_SCHEMA)
+        raise
+    if exclude_batch is not None and "batch" in store.columns:
+        store = store.where(F.col("batch") != exclude_batch)
+    return store.select("id", "sh")
 
 
 def near_dedup_batch(batch: DataFrame, store: DataFrame,
@@ -77,8 +93,9 @@ def near_dedup_batch(batch: DataFrame, store: DataFrame,
     bb = simhash_band_buckets(sh, max_hamming, n_blocks=n_blocks_eff)
     sb = simhash_band_buckets(store, max_hamming, n_blocks=n_blocks_eff) \
         .withColumnRenamed("id", "sid").withColumnRenamed("sh", "ssh")
+    from pdf_parser_spark.operators.dedup import hamming_distance
     hit = (bb.join(sb, ["band", "key"])
-           .where(F.bit_count(F.col("sh").bitwiseXOR(F.col("ssh")))
+           .where(hamming_distance(F.col("sh"), F.col("ssh"))
                   <= max_hamming)
            .select("id").distinct())
     fresh = sh.join(hit, "id", "left_anti")
@@ -101,12 +118,15 @@ def stream_near_dedup(docs: DataFrame, output_path: str, store_path: str,
                       n_blocks: int | None = None):
     """Wire a streaming document source through near-dedup-on-ingest.
 
-    Returns the started StreamingQuery. Survivors land under
-    ``output_path/batch=<id>/``, signatures accumulate under
-    ``store_path/batch=<id>/`` (both idempotent per batch)."""
+    Returns a configured DataStreamWriter — call ``.trigger(...)`` /
+    ``.start()`` on it. Survivors land under ``output_path/batch=<id>/``,
+    signatures accumulate under ``store_path/batch=<id>/`` (both
+    idempotent per batch: a replay excludes its own prior partition from
+    the store read and overwrites exactly its own output)."""
     def _process(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        store = read_signature_store(spark, store_path)
+        store = read_signature_store(spark, store_path,
+                                     exclude_batch=batch_id)
         survivors, sig = near_dedup_batch(
             bdf, store, id_col=id_col, text_col=text_col,
             max_hamming=max_hamming, n_blocks=n_blocks)

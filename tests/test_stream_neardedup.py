@@ -90,3 +90,38 @@ def test_stream_near_dedup_cross_batch(spark, tmp_path):
     texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     for r in sigs.collect():
         assert r.sh == simhash_py(texts[r.id])
+
+def test_replay_excludes_own_batch_partition(spark, tmp_path):
+    """The data-loss scenario: a foreachBatch replay after a
+    pre-checkpoint crash must NOT read the batch's own committed
+    signatures (it would self-suppress every admitted row and overwrite
+    its output with empty data)."""
+    store = str(tmp_path / "sigs")
+    sig = spark.createDataFrame([("a1", simhash_py(BASE))],
+                                "id string, sh long")
+    sig.write.parquet(f"{store}/batch=0")          # batch 0 committed...
+    batch = spark.createDataFrame([("a1", BASE)], "doc_id string, text string")
+
+    # ...then batch 0 is REPLAYED: excluding its own partition, a1 is
+    # re-admitted (idempotent overwrite), not suppressed by itself
+    surv, _ = near_dedup_batch(
+        batch, read_signature_store(spark, store, exclude_batch=0))
+    assert [r.doc_id for r in surv.collect()] == ["a1"]
+    # a later batch DOES see batch 0's signatures
+    surv2, _ = near_dedup_batch(
+        batch, read_signature_store(spark, store, exclude_batch=1))
+    assert surv2.count() == 0
+
+
+def test_store_read_failures_raise(spark, tmp_path):
+    """Only a missing store path means 'first batch'; a corrupt store
+    must raise, not silently disable near-dedup."""
+    import pytest
+
+    missing = read_signature_store(spark, str(tmp_path / "nowhere"))
+    assert missing.count() == 0
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        read_signature_store(spark, str(bad)).count()

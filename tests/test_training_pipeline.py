@@ -131,3 +131,32 @@ def test_pipeline_from_extracted_table_agrees(spark, tmp_path):
         input_kind="extracted", langs=("en", "und"), quality_floor=0.2,
         min_chars=40, max_chars=2000)
     assert inline == from_table and inline["selected"] > 0
+
+def test_pipeline_rejects_incomplete_staged_table(spark, tmp_path):
+    """A run_extraction output killed mid-run must be rejected, not
+    silently curated into a truncated corpus; flags that only apply to
+    in-pipeline extraction are rejected with input_kind='extracted'."""
+    import pytest
+
+    from pdf_parser_spark.config import CLEANING_CONFIG
+    from pdf_parser_spark.sources.lineage import run_extraction
+
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=10, seed=51)
+    staged = str(tmp_path / "staged")
+    run_extraction(spark, src, staged, cfg=CLEANING_CONFIG, n_buckets=4,
+                   buckets_per_job=1, max_jobs=2)   # killed after 2/4
+    with pytest.raises(ValueError, match="incomplete"):
+        run_training_pipeline(spark, f"{staged}/extracted",
+                              str(tmp_path / "o"), input_kind="extracted")
+    run_extraction(spark, src, staged, cfg=CLEANING_CONFIG, n_buckets=4,
+                   buckets_per_job=1)               # resume to completion
+    funnel = run_training_pipeline(
+        spark, f"{staged}/extracted", str(tmp_path / "o"),
+        input_kind="extracted", langs=("en", "und"), quality_floor=0.2,
+        min_chars=40, max_chars=2000)
+    assert funnel["selected"] > 0
+    with pytest.raises(ValueError, match="already decided"):
+        run_training_pipeline(spark, f"{staged}/extracted",
+                              str(tmp_path / "o2"), input_kind="extracted",
+                              cleaning=False)
