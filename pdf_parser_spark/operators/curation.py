@@ -1,0 +1,424 @@
+"""Training-data curation operators: decontamination, repetition filters,
+PII redaction, deterministic global shuffle, and sequence packing.
+
+These extend the engine's training-pipeline surface (SURVEY.md §2's
+"LLM-data-pipeline" tier) with the standard curation passes a web-scale
+corpus goes through before pretraining:
+
+- eval-set decontamination: flag documents sharing any 13-token n-gram
+  with a held-out eval set (the GPT-3/PaLM convention);
+- repetition quality filters: duplicate-line and most-frequent-n-gram
+  character fractions (the Gopher heuristics);
+- PII redaction: email/SSN/phone/IPv4 patterns counted and masked;
+- deterministic global shuffle: a stable, seed-keyed total order that any
+  two runs (and any two engines) agree on exactly;
+- sequence packing: concat-and-cut packing of documents into fixed
+  token-budget training sequences, with per-document span bookkeeping.
+
+Everything is JVM column expressions except nothing — there is no Python
+in any of these paths. The repeated-element / boilerplate spirit mirrors
+the reference's repeated-header detection (reference pdf_parser.py:200-259
+drops repeated page furniture; the repetition filters here generalize the
+same "repeated content is low-value" rule to training corpora).
+
+Scale notes (100 TB):
+- decontamination joins on xxhash64(ngram) longs, never raw 13-gram
+  strings (fixed-width shuffle keys — same lesson as dedup.py's shingle
+  cache); the eval side is DISTINCT-reduced and broadcast by default
+  (eval sets are ~1e3-1e5 docs; pass broadcast_eval=False past ~100 MB
+  of hashed grams to fall back to a shuffle join).
+- repetition features are per-row and zero-shuffle. The hot path is an
+  Arrow-batched pandas UDF doing O(L) Counter passes per document (the
+  engine's measured lesson — textstats.lang_id_expr's docstring: the
+  interpreted higher-order expression twins ran ~8x slower than Arrow
+  UDFs; here the expression twin is additionally O(L^2) in the per-doc
+  line/gram count, measured 81 s vs ~2 s on the 500-doc contract run).
+  The expression twin (repetition_features_expr) is kept as the
+  no-Python-workers fallback, equality-pinned by pytest. Fractions are
+  derived JVM-side with F.round on both paths so DuckDB oracles stay
+  bit-identical.
+- global shuffle / packing avoid the single-partition global window via
+  prefix-sum decomposition: 256 md5-prefix groups get per-group windows
+  (distributed) plus a broadcast 256-row offset table — the standard
+  scalable total-order rank.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (IntegerType, LongType, StructField,
+                               StructType)
+
+from pdf_parser_spark.operators.textstats import (ascii_tokens, token_count,
+                                                  tokens_array)
+
+# ---------------------------------------------------------------------------
+# n-gram windows (shared by decontamination and repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def ngram_windows(col: Column, n: int) -> Column:
+    """All space-joined n-token windows of a text column (empty if < n).
+
+    Tokenization follows the engine-wide ASCII-\\s+ convention
+    (textstats.tokens_array), so DuckDB oracles reproduce it exactly.
+    """
+    toks = tokens_array(col)
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, win) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (13-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13, broadcast_eval: bool = True) -> DataFrame:
+    """Flag training documents that share any n-token gram with eval docs.
+
+    Returns one row per CONTAMINATED document:
+    (id_col, n_grams, n_contaminated, contamination_ratio) where
+    n_contaminated counts the doc's gram INSTANCES (window positions)
+    whose text appears anywhere in the eval set, and contamination_ratio
+    = n_contaminated / n_grams rounded to 6 places.
+
+    Join keys are xxhash64 longs of the gram strings, not the strings —
+    fixed-width shuffle/broadcast payload at any n. A 64-bit collision
+    would mis-flag one window; at 1e12 grams the expected collision count
+    is ~0.03, acceptable for a filter whose action is "drop the doc".
+    """
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.transform(ngram_windows(F.col(text_col), n),
+                                  lambda g: F.xxhash64(g))).alias("gh"))
+
+    eval_grams = gram_hashes(eval_docs).select("gh").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+
+    doc_grams = gram_hashes(docs)
+    # total windows per doc is pure token arithmetic (size - n + 1,
+    # floored at 0) — no second materialization of the gram array
+    totals = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens_array(F.col(text_col))) - F.lit(n - 1),
+                   F.lit(0)).alias("n_grams"))
+
+    hits = (doc_grams.join(eval_grams, "gh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated")))
+    return (hits.join(totals, id_col)
+            .select(id_col, "n_grams", "n_contaminated",
+                    F.round(F.col("n_contaminated")
+                            / F.col("n_grams").cast("double"), 6)
+                     .alias("contamination_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# repetition quality filters (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+# Spark SQL's trim() strips ASCII space (0x20) ONLY — not Java
+# String.trim's <= U+0020 rule, and not Python str.strip()'s Unicode
+# whitespace set. DuckDB's trim() default is the same space-only rule,
+# which is what makes the oracle engine-portable; the Python twin must
+# match both, so a line is blank iff it contains nothing but ' '.
+_TRIM_CHARS = " "
+
+
+def repetition_counts_py(text: str | None) -> tuple[int, int, int, int,
+                                                    int, int, int]:
+    """Integer repetition counts for one document (pure Python, O(L)).
+
+    Returns (n_lines, n_dup_lines, line_chars, dup_line_chars, bi_cov,
+    tri_cov, n_chars): non-blank line count, lines minus distinct lines,
+    total chars across non-blank lines, chars sitting in lines occurring
+    more than once (all occurrences counted), chars covered by the most
+    frequent word 2-/3-gram (count * gram length; (count, gram) max so
+    ties break to the lexicographically greatest gram), and total chars.
+    Shared by the Arrow UDF and the pytest oracles.
+    """
+    t = text or ""
+    lines = [x for x in t.split("\n") if x.strip(_TRIM_CHARS)]
+    line_counts = Counter(lines)
+    n_lines = len(lines)
+    n_dup = n_lines - len(line_counts)
+    line_chars = sum(len(x) for x in lines)
+    dup_chars = sum(len(x) * c for x, c in line_counts.items() if c > 1)
+
+    toks = ascii_tokens(t)
+
+    def top_cov(n: int) -> int:
+        if len(toks) < n:
+            return 0
+        grams = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+        cnt, g = max((c, g) for g, c in grams.items())
+        return cnt * len(g)
+
+    return (n_lines, n_dup, line_chars, dup_chars,
+            top_cov(2), top_cov(3), len(t))
+
+
+_REP_SCHEMA = StructType([
+    StructField("n_lines", IntegerType()),
+    StructField("n_dup_lines", IntegerType()),
+    StructField("line_chars", LongType()),
+    StructField("dup_line_chars", LongType()),
+    StructField("bi_cov", LongType()),
+    StructField("tri_cov", LongType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def _repetition_counts_series(s: pd.Series) -> pd.DataFrame:
+    rows = [repetition_counts_py(t) for t in s]
+    return pd.DataFrame(rows, columns=[f.name for f in _REP_SCHEMA.fields])
+
+
+repetition_counts_udf = pandas_udf(_repetition_counts_series, _REP_SCHEMA)
+
+
+def _repetition_fracs(df: DataFrame, n_lines: Column, n_dup: Column,
+                      line_chars: Column, dup_chars: Column, bi_cov: Column,
+                      tri_cov: Column, n_chars: Column) -> DataFrame:
+    """Derive the published fraction columns JVM-side (F.round, so the
+    UDF path, the expression twin, and the DuckDB oracle all round the
+    same way)."""
+    nl = F.when(n_lines > 0, n_lines.cast("double")).otherwise(F.lit(1.0))
+    nc = F.when(line_chars > 0, line_chars.cast("double")) \
+          .otherwise(F.lit(1.0))
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    return (df
+            .withColumn("n_lines", n_lines)
+            .withColumn("dup_line_frac",
+                        F.round(n_dup.cast("double") / nl, 6))
+            .withColumn("dup_line_char_frac",
+                        F.round(dup_chars.cast("double") / nc, 6))
+            .withColumn("top_bigram_char_frac", F.round(bi_cov / nz, 6))
+            .withColumn("top_trigram_char_frac", F.round(tri_cov / nz, 6)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher-style repetition signals (Arrow-batched hot path).
+
+    - n_lines: non-blank lines;
+    - dup_line_frac: fraction of lines that are repeats of an earlier
+      line (n_lines - n_distinct over n_lines);
+    - dup_line_char_frac: fraction of line characters sitting in lines
+      that occur more than once (all occurrences counted);
+    - top_bigram_char_frac / top_trigram_char_frac: characters covered
+      by the single most frequent word 2-/3-gram (count * gram length
+      over total chars), ties broken by the lexicographically greatest
+      gram so the winner is deterministic.
+
+    One Arrow-batched pandas UDF computes the integer counts in O(L)
+    per document (Counter passes); fractions are JVM F.round. Zero
+    shuffles. See the module docstring for the measured gap vs the
+    interpreted expression twin (~40x on the contract run).
+    """
+    out = df.withColumn("_rc", repetition_counts_udf(F.col(text_col)))
+    rc = F.col("_rc")
+    return _repetition_fracs(
+        out, rc["n_lines"], rc["n_dup_lines"], rc["line_chars"],
+        rc["dup_line_chars"], rc["bi_cov"], rc["tri_cov"],
+        rc["n_chars"]).drop("_rc")
+
+
+def repetition_features_expr(df: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """JVM expression twin of :func:`repetition_features` — identical
+    output columns, no Python workers required.
+
+    NOT the hot path: the inner filter-counts are O(L^2) per document
+    and higher-order array expressions evaluate interpreted
+    (CodegenFallback) — measured ~40x slower than the Arrow UDF on the
+    500-doc contract run. Equality with the UDF path is pinned by
+    test_repetition_expr_twin_matches_udf.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"),
+                             lambda acc, x: acc + F.length(x))
+    dup_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1,
+            F.length(x)).otherwise(F.lit(0)))
+
+    def top_gram_cov(n: int) -> Column:
+        grams = ngram_windows(c, n)
+        # (count, gram) max over DISTINCT grams; struct comparison is
+        # field-lexicographic = Python's max over (count, gram)
+        best = F.aggregate(
+            F.array_distinct(grams),
+            F.struct(F.lit(0).cast("int").alias("cnt"),
+                     F.lit("").alias("g")),
+            lambda acc, x: F.when(
+                F.struct(
+                    F.size(F.filter(grams, lambda y: y == x)).alias("cnt"),
+                    x.alias("g")) > acc,
+                F.struct(
+                    F.size(F.filter(grams, lambda y: y == x)).alias("cnt"),
+                    x.alias("g"))).otherwise(acc))
+        return best["cnt"].cast("long") * F.length(best["g"])
+
+    return _repetition_fracs(df, n_lines, n_dup_lines, line_chars,
+                             dup_line_chars, top_gram_cov(2),
+                             top_gram_cov(3), F.length(c))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b —
+# no backreferences, no lookaround. Replacement order is load-bearing
+# (emails contain digits/dots that the later patterns would chew on):
+# EMAIL -> SSN -> PHONE -> IP, identical on both engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and mask PII patterns; adds n_<kind> counts + redacted_text.
+
+    Counts are measured on the ORIGINAL text (non-overlapping leftmost
+    matches); the redacted column applies the replacements sequentially
+    in PII_PATTERNS order. Pure regexp expressions — codegen'd, no
+    Python, no shuffle.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    red = c
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted_text", red)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + sequence packing (shared prefix-sum rank)
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_key(id_col: str, seed: int) -> Column:
+    """Stable per-row shuffle key: md5 over (id, seed) — engine-portable
+    (DuckDB md5 produces the identical hex), uniform, and deterministic
+    across runs, partitionings, and cluster sizes."""
+    return F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                             F.lit(str(seed))))
+
+
+def _with_global_order(df: DataFrame, id_col: str, seed: int,
+                       extra_cumsum: Column | None = None) -> DataFrame:
+    """Attach shuffle_pos (0-based global rank by md5 shuffle key) and,
+    optionally, cum_tokens (global inclusive prefix sum of extra_cumsum)
+    WITHOUT a single-partition global window.
+
+    Decomposition: grp = first 2 hex chars of the key (256 groups). The
+    md5 hex ORDER factors as (grp, key) — a prefix orders before the
+    full string — so per-group windows ordered by (key, id) plus a
+    broadcast 256-row running offset of the per-group totals reproduce
+    the exact global rank/prefix-sum. Per-group windows shuffle once on
+    grp; the offset table is an agg of 256 rows sorted on the driver's
+    broadcast side. Same plan shape at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    key = _shuffle_key(id_col, seed)
+    base = df.withColumn("_sk", key).withColumn("_grp", F.substring("_sk", 1, 2))
+    w = (Window.partitionBy("_grp")
+               .orderBy("_sk", id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("_rn", F.count("*").over(w))
+    if extra_cumsum is not None:
+        base = base.withColumn("_val", extra_cumsum) \
+                   .withColumn("_cs", F.sum("_val").over(w))
+
+    aggs = [F.count("*").alias("_n")]
+    if extra_cumsum is not None:
+        aggs.append(F.sum("_val").alias("_t"))
+    per_grp = base.groupBy("_grp").agg(*aggs)
+    wg = (Window.orderBy("_grp")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_grp.select(
+        "_grp",
+        F.coalesce(F.sum("_n").over(wg), F.lit(0)).alias("_off"),
+        *([F.coalesce(F.sum("_t").over(wg), F.lit(0)).alias("_toff")]
+          if extra_cumsum is not None else []))
+    # 256 rows: the single-partition window over per_grp is intentional
+    out = base.join(F.broadcast(offsets), "_grp")
+    out = out.withColumn("shuffle_pos", (F.col("_off") + F.col("_rn") - 1)
+                         .cast("long"))
+    if extra_cumsum is not None:
+        out = out.withColumn("cum_tokens",
+                             (F.col("_toff") + F.col("_cs")).cast("long"))
+    return out.drop("_sk", "_grp", "_rn", "_val", "_cs", "_n", "_off",
+                    "_t", "_toff")
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic, seed-keyed global shuffle order.
+
+    Adds shuffle_pos: the row's 0-based position under ORDER BY
+    md5(id:seed), id. Any two runs — and any two engines — produce the
+    identical permutation, so a training run is reproducible bit-for-bit
+    from (corpus, seed) alone. Distributed rank (no global window); see
+    _with_global_order.
+    """
+    return _with_global_order(df, id_col, seed)
+
+
+def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 512,
+                   seed: int = 0) -> DataFrame:
+    """Concat-and-cut sequence packing with per-document span bookkeeping.
+
+    Documents are laid end-to-end in the deterministic global-shuffle
+    order and the token stream is cut every `budget` tokens (the
+    standard pretraining packing: documents may straddle a cut). Output
+    per document: n_tokens, start_offset (global token offset), seq_first
+    / seq_last (ids of the first/last training sequences the doc touches)
+    and n_seqs = seq_last - seq_first + 1.
+
+    Zero-token documents occupy no stream space: they get the sequence id
+    at their start offset and n_seqs = 1.
+    """
+    toks = token_count(F.col(text_col))
+    out = _with_global_order(df.withColumn("n_tokens", toks),
+                             id_col, seed, extra_cumsum=F.col("n_tokens"))
+    out = (out
+           .withColumn("start_offset",
+                       F.col("cum_tokens") - F.col("n_tokens"))
+           # integer div (nonnegative offsets) — identical to DuckDB //
+           .withColumn("seq_first",
+                       F.expr(f"start_offset div {budget}").cast("long"))
+           .withColumn("seq_last",
+                       F.expr(f"greatest(cum_tokens - 1, start_offset) "
+                              f"div {budget}").cast("long")))
+    return out.withColumn("n_seqs",
+                          (F.col("seq_last") - F.col("seq_first") + 1)
+                          .cast("long"))

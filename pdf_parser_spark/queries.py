@@ -1692,6 +1692,279 @@ def media_payload_features(spark, sf):
     return payload_features(synth_media(spark, n_rows=120, seed=42))
 
 
+# a fixed 13-token gram planted into the eval slice AND a subset of the
+# training docs so contamination actually occurs in the word-soup corpus
+# (without it the oracle is trivially 0-row green at every sf) — the
+# boundary windows mixing soup and canary differ per doc, so exactly the
+# pure canary window matches
+_DECONTAM_CANARY = (" canary alpha bravo charlie delta echo foxtrot golf"
+                    " hotel india juliett kilo lima")
+
+
+def docs_decontamination(spark, sf):
+    # eval-set decontamination: flag training docs sharing any 13-token
+    # n-gram with a held-out eval slice (the GPT-3/PaLM convention);
+    # join on xxhash64(gram) longs, eval side distinct + broadcast
+    from pdf_parser_spark.operators.curation import decontaminate
+    d = _t_wide(spark, sf, "documents")
+    is_eval = F.col("doc_id") % 41 == 0
+    planted = F.col("doc_id") % 10 == 3
+    aug = F.when(is_eval | planted,
+                 F.concat(F.col("text"), F.lit(_DECONTAM_CANARY))) \
+          .otherwise(F.col("text"))
+    d = d.select("doc_id", aug.alias("text"))
+    ev = d.where(is_eval)
+    tr = d.where(~is_eval)
+    out = decontaminate(tr, ev, n=13)
+    return out.select("doc_id", F.col("n_grams").cast("long"),
+                      "n_contaminated", "contamination_ratio")
+
+
+DOCS_DECONTAM_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 41 = 0 OR doc_id % 10 = 3
+                 THEN ' canary alpha bravo charlie delta echo foxtrot golf'
+                      || ' hotel india juliett kilo lima'
+                 ELSE '' END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     t -> length(t) > 0) AS t
+  FROM aug
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 13
+              THEN list_transform(range(1, len(t) - 11),
+                                  i -> array_to_string(t[i:i+12], ' '))
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+), doc_g AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 41 != 0
+), eval_g AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 41 = 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM doc_g WHERE g IN (SELECT g FROM eval_g)
+  GROUP BY doc_id
+)
+SELECT h.doc_id, CAST(len(gr.gs) AS BIGINT) AS n_grams, h.n_contaminated,
+       round(h.n_contaminated / CAST(len(gr.gs) AS DOUBLE), 6)
+         AS contamination_ratio
+FROM hits h JOIN grams gr ON h.doc_id = gr.doc_id
+"""
+
+
+def docs_repetition_filter(spark, sf):
+    # Gopher-style repetition quality signals; driver docs are single-line
+    # word soup, so duplicate lines are injected deterministically (text +
+    # two copies of its first 37 chars) to exercise the line metrics —
+    # mirrored char-for-char in the oracle
+    from pdf_parser_spark.operators.curation import repetition_features
+    d = _t_wide(spark, sf, "documents")
+    aug = F.concat_ws("\n", F.col("text"), F.substring("text", 1, 37),
+                      F.substring("text", 1, 37))
+    d = d.select("doc_id", aug.alias("text"))
+    return repetition_features(d).select(
+        "doc_id", F.col("n_lines").cast("long"), "dup_line_frac",
+        "dup_line_char_frac", "top_bigram_char_frac",
+        "top_trigram_char_frac")
+
+
+DOCS_REPETITION_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 37) || chr(10)
+              || substr(text, 1, 37) AS text
+  FROM documents
+), ln AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS lines
+  FROM aug
+), linestats AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS n_dup,
+         list_sum(list_transform(lines, x -> length(x))) AS line_chars,
+         list_sum(list_transform(lines,
+           x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                     THEN length(x) ELSE 0 END)) AS dup_chars
+  FROM ln
+), toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     t -> length(t) > 0) AS t
+  FROM aug
+), topgram AS (
+  SELECT doc_id, n,
+         max(struct_pack(cnt := cnt, g := g)) AS best
+  FROM (
+    SELECT doc_id, n, g, count(*) AS cnt
+    FROM (
+      SELECT doc_id, 2 AS n,
+             unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+1], ' '))
+               ELSE []::VARCHAR[] END) AS g
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS g
+      FROM toks
+    ) GROUP BY doc_id, n, g
+  ) GROUP BY doc_id, n
+), fracs AS (
+  SELECT tk.doc_id,
+         coalesce(max(CASE WHEN tg.n = 2 THEN tg.best.cnt
+                           * length(tg.best.g) END), 0) AS bi_cov,
+         coalesce(max(CASE WHEN tg.n = 3 THEN tg.best.cnt
+                           * length(tg.best.g) END), 0) AS tri_cov,
+         max(tk.n_chars) AS n_chars
+  FROM toks tk LEFT JOIN topgram tg ON tk.doc_id = tg.doc_id
+  GROUP BY tk.doc_id
+)
+SELECT ls.doc_id, CAST(ls.n_lines AS BIGINT) AS n_lines,
+       round(ls.n_dup / CAST(CASE WHEN ls.n_lines > 0
+                             THEN ls.n_lines ELSE 1 END AS DOUBLE), 6)
+         AS dup_line_frac,
+       round(ls.dup_chars / CAST(CASE WHEN ls.line_chars > 0
+                                 THEN ls.line_chars ELSE 1 END AS DOUBLE), 6)
+         AS dup_line_char_frac,
+       round(f.bi_cov / CAST(CASE WHEN f.n_chars > 0
+                             THEN f.n_chars ELSE 1 END AS DOUBLE), 6)
+         AS top_bigram_char_frac,
+       round(f.tri_cov / CAST(CASE WHEN f.n_chars > 0
+                              THEN f.n_chars ELSE 1 END AS DOUBLE), 6)
+         AS top_trigram_char_frac
+FROM linestats ls JOIN fracs f ON ls.doc_id = f.doc_id
+"""
+
+
+def docs_pii_redaction(spark, sf):
+    # PII counting + masking; the word-soup docs carry no PII, so inject
+    # deterministic email/SSN/phone/IP strings keyed on doc_id (mirrored
+    # in the oracle) to exercise every pattern including the replacement
+    # order
+    from pdf_parser_spark.operators.curation import pii_redact
+    d = _t_wide(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(did % 17 == 0,
+               F.concat(F.lit(" host 10.0.0."),
+                        (did % 256).cast("string"))).otherwise(F.lit("")))
+    d = d.select("doc_id", aug.alias("text"))
+    out = pii_redact(d)
+    return out.select("doc_id", F.col("n_email").cast("long"),
+                      F.col("n_ssn").cast("long"),
+                      F.col("n_phone").cast("long"),
+                      F.col("n_ipv4").cast("long"), "redacted_text")
+
+
+DOCS_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+         AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+         AS redacted_text
+FROM aug
+"""
+
+
+def docs_global_shuffle(spark, sf):
+    # deterministic seed-keyed global shuffle: exact 0-based rank under
+    # ORDER BY md5(id:seed) via 256-group prefix-sum decomposition (no
+    # single-partition global window)
+    from pdf_parser_spark.operators.curation import global_shuffle
+    d = _t(spark, sf, "documents")
+    return global_shuffle(d, "doc_id", seed=7).select("doc_id",
+                                                      "shuffle_pos")
+
+
+DOCS_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+def docs_sequence_packing(spark, sf):
+    # concat-and-cut sequence packing: docs laid end-to-end in shuffle
+    # order, token stream cut every 512 tokens, per-doc span bookkeeping
+    from pdf_parser_spark.operators.curation import pack_sequences
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, budget=512, seed=7).select(
+        "doc_id", F.col("n_tokens").cast("long"), "start_offset",
+        "seq_first", "seq_last", "n_seqs")
+
+
+DOCS_PACKING_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':7') AS sk
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY sk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_first,
+       CAST(greatest(cum_tokens - 1, cum_tokens - n_tokens) // 512
+            AS BIGINT) AS seq_last,
+       CAST(greatest(cum_tokens - 1, cum_tokens - n_tokens) // 512
+            - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1738,6 +2011,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_stream_near_dedup_admitted": docs_stream_near_dedup_admitted,
+    "docs_decontamination": docs_decontamination,
+    "docs_repetition_filter": docs_repetition_filter,
+    "docs_pii_redaction": docs_pii_redaction,
+    "docs_global_shuffle": docs_global_shuffle,
+    "docs_sequence_packing": docs_sequence_packing,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -1832,6 +2110,11 @@ ORACLES: dict[str, str] = {
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,
     "docs_stream_near_dedup_admitted": DOCS_STREAM_NEARDEDUP_SQL,
+    "docs_decontamination": DOCS_DECONTAM_SQL,
+    "docs_repetition_filter": DOCS_REPETITION_SQL,
+    "docs_pii_redaction": DOCS_PII_SQL,
+    "docs_global_shuffle": DOCS_SHUFFLE_SQL,
+    "docs_sequence_packing": DOCS_PACKING_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
