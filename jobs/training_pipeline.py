@@ -39,14 +39,41 @@ from pyspark.sql import functions as F  # noqa: E402
 FUNNEL_STAGES = ("extracted", "exact_unique", "near_unique", "quality",
                  "language", "length", "selected")
 
+# every stage the funnel can contain, in filter order; funnel_metrics
+# emits the subset whose flag column exists on the curated frame, so the
+# optional curation passes (repetition, decontamination) appear exactly
+# when enabled and the default funnel is byte-identical to before
+_STAGE_FLAGS = (("exact_unique", "f_exact_unique"),
+                ("near_unique", "f_near_unique"),
+                ("quality", "f_quality"),
+                ("repetition", "f_repetition"),
+                ("language", "f_language"),
+                ("length", "f_length"),
+                ("decontaminated", "f_decontaminated"))
+
 
 def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            quality_floor: float = 0.25, min_chars: int = 40,
            max_chars: int = 4000, max_hamming: int = 3,
-           split_weights=None) -> DataFrame:
+           split_weights=None, eval_docs: DataFrame | None = None,
+           max_dup_line_frac: float | None = None,
+           max_top_ngram_frac: float | None = None,
+           redact_pii: bool = False) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
-    quality tiers; the dedup tiers key on the engine-wide content hash."""
+    quality tiers; the dedup tiers key on the engine-wide content hash.
+
+    Optional curation passes (each adds a flag/stage only when enabled):
+
+    - ``max_dup_line_frac`` / ``max_top_ngram_frac``: Gopher repetition
+      ceilings — ``f_repetition`` passes docs under the duplicate-line
+      fraction and/or the top-2/3-gram character-coverage fraction;
+    - ``eval_docs``: a DataFrame with a ``text`` column —
+      ``f_decontaminated`` drops chunks sharing any 13-token gram with
+      it (the contaminated set is tiny, so the flag join broadcasts);
+    - ``redact_pii``: masks email/SSN/phone/IPv4 in the output text and
+      keeps the per-kind counts as columns (not a filter stage).
+    """
     from pyspark import StorageLevel
 
     from pdf_parser_spark.operators.dedup import (content_key,
@@ -104,10 +131,49 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                .withColumn("f_language", F.col("lang_pred").isin(*langs))
                .withColumn("f_length",
                            F.col("char_count").between(min_chars,
-                                                       max_chars))
-               .withColumn("selected",
-                           F.col("f_near_unique") & F.col("f_quality")
-                           & F.col("f_language") & F.col("f_length")))
+                                                       max_chars)))
+
+    if max_dup_line_frac is not None or max_top_ngram_frac is not None:
+        from pdf_parser_spark.operators.curation import repetition_features
+        flagged = repetition_features(flagged)
+        rep_ok = F.lit(True)
+        if max_dup_line_frac is not None:
+            rep_ok = rep_ok & (F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_ngram_frac is not None:
+            rep_ok = (rep_ok
+                      & (F.col("top_bigram_char_frac")
+                         <= max_top_ngram_frac)
+                      & (F.col("top_trigram_char_frac")
+                         <= max_top_ngram_frac))
+        flagged = flagged.withColumn("f_repetition", rep_ok) \
+            .drop("n_lines", "dup_line_frac", "dup_line_char_frac",
+                  "top_bigram_char_frac", "top_trigram_char_frac")
+
+    if eval_docs is not None:
+        from pdf_parser_spark.operators.curation import decontaminate
+        # the contaminated set is the small side by construction (eval
+        # overlap fraction of the corpus) — AQE broadcasts it, same shape
+        # as the near-dup loser join above
+        contaminated = decontaminate(flagged, eval_docs, id_col="id",
+                                     text_col="text") \
+            .select("id").withColumn("__dirty", F.lit(True))
+        flagged = (flagged.join(contaminated, "id", "left")
+                   .withColumn("f_decontaminated",
+                               F.col("__dirty").isNull())
+                   .drop("__dirty"))
+
+    if redact_pii:
+        from pdf_parser_spark.operators.curation import pii_redact
+        flagged = pii_redact(flagged) \
+            .withColumn("text", F.col("redacted_text")) \
+            .drop("redacted_text")
+
+    sel = F.col("f_near_unique") & F.col("f_quality") \
+        & F.col("f_language") & F.col("f_length")
+    for opt in ("f_repetition", "f_decontaminated"):
+        if opt in flagged.columns:
+            sel = sel & F.col(opt)
+    flagged = flagged.withColumn("selected", sel)
     out = deterministic_split(flagged, "id", split_weights)
     # the dedup tiers pinned executor storage (simhash signatures, the
     # component labeling) — re-attach those handles to the final result
@@ -121,22 +187,26 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
 
 def funnel_metrics(curated: DataFrame) -> dict:
     """ONE aggregation pass over the flag columns. Sums coalesce to 0 so
-    an empty extraction yields a zeroed funnel, not NULLs."""
+    an empty extraction yields a zeroed funnel, not NULLs.
+
+    Stages are the _STAGE_FLAGS subset whose flag exists on the frame,
+    counted as the cumulative AND along the filter order — so the funnel
+    is monotone by construction and its last stage equals ``selected``.
+    With no optional passes enabled this emits exactly FUNNEL_STAGES.
+    """
     def _s(col):
         return F.coalesce(F.sum(col.cast("int")), F.lit(0))
 
-    row = curated.agg(
-        F.count("*").alias("extracted"),
-        _s(F.col("f_exact_unique")).alias("exact_unique"),
-        _s(F.col("f_near_unique")).alias("near_unique"),
-        _s(F.col("f_near_unique") & F.col("f_quality")).alias("quality"),
-        _s(F.col("f_near_unique") & F.col("f_quality")
-           & F.col("f_language")).alias("language"),
-        _s(F.col("f_near_unique") & F.col("f_quality")
-           & F.col("f_language") & F.col("f_length")).alias("length"),
-        _s(F.col("selected")).alias("selected"),
-    ).collect()[0]
-    return {s: int(row[s]) for s in FUNNEL_STAGES}
+    present = [(s, f) for s, f in _STAGE_FLAGS if f in curated.columns]
+    aggs = [F.count("*").alias("extracted")]
+    acc = None
+    for stage, flag in present:
+        acc = F.col(flag) if acc is None else (acc & F.col(flag))
+        aggs.append(_s(acc).alias(stage))
+    aggs.append(_s(F.col("selected")).alias("selected"))
+    row = curated.agg(*aggs).collect()[0]
+    stages = ("extracted",) + tuple(s for s, _ in present) + ("selected",)
+    return {s: int(row[s]) for s in stages}
 
 
 def run_training_pipeline(spark: SparkSession, input_path: str,
@@ -203,9 +273,9 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         funnel = funnel_metrics(curated)
-        (curated.where(F.col("selected"))
-         .drop("selected", "f_exact_unique", "f_near_unique", "f_quality",
-               "f_language", "f_length")
+        flag_cols = [c for c in curated.columns
+                     if c == "selected" or c.startswith("f_")]
+        (curated.where(F.col("selected")).drop(*flag_cols)
          .write.partitionBy("split").mode("overwrite")
          .parquet(f"{output_dir}/corpus"))
     finally:
@@ -248,6 +318,19 @@ def main() -> int:
                     choices=("transcripts", "extracted"),
                     help="extracted = curate run_extraction's committed "
                          "chunk table without re-extracting")
+    ap.add_argument("--decontaminate-eval", default=None, metavar="PARQUET",
+                    help="parquet of held-out eval text (a 'text' column "
+                         "is enough): drop chunks sharing any 13-token "
+                         "gram with it")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="Gopher repetition ceiling on the duplicate-line "
+                         "fraction")
+    ap.add_argument("--max-top-ngram-frac", type=float, default=None,
+                    help="Gopher repetition ceiling on the top-2/3-gram "
+                         "character-coverage fractions")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="mask email/SSN/phone/IPv4 in the output text "
+                         "(counts kept as columns)")
     a = ap.parse_args()
     if a.input_kind == "extracted" and (a.parity or a.layout != "windowed"):
         ap.error("--parity/--layout apply to in-pipeline extraction; "
@@ -256,11 +339,16 @@ def main() -> int:
                   else {"cleaning": not a.parity, "layout": a.layout})
     spark = build_session("training-pipeline")
     try:
+        eval_docs = (spark.read.parquet(a.decontaminate_eval)
+                     if a.decontaminate_eval else None)
         funnel = run_training_pipeline(
             spark, a.input, a.output, input_kind=a.input_kind,
             langs=tuple(a.langs.split(",")),
             quality_floor=a.quality_floor, min_chars=a.min_chars,
-            max_chars=a.max_chars, **extract_kw)
+            max_chars=a.max_chars, eval_docs=eval_docs,
+            max_dup_line_frac=a.max_dup_line_frac,
+            max_top_ngram_frac=a.max_top_ngram_frac,
+            redact_pii=a.redact_pii, **extract_kw)
         print(json.dumps(funnel))
     finally:
         spark.stop()

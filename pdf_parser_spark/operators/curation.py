@@ -96,6 +96,9 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, *,
     fixed-width shuffle/broadcast payload at any n. A 64-bit collision
     would mis-flag one window; at 1e12 grams the expected collision count
     is ~0.03, acceptable for a filter whose action is "drop the doc".
+
+    The eval side needs only ``text_col`` (no id) — any parquet of
+    held-out eval text works as-is.
     """
     def gram_hashes(df: DataFrame) -> DataFrame:
         return df.select(
@@ -103,7 +106,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, *,
             F.explode(F.transform(ngram_windows(F.col(text_col), n),
                                   lambda g: F.xxhash64(g))).alias("gh"))
 
-    eval_grams = gram_hashes(eval_docs).select("gh").distinct()
+    eval_grams = eval_docs.select(
+        F.explode(F.transform(ngram_windows(F.col(text_col), n),
+                              lambda g: F.xxhash64(g))).alias("gh")) \
+        .distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
 

@@ -160,3 +160,78 @@ def test_pipeline_rejects_incomplete_staged_table(spark, tmp_path):
         run_training_pipeline(spark, f"{staged}/extracted",
                               str(tmp_path / "o2"), input_kind="extracted",
                               cleaning=False)
+
+def test_pipeline_optional_curation_stages(spark, tmp_path):
+    """eval-set decontamination + repetition ceilings + PII redaction
+    appear as funnel stages exactly when enabled, and each flag equals
+    the standalone operator's verdict."""
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+    from pdf_parser_spark.operators.curation import (decontaminate,
+                                                     repetition_features)
+    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+    from pdf_parser_spark.pipeline import read_transcripts
+
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=20, seed=61)
+    chunks = extract_chunks(read_transcripts(spark, src), DEFAULT_CONFIG) \
+        .where(F.col("chunk_type") == "text").drop("table_cells")
+    base = with_chunk_id(chunks)
+
+    # eval set = three long chunk texts of the SAME corpus -> guaranteed
+    # 13-gram contamination of at least those chunks
+    eval_texts = [r.text for r in base
+                  .where(F.size(F.split(F.col("text"), r"\s+")) >= 13)
+                  .orderBy("id").limit(3).collect()]
+    assert len(eval_texts) == 3
+    eval_docs = spark.createDataFrame([(t,) for t in eval_texts],
+                                      "text string")
+
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.2,
+                 min_chars=40, max_chars=2000, eval_docs=eval_docs,
+                 max_dup_line_frac=0.5, max_top_ngram_frac=0.5,
+                 redact_pii=True)
+    funnel = funnel_metrics(cur)
+    assert list(funnel) == ["extracted", "exact_unique", "near_unique",
+                            "quality", "repetition", "language", "length",
+                            "decontaminated", "selected"]
+    vals = list(funnel.values())
+    assert vals[1:] == sorted(vals[1:], reverse=True)
+    assert funnel["selected"] == funnel["decontaminated"]
+
+    # decontamination flag == standalone operator verdict; the planted
+    # eval texts must actually contaminate something
+    dirty = {r.id for r in
+             decontaminate(base.select("id", "text"), eval_docs,
+                           id_col="id")
+             .select("id").collect()}
+    assert dirty
+    got = {r.id: r.f_decontaminated
+           for r in cur.select("id", "f_decontaminated").collect()}
+    assert got == {i: i not in dirty for i in got}
+
+    # repetition flag == standalone thresholds
+    rep = {r.id: r for r in
+           repetition_features(base.select("id", "text")).collect()}
+    for r in cur.select("id", "f_repetition").collect():
+        s = rep[r.id]
+        assert r.f_repetition == (s.dup_line_frac <= 0.5
+                                  and s.top_bigram_char_frac <= 0.5
+                                  and s.top_trigram_char_frac <= 0.5)
+
+    # PII pass keeps its count columns (no filter stage)
+    for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"):
+        assert c in cur.columns
+    assert "redacted_text" not in cur.columns
+
+
+def test_pipeline_default_funnel_unchanged_by_new_options(spark, tmp_path):
+    """With no optional pass enabled the funnel emits exactly the
+    original FUNNEL_STAGES keys (driver-visible contract)."""
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=10, seed=71)
+    funnel = run_training_pipeline(
+        spark, src, str(tmp_path / "out"), cleaning=True,
+        langs=("en", "und"), quality_floor=0.2, min_chars=40,
+        max_chars=2000)
+    assert tuple(funnel) == FUNNEL_STAGES
