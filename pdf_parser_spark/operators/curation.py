@@ -38,9 +38,10 @@ Scale notes (100 TB):
   derived JVM-side with F.round on both paths so DuckDB oracles stay
   bit-identical.
 - global shuffle / packing avoid the single-partition global window via
-  prefix-sum decomposition: 256 md5-prefix groups get per-group windows
-  (distributed) plus a broadcast 256-row offset table — the standard
-  scalable total-order rank.
+  prefix-sum decomposition: 16^prefix_len md5-prefix groups (default
+  65,536) get per-group windows (distributed) plus a broadcast offset
+  table — the standard scalable total-order rank; prefix_len sizes the
+  per-task sort at n / 16^prefix_len without changing the result.
 """
 
 from __future__ import annotations
@@ -338,23 +339,31 @@ def _shuffle_key(id_col: str, seed: int) -> Column:
 
 
 def _with_global_order(df: DataFrame, id_col: str, seed: int,
-                       extra_cumsum: Column | None = None) -> DataFrame:
+                       extra_cumsum: Column | None = None,
+                       prefix_len: int = 4) -> DataFrame:
     """Attach shuffle_pos (0-based global rank by md5 shuffle key) and,
     optionally, cum_tokens (global inclusive prefix sum of extra_cumsum)
     WITHOUT a single-partition global window.
 
-    Decomposition: grp = first 2 hex chars of the key (256 groups). The
-    md5 hex ORDER factors as (grp, key) — a prefix orders before the
-    full string — so per-group windows ordered by (key, id) plus a
-    broadcast 256-row running offset of the per-group totals reproduce
-    the exact global rank/prefix-sum. Per-group windows shuffle once on
-    grp; the offset table is an agg of 256 rows sorted on the driver's
-    broadcast side. Same plan shape at any corpus size.
+    Decomposition: grp = first ``prefix_len`` hex chars of the key
+    (16^prefix_len groups). The md5 hex ORDER factors as (grp, key) — a
+    prefix orders before the full string — so per-group windows ordered
+    by (key, id) plus a broadcast running offset of the per-group totals
+    reproduce the exact global rank/prefix-sum FOR ANY prefix length;
+    prefix_len only moves cost. Per-group windows shuffle once on grp;
+    the offset table is an agg of 16^prefix_len rows whose own
+    single-partition window is trivial at that size.
+
+    Sizing: per-task sort volume is n / 16^prefix_len. The default 4
+    (65,536 groups) keeps a 10^12-row corpus at ~15M rows per group;
+    bump to 5 (1M groups, ~24 MB broadcast) beyond that. 2 suffices for
+    test-scale corpora — the result is bit-identical at every setting.
     """
     from pyspark.sql import Window
 
     key = _shuffle_key(id_col, seed)
-    base = df.withColumn("_sk", key).withColumn("_grp", F.substring("_sk", 1, 2))
+    base = df.withColumn("_sk", key).withColumn(
+        "_grp", F.substring("_sk", 1, prefix_len))
     w = (Window.partitionBy("_grp")
                .orderBy("_sk", id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -374,7 +383,8 @@ def _with_global_order(df: DataFrame, id_col: str, seed: int,
         F.coalesce(F.sum("_n").over(wg), F.lit(0)).alias("_off"),
         *([F.coalesce(F.sum("_t").over(wg), F.lit(0)).alias("_toff")]
           if extra_cumsum is not None else []))
-    # 256 rows: the single-partition window over per_grp is intentional
+    # 16^prefix_len rows: the single-partition window over per_grp is
+    # intentional (trivial at that size)
     out = base.join(F.broadcast(offsets), "_grp")
     out = out.withColumn("shuffle_pos", (F.col("_off") + F.col("_rn") - 1)
                          .cast("long"))

@@ -1911,8 +1911,8 @@ FROM aug
 
 def docs_global_shuffle(spark, sf):
     # deterministic seed-keyed global shuffle: exact 0-based rank under
-    # ORDER BY md5(id:seed) via 256-group prefix-sum decomposition (no
-    # single-partition global window)
+    # ORDER BY md5(id:seed) via md5-prefix-group prefix-sum decomposition
+    # (no single-partition global window over data)
     from pdf_parser_spark.operators.curation import global_shuffle
     d = _t(spark, sf, "documents")
     return global_shuffle(d, "doc_id", seed=7).select("doc_id",
