@@ -294,6 +294,24 @@ def _timed(fn) -> float:
     return time.monotonic() - t0
 
 
+def _host_canary() -> float:
+    """Single-thread fixed-work probe (million ops/sec of a pure-Python
+    integer loop). The shared VM shows multi-hour windows of 3-5x
+    degradation (hypervisor neighbors: high steal + sys time), far beyond
+    the +-25%% jitter BASELINE.md documents — a bench line without a
+    health stamp is uninterpretable across rounds. Healthy-box reference
+    and the degraded-window evidence live in BASELINE.md."""
+    def _one() -> float:
+        x = 0
+        t0 = time.monotonic()
+        for _ in range(10):
+            for i in range(100000):
+                x += i * i
+        return 1.0 / (time.monotonic() - t0)
+
+    return round(sorted(_one() for _ in range(3))[1], 2)
+
+
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
     from pdf_parser_spark.queries import QUERIES
     # warm-up: JVM JIT, codegen, parquet footer cache, Python worker pool —
@@ -323,12 +341,14 @@ def main_bench(cores: int, sf_dir: str) -> None:
     os.makedirs(tmp_root, exist_ok=True)
     corpus, n_turns = _synth_corpus_path(tmp_root, BENCH_CONVS)
 
+    canary_before = _host_canary()
     spark = build_spark(cores)
     try:
         queries = run_headline(spark, sf_dir)
         ext = run_extraction_bench(spark, corpus, n_turns)
     finally:
         spark.stop()
+    canary_after = _host_canary()
 
     queries["extract_synth"] = ext["extract_sec"]
     queries["extract_synth_bucketed"] = ext["extract_bucketed_sec"]
@@ -346,6 +366,7 @@ def main_bench(cores: int, sf_dir: str) -> None:
         "turns_per_sec": ext["turns_per_sec"],
         "extract_n_turns": ext["n_turns"],
         "cores": cores,
+        "host_canary_mloops_per_sec": [canary_before, canary_after],
         **_last_scaling(),
     }))
 
