@@ -312,17 +312,50 @@ def _host_canary() -> float:
     return round(sorted(_one() for _ in range(3))[1], 2)
 
 
+def _cpu_times() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(v) for v in f.readline().split()[1:9]]
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_window(before, after) -> dict:
+    """Whole-box CPU accounting between two /proc/stat samples: the
+    fraction of elapsed CPU time spent in sys+irq (kernel) and steal
+    (hypervisor ran someone else). Healthy runs of this suite sit around
+    sys ~10% / steal ~1%; the degraded windows show sys 40-80% + steal
+    5-15% — kernel spin from lock-holder preemption on an oversubscribed
+    host."""
+    if not before or not after:
+        return {}
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d) or 1
+    # fields: user nice system idle iowait irq softirq steal
+    return {"cpu_sys_frac": round((d[2] + d[5] + d[6]) / total, 3),
+            "cpu_steal_frac": round(d[7] / total, 3),
+            "cpu_busy_frac": round(1 - (d[3] + d[4]) / total, 3)}
+
+
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
     from pdf_parser_spark.queries import QUERIES
     # warm-up: JVM JIT, codegen, parquet footer cache, Python worker pool —
     # excluded from every timing
     _materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+    # two full passes, per-query min — the same noise-damping the
+    # extraction bench has had since round 1 (best-of-3). On this host a
+    # single pass can land entirely inside a degraded window (see the
+    # canary section in BASELINE.md) and misread a plan-shape question as
+    # a 3-5x regression.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.monotonic()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            _materialize(fn(spark, sf_dir))
+            dt = round(time.monotonic() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     return timings
 
 
@@ -342,12 +375,14 @@ def main_bench(cores: int, sf_dir: str) -> None:
     corpus, n_turns = _synth_corpus_path(tmp_root, BENCH_CONVS)
 
     canary_before = _host_canary()
+    cpu_before = _cpu_times()
     spark = build_spark(cores)
     try:
         queries = run_headline(spark, sf_dir)
         ext = run_extraction_bench(spark, corpus, n_turns)
     finally:
         spark.stop()
+    cpu_after = _cpu_times()
     canary_after = _host_canary()
 
     queries["extract_synth"] = ext["extract_sec"]
@@ -367,6 +402,7 @@ def main_bench(cores: int, sf_dir: str) -> None:
         "extract_n_turns": ext["n_turns"],
         "cores": cores,
         "host_canary_mloops_per_sec": [canary_before, canary_after],
+        **_cpu_window(cpu_before, cpu_after),
         **_last_scaling(),
     }))
 
