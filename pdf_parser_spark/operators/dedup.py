@@ -23,6 +23,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 from pyspark.sql.types import LongType
 
 # --- storage ownership -----------------------------------------------------
@@ -688,3 +689,97 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
     return _own(df.join(losers.withColumnRenamed("id", id_col),
                         id_col, "left_anti"),
                 *getattr(losers, "owned_storage", ()))
+
+
+# --- cross-document exact substring spans ----------------------------------
+
+
+def _gram_positions(df: DataFrame, id_col: str, text_col: str,
+                    k: int) -> DataFrame:
+    """(id, n_tokens, pos, h) — one row per k-token window position.
+
+    h is the md5-prefix-as-bigint of the space-joined gram (the same
+    60-bit fixed-width trick the MinHash oracle proved DuckDB-mirrorable)
+    so the exploded relation is (string, 3 longs) — never the gram text
+    itself. Documents shorter than k tokens emit no positions: a span
+    tier has nothing to say about them (doc-level exact dedup covers
+    whole-text copies). Volume is one row per token — linear, the same
+    shape as the shingle explode in the Jaccard tier."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+               F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"),
+                     n.alias("n_tokens"))
+    gram = F.array_join(F.slice(F.col("__t"), F.col("pos"), k), " ")
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    return (base.where(F.col("n_tokens") >= k)
+            .select("id", "n_tokens",
+                    F.explode(F.sequence(
+                        F.lit(1), F.col("n_tokens") - k + 1)).alias("pos"),
+                    F.col("__t"))
+            .select("id", "n_tokens", "pos", h.alias("h")))
+
+
+def duplicated_span_stats(df: DataFrame, id_col: str = "id",
+                          text_col: str = "text", k: int = 8) -> DataFrame:
+    """Per-document profile of exact substrings shared ACROSS documents:
+    (id, n_tokens, n_dup_positions, dup_tokens, dup_token_frac).
+
+    The span tier of the dedup stack (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): doc-level exact dedup
+    and the near-dup tiers (MinHash/SimHash/Jaccard) only see whole
+    documents, but crawl-scale corpora repeat long exact substrings —
+    license headers, quoted passages, templated paragraphs — inside
+    otherwise-distinct documents. Every k-token window is hashed; a
+    window whose gram occurs in >= 2 DISTINCT documents is a duplicated
+    position; a document's ``dup_tokens`` is the size of the UNION of
+    its duplicated windows (overlapping windows are not double-counted)
+    and ``dup_token_frac`` that union over the token count.
+
+    Scale shape (the 100 TB story):
+    - the gram index is an explode to one fixed-width row per token,
+      then ONE map-side-combined groupBy; the cross-doc test is
+      min(id) != max(id) — no countDistinct state;
+    - a boilerplate gram shared by millions of docs collapses to one
+      row per map task in the partial aggregation, and the join back to
+      positions is AQE skew-splittable;
+    - the interval union needs no per-doc UDF: with positions sorted,
+      each window contributes min(pos - lag(pos), k) new tokens (the
+      first contributes k), so one per-doc window-sum — bounded by
+      document length — computes the merged coverage.
+
+    Documents with no duplicated window (or fewer than k tokens) report
+    zeros. The reference has no span tier at all (its corpus is 5 PDFs);
+    this is training-pipeline extension surface per the task brief.
+    """
+    # the position relation feeds BOTH the cross-doc aggregate and the
+    # join back; without a persist the tokenize+md5 explode (the dominant
+    # cost) executes twice. The cached rows are fixed-width (id + three
+    # longs) — the round-2 jaccard lesson: never cache gram TEXT. Rides
+    # on the result as owned_storage; callers release when done.
+    pos = _gram_positions(df, id_col, text_col, k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (pos.groupBy("h")
+           .agg((F.min("id") != F.max("id")).alias("__cross"))
+           .where(F.col("__cross")).select("h"))
+    dpos = pos.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    contrib = F.least(F.col("pos") - F.lag("pos").over(w), F.lit(k))
+    cov = (dpos.withColumn("__c", F.coalesce(contrib, F.lit(k)))
+           .groupBy("id")
+           .agg(F.count("*").alias("n_dup_positions"),
+                F.sum("__c").alias("dup_tokens")))
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+               F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
+    return _own(base.join(cov, "id", "left")
+                .select("id", "n_tokens",
+                        F.coalesce("n_dup_positions", F.lit(0))
+                         .alias("n_dup_positions"),
+                        F.coalesce("dup_tokens", F.lit(0))
+                         .alias("dup_tokens"),
+                        F.round(F.coalesce("dup_tokens", F.lit(0))
+                                / F.greatest("n_tokens", F.lit(1)), 6)
+                         .alias("dup_token_frac")),
+                pos)

@@ -987,6 +987,52 @@ WHERE CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)),
 """
 
 
+def docs_duplicated_spans(spark, sf):
+    # cross-document exact substring tier (Lee et al. ACL 2022): per-doc
+    # duplicated k-token-window coverage; the dedup stack's span level,
+    # below doc-level exact and the near-dup tiers
+    from pdf_parser_spark.operators.dedup import duplicated_span_stats
+    d = _t_wide(spark, sf, "documents")
+    return (duplicated_span_stats(d, "doc_id", "text", k=8)
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    "n_dup_positions", "dup_tokens", "dup_token_frac"))
+
+
+# mirrors duplicated_span_stats exactly: same md5-prefix-as-bigint gram
+# hash (the minhash oracle's proven trick), cross-doc = min(id)<>max(id),
+# coverage = DISTINCT covered token indexes (the window-lag union's
+# set-theoretic twin)
+DOCS_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+              ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+         END AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS p,
+         CAST(('0x' || substring(md5(array_to_string(t[i:i+7], ' ')),
+                                 1, 15)) AS BIGINT) AS h
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), cov AS (
+  SELECT doc_id, count(DISTINCT p) AS n_dup_positions,
+         count(DISTINCT tok) AS dup_tokens
+  FROM (SELECT doc_id, p FROM pos WHERE h IN (SELECT h FROM dup)) dp,
+       unnest(generate_series(p, p + 7)) AS c(tok)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       coalesce(cov.n_dup_positions, 0) AS n_dup_positions,
+       coalesce(cov.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(cov.dup_tokens, 0)::DOUBLE
+             / greatest(len(t.t), 1), 6) AS dup_token_frac
+FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+
+
 def docs_jaccard_pairs(spark, sf):
     # n-gram Jaccard near-dup pairs via shingle inverted index
     from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
@@ -2007,6 +2053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_heavy_terms": docs_heavy_terms,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_duplicated_spans": docs_duplicated_spans,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
@@ -2106,6 +2153,7 @@ ORACLES: dict[str, str] = {
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
+    "docs_duplicated_spans": DOCS_SPANS_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,

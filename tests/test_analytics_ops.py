@@ -313,18 +313,22 @@ def test_dedup_operators_release_storage(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     before = _persistent_rdd_ids(spark)
 
+    from pdf_parser_spark.operators.dedup import duplicated_span_stats
+
     jp = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2)
     sp = simhash_dup_pairs(df, "doc_id", "text", max_hamming=6)
-    n_jp, n_sp = jp.count(), sp.count()  # consume
+    ds = duplicated_span_stats(df, "doc_id", "text", k=4)
+    n_jp, n_sp, n_ds = jp.count(), sp.count(), ds.count()  # consume
     assert _persistent_rdd_ids(spark) - before, \
         "operators should have materialized their index"
 
     release_owned_storage(jp)
     release_owned_storage(sp)
+    release_owned_storage(ds)
     leaked = _persistent_rdd_ids(spark) - before
     assert not leaked, f"persistent RDDs leaked after release: {leaked}"
     # released results remain correct: plans recompute from lineage
-    assert jp.count() == n_jp and sp.count() == n_sp
+    assert jp.count() == n_jp and sp.count() == n_sp and ds.count() == n_ds
     release_owned_storage(jp)  # idempotent no-op after handles cleared
 
 
@@ -1348,3 +1352,48 @@ def test_range_join_property(spark, pt_rows, iv_rows, bin_size):
              for (ik, s, e, iid) in ivs
              if pk == ik and s <= pt_ <= e}
     assert got == brute
+
+
+def test_duplicated_span_stats_semantics(spark):
+    from pdf_parser_spark.operators.dedup import duplicated_span_stats
+    rows = [
+        ("a", "x1 x2 common p q r s t u v w end1"),
+        ("b", "y1 common p q r s t u v w end2 tail tail2"),
+        ("c", "totally unique words here nothing shared at all now ok"),
+        ("d", "short doc"),                       # < k tokens: no windows
+        ("e", ""),                                # empty text
+        ("f", "common p q r s t u v w common p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r for r in
+           duplicated_span_stats(df, "id", "text", k=8).collect()}
+    # a/b share the 9-token run "common p q r s t u v w": two 8-gram
+    # windows whose UNION is 9 tokens (overlap not double-counted)
+    assert (got["a"].n_dup_positions, got["a"].dup_tokens) == (2, 9)
+    assert got["a"].dup_token_frac == round(9 / 12, 6)
+    assert (got["b"].n_dup_positions, got["b"].dup_tokens) == (2, 9)
+    # unique / short / empty docs report zeros, but keep their rows
+    for doc in ("c", "d", "e"):
+        assert (got[doc].n_dup_positions, got[doc].dup_tokens,
+                got[doc].dup_token_frac) == (0, 0, 0.0)
+    assert got["e"].n_tokens == 0
+    # within-doc repetition alone is NOT cross-doc duplication: f's dup
+    # windows are only those matching a/b's run, from both of f's copies
+    # (positions 1,2 and 10,11), and the two merged runs cover all 18
+    assert (got["f"].n_dup_positions, got["f"].dup_tokens,
+            got["f"].dup_token_frac) == (4, 18, 1.0)
+
+
+def test_duplicated_span_stats_within_doc_only_is_clean(spark):
+    from pdf_parser_spark.operators.dedup import duplicated_span_stats
+    # a doc repeating ITS OWN 8-gram shares it with no other document;
+    # the span tier must not flag it (that is the repetition filter's
+    # domain, operators/curation.py)
+    df = spark.createDataFrame(
+        [("solo", " ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 3)),
+         ("other", "entirely different vocabulary in this document ok")],
+        "id string, text string")
+    got = {r.id: r for r in
+           duplicated_span_stats(df, "id", "text", k=8).collect()}
+    assert got["solo"].n_dup_positions == 0
+    assert got["solo"].dup_token_frac == 0.0
