@@ -783,3 +783,66 @@ def duplicated_span_stats(df: DataFrame, id_col: str = "id",
                                 / F.greatest("n_tokens", F.lit(1)), 6)
                          .alias("dup_token_frac")),
                 pos)
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str = "id",
+                            text_col: str = "text", k: int = 8) -> DataFrame:
+    """The removal half of the span tier: rewrite each document with its
+    LOSING duplicated windows cut out, keeping canonical occurrences.
+
+    Policy (deterministic, mirrored exactly by the DuckDB oracle): the
+    canonical owner of a cross-document k-token gram is the MINIMUM id
+    that contains it — the same survivor rule as every other dedup tier
+    (exact dedup min-struct, near-dup min-label components). A token is
+    removed iff some losing window covers it (a window is losing when
+    its gram is cross-document and this id is not the owner). Owners
+    keep their copy; every other document sheds the span. Output text is
+    rebuilt by joining the kept tokens with single spaces, so whitespace
+    is normalized for ALL rows (duplicated or not) — the rewrite is a
+    tokenizer-level operation and says so.
+
+    Returns (id, text_clean, n_tokens, n_removed_tokens, removed_frac).
+
+    Scale: the losing-position relation is the duplicated fraction of
+    the corpus; its k-fold covered-index expansion happens INSIDE a
+    per-document aggregate (collect_list of sequences -> flatten ->
+    distinct), so state is bounded by document length, and the rebuild
+    is array_except + transform — JVM expressions, no Python. Shares
+    the persisted fixed-width position relation (owned_storage) with
+    the stats operator's shape.
+    """
+    pos = _gram_positions(df, id_col, text_col, k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    owners = (pos.groupBy("h")
+              .agg(F.min("id").alias("__own"),
+                   (F.min("id") != F.max("id")).alias("__cross"))
+              .where(F.col("__cross")).select("h", "__own"))
+    losing = (pos.join(owners, "h")
+              .where(F.col("id") != F.col("__own"))
+              .select("id", "pos"))
+    covered = (losing
+               .groupBy("id")
+               .agg(F.array_sort(F.array_distinct(F.flatten(
+                   F.collect_list(F.sequence(
+                       F.col("pos"),
+                       F.col("pos") + F.lit(k - 1))))))
+                   .alias("__cov")))
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+               F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"),
+                     n.alias("n_tokens"))
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.transform(
+        F.array_except(F.sequence(F.lit(1), F.col("n_tokens")), cov),
+        lambda i: F.element_at(F.col("__t"), i))
+    out = (base.join(covered, "id", "left")
+           .select("id",
+                   F.when(F.col("n_tokens") == 0, F.lit(""))
+                    .otherwise(F.array_join(kept, " ")).alias("text_clean"),
+                   "n_tokens",
+                   F.size(cov).alias("n_removed_tokens"),
+                   F.round(F.size(cov)
+                           / F.greatest("n_tokens", F.lit(1)), 6)
+                    .alias("removed_frac")))
+    return _own(out, pos)

@@ -1033,6 +1033,62 @@ FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
 """
 
 
+def docs_remove_spans(spark, sf):
+    # the removal half of the span tier: cut losing duplicated k-token
+    # windows, keep the canonical (min-id) occurrence — Lee et al.'s
+    # "train on one copy of each substring" applied corpus-wide
+    from pdf_parser_spark.operators.dedup import remove_duplicated_spans
+    d = _t_wide(spark, sf, "documents")
+    return (remove_duplicated_spans(d, "doc_id", "text", k=8)
+            .select(F.col("id").alias("doc_id"), "text_clean", "n_tokens",
+                    "n_removed_tokens", "removed_frac"))
+
+
+# removal oracle: same gram hash + cross-doc rule as DOCS_SPANS_SQL, plus
+# the min(doc_id) owner; a token is cut iff covered by a losing window,
+# and the survivor text is rebuilt from the uncovered token indexes
+DOCS_REMOVE_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+              ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+         END AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS p,
+         CAST(('0x' || substring(md5(array_to_string(t[i:i+7], ' ')),
+                                 1, 15)) AS BIGINT) AS h
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), own AS (
+  SELECT h, min(doc_id) AS owner FROM pos
+  GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), cov AS (
+  SELECT doc_id, array_agg(DISTINCT tok) AS cset
+  FROM (SELECT p.doc_id, p.p FROM pos p
+        JOIN own o ON p.h = o.h AND p.doc_id <> o.owner) lp,
+       unnest(generate_series(p, p + 7)) AS c(tok)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN len(t.t) = 0 THEN ''
+            -- array_to_string([]) is NULL in DuckDB; fully-removed docs
+            -- must mirror Spark's '' (array_join of the empty keep-set)
+            ELSE coalesce(array_to_string(
+              list_transform(
+                list_filter(range(1, len(t.t) + 1),
+                            i -> NOT list_contains(
+                                coalesce(cov.cset, []), i)),
+                i -> t.t[i]), ' '), '')
+       END AS text_clean,
+       len(t.t) AS n_tokens,
+       coalesce(len(cov.cset), 0) AS n_removed_tokens,
+       round(coalesce(len(cov.cset), 0)::DOUBLE
+             / greatest(len(t.t), 1), 6) AS removed_frac
+FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+
+
 def docs_jaccard_pairs(spark, sf):
     # n-gram Jaccard near-dup pairs via shingle inverted index
     from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
@@ -2054,6 +2110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_duplicated_spans": docs_duplicated_spans,
+    "docs_remove_spans": docs_remove_spans,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
@@ -2154,6 +2211,7 @@ ORACLES: dict[str, str] = {
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_duplicated_spans": DOCS_SPANS_SQL,
+    "docs_remove_spans": DOCS_REMOVE_SPANS_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,

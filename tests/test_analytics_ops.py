@@ -1384,6 +1384,35 @@ def test_duplicated_span_stats_semantics(spark):
             got["f"].dup_token_frac) == (4, 18, 1.0)
 
 
+def test_remove_duplicated_spans_semantics(spark):
+    from pdf_parser_spark.operators.dedup import remove_duplicated_spans
+    rows = [
+        ("a", "x1 x2 common p q r s t u v w end1"),
+        ("b", "y1  common p q r s t u v w end2 tail tail2"),  # double space
+        ("c", "totally unique words here nothing shared at all now ok"),
+        ("d", "short doc"),
+        ("e", ""),
+        ("f", "common p q r s t u v w common p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r for r in
+           remove_duplicated_spans(df, "id", "text", k=8).collect()}
+    # min-id owner keeps its copy untouched
+    assert got["a"].text_clean == rows[0][1]
+    assert got["a"].n_removed_tokens == 0 and got["a"].removed_frac == 0.0
+    # loser sheds exactly the covered run; whitespace is normalized
+    assert got["b"].text_clean == "y1 end2 tail tail2"
+    assert got["b"].n_removed_tokens == 9
+    assert got["b"].removed_frac == round(9 / 13, 6)
+    # untouched / short / empty docs pass through with zero removals
+    assert got["c"].text_clean == rows[2][1]
+    assert got["d"].text_clean == "short doc"
+    assert got["e"].text_clean == "" and got["e"].n_tokens == 0
+    # a doc that is nothing but losing copies is cut to empty, not NULL
+    assert got["f"].text_clean == ""
+    assert (got["f"].n_removed_tokens, got["f"].removed_frac) == (18, 1.0)
+
+
 def test_duplicated_span_stats_within_doc_only_is_clean(spark):
     from pdf_parser_spark.operators.dedup import duplicated_span_stats
     # a doc repeating ITS OWN 8-gram shares it with no other document;
