@@ -438,3 +438,65 @@ def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
     return out.withColumn("n_seqs",
                           (F.col("seq_last") - F.col("seq_first") + 1)
                           .cast("long"))
+
+
+def source_mix_resample(df: DataFrame, target_shares: dict[str, float], *,
+                        id_col: str = "doc_id", source_col: str = "source",
+                        text_col: str = "text", max_repeat: int = 8,
+                        salt: str = "mix") -> DataFrame:
+    """Source-mix reweighting: replicate/downsample documents so each
+    source's expected TOKEN share matches ``target_shares`` (the domain
+    reweighting every pretraining mix does; cf. DoReMi, The Pile's
+    per-set epochs). Sources absent from ``target_shares`` are dropped —
+    a mixing spec is the universe of what trains.
+
+    weight_s = target_share_s * total_tokens / tokens_s over the kept
+    universe; each doc emits n_copies = min(floor(w) + Bernoulli(frac(w)),
+    max_repeat) rows, with the Bernoulli decided by the engine-wide
+    deterministic md5 bucket of (salt, id) — stochastic rounding, so the
+    realized token share converges to the target while every run, engine
+    and cluster size reproduces the identical copy set.
+
+    Returns one row per copy: (id, source, weight, copy_idx).
+
+    Scale: per-source token totals are a map-side-combined aggregate to
+    |sources| rows; weights join back as a broadcast. The explode emits
+    at most max_repeat rows per doc — linear, no shuffle beyond the tiny
+    agg. Sources whose kept token total is zero are dropped (a share
+    target over zero mass has no defined weight).
+    """
+    if not target_shares:
+        raise ValueError("target_shares must name at least one source")
+    for s, v in target_shares.items():
+        if v < 0:
+            raise ValueError(f"target share for {s!r} must be >= 0, got {v}")
+    from pdf_parser_spark.operators.sampling import SPLIT_BUCKETS, hash_bucket
+
+    sources = sorted(target_shares)
+    toks = token_count(F.col(text_col))
+    kept = df.where(F.col(source_col).isin(sources))
+    per_src = (kept.groupBy(source_col)
+               .agg(F.sum(toks.cast("long")).alias("__st"))
+               .where(F.col("__st") > 0))
+    total = per_src.agg(F.sum("__st").alias("__tt"))
+    share = None
+    for s in sources:
+        lit = F.lit(float(target_shares[s]))
+        share = (F.when(F.col(source_col) == s, lit) if share is None
+                 else share.when(F.col(source_col) == s, lit))
+    weights = (per_src.crossJoin(F.broadcast(total))
+               .select(source_col,
+                       ((share * F.col("__tt")) / F.col("__st"))
+                       .alias("__w")))
+    joined = kept.join(F.broadcast(weights), source_col)
+    frac_bound = F.round((F.col("__w") - F.floor("__w")) * SPLIT_BUCKETS)
+    n_copies = F.least(
+        F.floor("__w").cast("long")
+        + (hash_bucket(F.col(id_col), salt) < frac_bound).cast("long"),
+        F.lit(int(max_repeat)))
+    return (joined.withColumn("__n", n_copies)
+            .where(F.col("__n") > 0)
+            .select(F.col(id_col), F.col(source_col),
+                    F.round("__w", 6).alias("weight"),
+                    F.explode(F.sequence(F.lit(1), F.col("__n").cast("int")))
+                     .alias("copy_idx")))

@@ -432,3 +432,55 @@ def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
             .where(F.col("similarity") >= threshold)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"), "similarity"))
+
+
+def semantic_dedup(df: DataFrame, *, k: int = 8, threshold: float = 0.9,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   salt: str = "semdedup") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings into k cells, then prune near-identical rows within each
+    cell, keeping one representative per epsilon-ball.
+
+    Deterministic variant, every choice engine-recomputable:
+    - centroids = the embeddings of the k seed rows with the smallest
+      (md5-hash-bucket, id) — the corpus's own vectors, no RNG, no Lloyd
+      state (``ivf_train`` exists when iterated centroids are wanted;
+      here determinism and oracle parity win);
+    - cell = argmax-cosine centroid, ties to the higher seed index
+      (``_argmax_cell``'s lexicographic array_max rule);
+    - a row is REMOVED iff a smaller-id row in the same cell has
+      round(cosine, 6) >= threshold — the greedy min-id keeper, the same
+      survivor rule as every other dedup tier (exact min-struct,
+      near-dup min-label, span min-id owner).
+
+    Returns survivors (id_col, cell). The within-cell self-join is the
+    SemDeDup cost shape: O(sum m_c^2) over cell sizes, managed by scaling
+    k with the corpus (k ~ n / target_cell_size) exactly as the paper
+    prescribes (they use k = sqrt-ish fractions of n); the join is
+    cell-partitioned, so at 100 TB each cell's quadratic stays inside its
+    own shuffle partition and never becomes a global cross product.
+    The k-cosine assignment is pure JVM expressions over the scan.
+    """
+    from pyspark import StorageLevel
+
+    from pdf_parser_spark.operators.dedup import _own
+    from pdf_parser_spark.operators.sampling import hash_bucket
+
+    hb = hash_bucket(F.col(id_col), salt)
+    seeds = (df.select(F.col(id_col).alias("id"),
+                       F.col(emb_col).alias("e"), hb.alias("hb"))
+             .orderBy("hb", "id").limit(k).collect())   # k rows, k*dim floats
+    centroids = [[float(x) for x in r["e"]] for r in seeds]
+    cells = (df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+             .withColumn("cell", _argmax_cell(F.col("e"), centroids))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    a, b = cells.alias("a"), cells.alias("b")
+    dominated = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                        & (F.col("b.id") < F.col("a.id")))
+                 .where(F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+                        >= threshold)
+                 .select(F.col("a.id").alias("id")).distinct())
+    out = (cells.join(dominated, "id", "left_anti")
+           .select(F.col("id").alias(id_col),
+                   F.col("cell").cast("int").alias("cell")))
+    return _own(out, cells)

@@ -2067,6 +2067,121 @@ FROM cum
 """
 
 
+def docs_source_mix(spark, sf):
+    # source-mix reweighting (DoReMi / Pile-style per-source epochs):
+    # replicate/downsample docs so each source's expected token share
+    # matches the target; deterministic stochastic rounding via id hash
+    from pdf_parser_spark.operators.curation import source_mix_resample
+    d = _t(spark, sf, "documents")
+    return source_mix_resample(
+        d, {"src0": 0.30, "src1": 0.15, "src2": 0.05, "src3": 0.50},
+        max_repeat=8).select("doc_id", "source", "weight", "copy_idx")
+
+
+# mirrors source_mix_resample: weight = (share * total_tokens)/src_tokens
+# over the kept universe in THAT association order (IEEE parity), copies
+# = floor(w) + [id-hash-bucket < round(frac(w)*10000)], capped at 8
+DOCS_SOURCE_MIX_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS nt
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), src AS (
+  SELECT source, sum(nt) AS st FROM tok GROUP BY source HAVING sum(nt) > 0
+), w AS (
+  SELECT source,
+         (CAST(CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.15
+               WHEN 'src2' THEN 0.05 ELSE 0.50 END AS DOUBLE)
+          * (SELECT sum(st) FROM src)) / st AS weight
+  FROM src
+), n AS (
+  SELECT t.doc_id, t.source, w.weight,
+         least(CAST(floor(w.weight) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substring(md5('mix:'
+                        || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 10000
+                      < round((w.weight - floor(w.weight)) * 10000)
+                      THEN 1 ELSE 0 END,
+               8) AS n_copies
+  FROM tok t JOIN w USING (source)
+)
+SELECT doc_id, source, round(weight, 6) AS weight,
+       CAST(u.i AS INTEGER) AS copy_idx
+FROM n, unnest(generate_series(1, CAST(n_copies AS INTEGER))) AS u(i)
+WHERE n_copies > 0
+"""
+
+
+def emb_semantic_dedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023): k-cell clustering + within-cell
+    # epsilon-ball pruning with a min-id keeper. Double-cast like the
+    # other emb oracles so DuckDB agrees bit-for-bit; seed 5 exact
+    # duplicates so the pruning actually fires on the random corpus
+    from pdf_parser_spark.operators.similarity import semantic_dedup
+    emb = _t_wide(spark, sf, "embeddings")
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.select("vec_id", e_dbl.alias("embedding"))
+    dup = (emb.orderBy("vec_id").limit(5)
+           .withColumn("vec_id", F.col("vec_id") + 1000000))
+    return semantic_dedup(emb.unionByName(dup), k=8, threshold=0.99)
+
+
+EMB_SEMDEDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), allv AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, e FROM (
+    SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 5)
+), seeds AS (
+  SELECT e AS c,
+         CAST(row_number() OVER (ORDER BY
+           CAST(('0x' || substring(md5('semdedup:'
+                 || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+           vec_id) AS INTEGER) - 1 AS cidx
+  FROM allv
+  ORDER BY CAST(('0x' || substring(md5('semdedup:'
+             || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+           vec_id
+  LIMIT 8
+), scored AS (
+  SELECT v.vec_id, s.cidx,
+         CASE WHEN sqrt(list_dot_product(v.e, v.e))
+                   * sqrt(list_dot_product(s.c, s.c)) > 0
+              THEN list_dot_product(v.e, s.c)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(s.c, s.c)))
+              ELSE 0.0 END AS sim
+  FROM allv v CROSS JOIN seeds s
+), cells AS (
+  -- argmax cosine, ties to the HIGHER seed index (array_max on
+  -- (sim, idx) structs is lexicographic)
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cidx DESC) AS rn
+    FROM scored) WHERE rn = 1
+), dom AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN allv ea ON ea.vec_id = a.vec_id
+  JOIN allv eb ON eb.vec_id = b.vec_id
+  WHERE round(CASE WHEN sqrt(list_dot_product(ea.e, ea.e))
+                        * sqrt(list_dot_product(eb.e, eb.e)) > 0
+                   THEN list_dot_product(ea.e, eb.e)
+                        / (sqrt(list_dot_product(ea.e, ea.e))
+                           * sqrt(list_dot_product(eb.e, eb.e)))
+                   ELSE 0.0 END, 6) >= 0.99
+)
+SELECT c.vec_id, c.cell FROM cells c
+WHERE c.vec_id NOT IN (SELECT vec_id FROM dom)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2111,6 +2226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_duplicated_spans": docs_duplicated_spans,
     "docs_remove_spans": docs_remove_spans,
+    "docs_source_mix": docs_source_mix,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
@@ -2212,6 +2329,8 @@ ORACLES: dict[str, str] = {
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_duplicated_spans": DOCS_SPANS_SQL,
     "docs_remove_spans": DOCS_REMOVE_SPANS_SQL,
+    "docs_source_mix": DOCS_SOURCE_MIX_SQL,
+    "emb_semantic_dedup": EMB_SEMDEDUP_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,

@@ -399,6 +399,30 @@ def test_cosine_dup_pairs(spark, emb_df):
     assert {(r.id_a, r.id_b) for r in pairs} == {(3, 99)}
 
 
+def test_semantic_dedup_removes_higher_id_near_identicals(spark, emb_df):
+    from pdf_parser_spark.operators.similarity import semantic_dedup
+    # exact copies of vec 3 and vec 11 under new, HIGHER ids: the copies
+    # land in the same argmax cell as their originals (same vector, same
+    # argmax) and must be pruned by the min-id keeper; everything else
+    # survives
+    dup = emb_df.unionByName(
+        emb_df.where(F.col("vec_id").isin(3, 11)).select(
+            (F.col("vec_id") + 100).alias("vec_id"), "embedding"))
+    got = semantic_dedup(dup, k=4, threshold=0.99)
+    ids = {r.vec_id for r in got.collect()}
+    assert ids == set(range(41))  # 0..40 survive, 103/111 pruned
+    # determinism: identical second run
+    assert {r.vec_id for r in semantic_dedup(dup, k=4,
+                                             threshold=0.99).collect()} == ids
+
+
+def test_semantic_dedup_cells_partition_the_corpus(spark, emb_df):
+    from pdf_parser_spark.operators.similarity import semantic_dedup
+    out = semantic_dedup(emb_df, k=4, threshold=0.999).collect()
+    assert len(out) == emb_df.count()  # nothing near-identical: all kept
+    assert {r.cell for r in out} <= set(range(4))
+
+
 def test_cosine_dup_pairs_bucket_cap_star(spark, emb_df):
     """An identical-embedding mega-cluster must emit a hub star (linear,
     component-preserving, exact cosine per edge), not the C(m,2) clique;

@@ -168,3 +168,53 @@ def test_pack_sequences_zero_token_docs_take_no_space(spark):
     total = sum(r["n_tokens"] for r in rows.values())
     assert max(r["start_offset"] + r["n_tokens"]
                for r in rows.values()) == total
+
+
+def test_source_mix_resample_weights_and_copies(spark):
+    from pdf_parser_spark.operators.curation import source_mix_resample
+    # source A: 3 docs x 10 tokens = 30; source B: 1 doc x 10 tokens = 10
+    # (total 40); source C is NOT in the spec and must vanish entirely
+    ten = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, "A", ten), (2, "A", ten), (3, "A", ten),
+         (4, "B", ten), (5, "C", ten)],
+        "doc_id int, source string, text string")
+    out = source_mix_resample(df, {"A": 0.5, "B": 0.5}).collect()
+    assert all(r.source in ("A", "B") for r in out)
+    # weight = share * total / src_tokens: A -> .5*40/30, B -> .5*40/10
+    wa, wb = round(0.5 * 40 / 30, 6), round(0.5 * 40 / 10, 6)
+    assert {r.weight for r in out if r.source == "A"} == {wa}
+    assert {r.weight for r in out if r.source == "B"} == {wb}
+    # B's weight is exactly 2.0: every B doc emits exactly 2 copies
+    b_copies = sorted(r.copy_idx for r in out if r.source == "B")
+    assert b_copies == [1, 2]
+    # A's weight is fractional (<1): each A doc emits 0 or 1 copies,
+    # decided by the deterministic id hash — rerun must agree exactly
+    again = source_mix_resample(df, {"A": 0.5, "B": 0.5}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    assert all(r.copy_idx == 1 for r in out if r.source == "A")
+
+
+def test_source_mix_resample_max_repeat_cap(spark):
+    from pdf_parser_spark.operators.curation import source_mix_resample
+    ten = " ".join(f"w{i}" for i in range(10))
+    hundred = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, "big", hundred), (2, "tiny", ten)],
+        "doc_id int, source string, text string")
+    # tiny holds 10/110 tokens but is targeted at 90 % -> weight 9.9,
+    # capped to 4 copies
+    out = source_mix_resample(df, {"big": 0.1, "tiny": 0.9},
+                              max_repeat=4).collect()
+    tiny = [r for r in out if r.source == "tiny"]
+    assert len(tiny) == 4 and sorted(r.copy_idx for r in tiny) == [1, 2, 3, 4]
+
+
+def test_source_mix_resample_rejects_bad_spec(spark):
+    from pdf_parser_spark.operators.curation import source_mix_resample
+    df = spark.createDataFrame([(1, "A", "x")],
+                               "doc_id int, source string, text string")
+    with pytest.raises(ValueError):
+        source_mix_resample(df, {})
+    with pytest.raises(ValueError):
+        source_mix_resample(df, {"A": -0.1})
