@@ -58,7 +58,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            split_weights=None, eval_docs: DataFrame | None = None,
            max_dup_line_frac: float | None = None,
            max_top_ngram_frac: float | None = None,
-           redact_pii: bool = False) -> DataFrame:
+           redact_pii: bool = False,
+           remove_spans_k: int | None = None) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash.
@@ -72,7 +73,15 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       ``f_decontaminated`` drops chunks sharing any 13-token gram with
       it (the contaminated set is tiny, so the flag join broadcasts);
     - ``redact_pii``: masks email/SSN/phone/IPv4 in the output text and
-      keeps the per-kind counts as columns (not a filter stage).
+      keeps the per-kind counts as columns (not a filter stage);
+    - ``remove_spans_k``: cross-document exact-substring removal (Lee et
+      al. ACL 2022) over the near-unique survivors BEFORE the quality
+      tiers, so quality/length judge the deduplicated text. A text
+      REWRITE, not a filter: losing k-token windows are cut, the min-id
+      owner keeps its copy, and only rows that actually shed tokens are
+      rewritten (untouched rows keep their original whitespace — the
+      rewrite join's right side is the duplicated fraction of the
+      corpus, broadcastable by AQE). Adds ``span_tokens_removed``.
     """
     from pyspark import StorageLevel
 
@@ -123,6 +132,24 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                            F.col("f_exact_unique")
                            & F.col("__loser").isNull())
                .drop("__loser"))
+
+    span_storage: tuple = ()
+    if remove_spans_k is not None:
+        from pdf_parser_spark.operators.dedup import remove_duplicated_spans
+        rewrites = (remove_duplicated_spans(
+            flagged.where(F.col("f_near_unique")).select("id", "text"),
+            "id", "text", k=remove_spans_k)
+            .where(F.col("n_removed_tokens") > 0)
+            .select("id", "text_clean", "n_removed_tokens"))
+        flagged = (flagged.join(rewrites, "id", "left")
+                   .withColumn("span_tokens_removed",
+                               F.coalesce("n_removed_tokens", F.lit(0)))
+                   .withColumn("text",
+                               F.coalesce("text_clean", F.col("text")))
+                   .withColumn("char_count",
+                               F.length("text").cast("int"))
+                   .drop("text_clean", "n_removed_tokens"))
+        span_storage = tuple(getattr(rewrites, "owned_storage", ()))
 
     # text_statistics APPENDS its columns — no join, one pass over text
     flagged = (text_statistics(flagged)
@@ -181,7 +208,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     # this the joins above would orphan them into session-lifetime leaks
     out.owned_storage = ((base,)
                          + tuple(getattr(pairs, "owned_storage", ()))
-                         + tuple(getattr(loser_ids, "owned_storage", ())))
+                         + tuple(getattr(loser_ids, "owned_storage", ()))
+                         + span_storage)
     return out
 
 
@@ -204,8 +232,16 @@ def funnel_metrics(curated: DataFrame) -> dict:
         acc = F.col(flag) if acc is None else (acc & F.col(flag))
         aggs.append(_s(acc).alias(stage))
     aggs.append(_s(F.col("selected")).alias("selected"))
+    info = []
+    if "span_tokens_removed" in curated.columns:
+        # rewrite accounting, not a filter stage: reported after the
+        # stage counts so the funnel's monotone prefix stays intact
+        aggs.append(F.coalesce(F.sum("span_tokens_removed"), F.lit(0))
+                    .alias("span_tokens_removed"))
+        info.append("span_tokens_removed")
     row = curated.agg(*aggs).collect()[0]
-    stages = ("extracted",) + tuple(s for s, _ in present) + ("selected",)
+    stages = (("extracted",) + tuple(s for s, _ in present)
+              + ("selected",) + tuple(info))
     return {s: int(row[s]) for s in stages}
 
 
@@ -331,6 +367,12 @@ def main() -> int:
     ap.add_argument("--redact-pii", action="store_true",
                     help="mask email/SSN/phone/IPv4 in the output text "
                          "(counts kept as columns)")
+    ap.add_argument("--remove-spans-k", type=int, default=None,
+                    metavar="K",
+                    help="cut cross-document duplicated K-token spans "
+                         "from near-unique survivors before the quality "
+                         "tiers (Lee et al. ACL 2022; min-id owner keeps "
+                         "its copy)")
     a = ap.parse_args()
     if a.input_kind == "extracted" and (a.parity or a.layout != "windowed"):
         ap.error("--parity/--layout apply to in-pipeline extraction; "
@@ -348,7 +390,8 @@ def main() -> int:
             max_chars=a.max_chars, eval_docs=eval_docs,
             max_dup_line_frac=a.max_dup_line_frac,
             max_top_ngram_frac=a.max_top_ngram_frac,
-            redact_pii=a.redact_pii, **extract_kw)
+            redact_pii=a.redact_pii,
+            remove_spans_k=a.remove_spans_k, **extract_kw)
         print(json.dumps(funnel))
     finally:
         spark.stop()

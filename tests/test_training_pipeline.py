@@ -235,3 +235,51 @@ def test_pipeline_default_funnel_unchanged_by_new_options(spark, tmp_path):
         langs=("en", "und"), quality_floor=0.2, min_chars=40,
         max_chars=2000)
     assert tuple(funnel) == FUNNEL_STAGES
+
+
+def test_pipeline_span_removal_stage(spark):
+    """remove_spans_k rewrites near-unique survivors exactly like the
+    standalone operator: losing cross-chunk k-token windows are cut, the
+    min-id owner keeps its copy, untouched rows keep their original
+    text, and char_count tracks the rewrite."""
+    from pdf_parser_spark.operators.dedup import remove_duplicated_spans
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+
+    run = "common p q r s t u v w"            # 9 tokens -> two 8-windows
+    rows = [
+        ("c0", 0, 0, "text", f"alpha beta gamma delta {run} end0"),
+        ("c1", 0, 0, "text", f"zeta eta theta iota {run} end1 tail"),
+        ("c2", 0, 0, "text",
+         "totally unique vocabulary sentence with plenty of distinct "
+         "words to pass length"),
+    ]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.0,
+                 min_chars=1, max_chars=4000, remove_spans_k=8)
+    got = {r.conv_id: r for r in cur.collect()}
+
+    assert all(r.f_near_unique for r in got.values())
+    # twin equality vs the standalone operator over the same survivors
+    twin = {r.id: r for r in remove_duplicated_spans(
+        with_chunk_id(chunks).select("id", "text"), "id", "text",
+        k=8).collect()}
+    for r in got.values():
+        t = twin[r.id]
+        if t.n_removed_tokens > 0:
+            assert r.text == t.text_clean
+        else:
+            assert r.text == dict((c, x) for c, _, _, _, x in rows)[r.conv_id]
+        assert r.span_tokens_removed == t.n_removed_tokens
+        assert r.char_count == len(r.text)
+    # exactly one of c0/c1 lost the 9-token run; c2 untouched
+    removed = sorted(r.span_tokens_removed for r in got.values())
+    assert removed == [0, 0, 9]
+    assert got["c2"].span_tokens_removed == 0
+    # rewrite accounting surfaces in the funnel (after the stage counts)
+    funnel = funnel_metrics(cur)
+    assert funnel["span_tokens_removed"] == 9
+    assert list(funnel)[-1] == "span_tokens_removed"
