@@ -459,11 +459,14 @@ def source_mix_resample(df: DataFrame, target_shares: dict[str, float], *,
 
     Returns one row per copy: (id, source, weight, copy_idx).
 
-    Scale: per-source token totals are a map-side-combined aggregate to
-    |sources| rows; weights join back as a broadcast. The explode emits
-    at most max_repeat rows per doc — linear, no shuffle beyond the tiny
-    agg. Sources whose kept token total is zero are dropped (a share
-    target over zero mass has no defined weight).
+    Scale: ONE map-side-combined aggregate collapses the corpus to
+    |sources| rows, which come to the driver (sources number thousands
+    at most — this is the k-centroid / bucket-list kind of collect, not
+    data) so the per-source weights become a literal CASE on the second
+    and only other scan — two scans total, zero joins, zero shuffles of
+    the corpus. The explode emits at most max_repeat rows per doc.
+    Sources whose kept token total is zero are dropped (a share target
+    over zero mass has no defined weight).
     """
     if not target_shares:
         raise ValueError("target_shares must name at least one source")
@@ -475,20 +478,26 @@ def source_mix_resample(df: DataFrame, target_shares: dict[str, float], *,
     sources = sorted(target_shares)
     toks = token_count(F.col(text_col))
     kept = df.where(F.col(source_col).isin(sources))
-    per_src = (kept.groupBy(source_col)
-               .agg(F.sum(toks.cast("long")).alias("__st"))
-               .where(F.col("__st") > 0))
-    total = per_src.agg(F.sum("__st").alias("__tt"))
-    share = None
-    for s in sources:
-        lit = F.lit(float(target_shares[s]))
-        share = (F.when(F.col(source_col) == s, lit) if share is None
-                 else share.when(F.col(source_col) == s, lit))
-    weights = (per_src.crossJoin(F.broadcast(total))
-               .select(source_col,
-                       ((share * F.col("__tt")) / F.col("__st"))
-                       .alias("__w")))
-    joined = kept.join(F.broadcast(weights), source_col)
+    per_src = {r[0]: r[1] for r in
+               (kept.groupBy(source_col)
+                .agg(F.sum(toks.cast("long")).alias("__st"))
+                .where(F.col("__st") > 0).collect())}
+    total = sum(per_src.values())
+    # (share * total) / st in THIS association order — the DuckDB oracle
+    # replays the same IEEE-double expression over the same exact
+    # integer sums, so the weights match bit-for-bit
+    w_map = {s: (float(target_shares[s]) * total) / per_src[s]
+             for s in sources if s in per_src}
+    if not w_map:
+        return (df.select(F.col(id_col), F.col(source_col),
+                          F.lit(0.0).alias("weight"),
+                          F.lit(1).alias("copy_idx")).where(F.lit(False)))
+    w = None
+    for s, v in sorted(w_map.items()):
+        w = (F.when(F.col(source_col) == s, F.lit(v)) if w is None
+             else w.when(F.col(source_col) == s, F.lit(v)))
+    joined = (kept.where(F.col(source_col).isin(list(w_map)))
+              .withColumn("__w", w))
     frac_bound = F.round((F.col("__w") - F.floor("__w")) * SPLIT_BUCKETS)
     n_copies = F.least(
         F.floor("__w").cast("long")
