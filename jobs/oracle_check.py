@@ -46,10 +46,23 @@ def _norm(v):
     return v
 
 
+def _cell_key(v):
+    """Total order over mixed cells: None < numbers/bools < strings.
+    Without this, sorting rows that mix NULLs (or the 'nan' marker)
+    with values raises TypeError whenever two rows tie on every
+    earlier column — a spurious FAIL on an agreeing entry."""
+    if v is None:
+        return (0, 0, "")
+    if isinstance(v, str):
+        return (2, 0, v)
+    return (1, float(v), "")
+
+
 def _frame(rows, cols):
     cols = list(cols)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    out = sorted((tuple(_norm(r[i]) for i in order) for r in rows),
+                 key=lambda row: tuple(_cell_key(v) for v in row))
     return sorted(cols), out
 
 
@@ -75,6 +88,13 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            # a typo in --only must not report green-by-vacuity
+            print(f"unknown --only entries: {sorted(unknown)}; "
+                  f"known: {sorted(queries)}", file=sys.stderr)
+            return 2
 
     summary, failed = {}, []
     for name in queries:

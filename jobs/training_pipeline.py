@@ -374,6 +374,9 @@ def main() -> int:
                          "tiers (Lee et al. ACL 2022; min-id owner keeps "
                          "its copy)")
     a = ap.parse_args()
+    if a.remove_spans_k is not None and a.remove_spans_k < 1:
+        ap.error("--remove-spans-k must be >= 1 (a 0-token window "
+                 "matches everything and would empty the corpus)")
     if a.input_kind == "extracted" and (a.parity or a.layout != "windowed"):
         ap.error("--parity/--layout apply to in-pipeline extraction; "
                  "the staged table's extraction config is already decided")

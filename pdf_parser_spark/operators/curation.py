@@ -470,9 +470,13 @@ def source_mix_resample(df: DataFrame, target_shares: dict[str, float], *,
     """
     if not target_shares:
         raise ValueError("target_shares must name at least one source")
+    import math
     for s, v in target_shares.items():
-        if v < 0:
-            raise ValueError(f"target share for {s!r} must be >= 0, got {v}")
+        if not (math.isfinite(v) and v >= 0):
+            # NaN would silently drop the source (every comparison
+            # false -> 0 copies); inf would max_repeat-replicate it
+            raise ValueError(f"target share for {s!r} must be a finite "
+                             f"number >= 0, got {v}")
     from pdf_parser_spark.operators.sampling import SPLIT_BUCKETS, hash_bucket
 
     sources = sorted(target_shares)

@@ -694,8 +694,15 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
 # --- cross-document exact substring spans ----------------------------------
 
 
-def _gram_positions(df: DataFrame, id_col: str, text_col: str,
-                    k: int) -> DataFrame:
+def _ws_tokens(text_col: str) -> Column:
+    """Whitespace token array of a text column — the span tier's single
+    tokenizer expression (trim + split, the engine-wide convention
+    textstats.token_count counts by)."""
+    return F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+
+
+def span_gram_positions(df: DataFrame, id_col: str, text_col: str,
+                        k: int) -> DataFrame:
     """(id, n_tokens, pos, h) — one row per k-token window position.
 
     h is the md5-prefix-as-bigint of the space-joined gram (the same
@@ -704,10 +711,19 @@ def _gram_positions(df: DataFrame, id_col: str, text_col: str,
     itself. Documents shorter than k tokens emit no positions: a span
     tier has nothing to say about them (doc-level exact dedup covers
     whole-text copies). Volume is one row per token — linear, the same
-    shape as the shingle explode in the Jaccard tier."""
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
-               F.lit(0)).otherwise(F.size(toks))
+    shape as the shingle explode in the Jaccard tier.
+
+    Public so a caller running BOTH span operators over one corpus can
+    build (and persist) the position relation once and pass it to each
+    via ``positions=`` — the tokenize+md5 explode is the dominant cost
+    and need not be paid twice."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}: a 0-token window "
+                         "matches every position in every document and "
+                         "would empty the corpus")
+    from pdf_parser_spark.operators.textstats import token_count
+    toks = _ws_tokens(text_col)
+    n = token_count(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), toks.alias("__t"),
                      n.alias("n_tokens"))
     gram = F.array_join(F.slice(F.col("__t"), F.col("pos"), k), " ")
@@ -721,7 +737,8 @@ def _gram_positions(df: DataFrame, id_col: str, text_col: str,
 
 
 def duplicated_span_stats(df: DataFrame, id_col: str = "id",
-                          text_col: str = "text", k: int = 8) -> DataFrame:
+                          text_col: str = "text", k: int = 8,
+                          positions: DataFrame | None = None) -> DataFrame:
     """Per-document profile of exact substrings shared ACROSS documents:
     (id, n_tokens, n_dup_positions, dup_tokens, dup_token_frac).
 
@@ -756,9 +773,15 @@ def duplicated_span_stats(df: DataFrame, id_col: str = "id",
     # join back; without a persist the tokenize+md5 explode (the dominant
     # cost) executes twice. The cached rows are fixed-width (id + three
     # longs) — the round-2 jaccard lesson: never cache gram TEXT. Rides
-    # on the result as owned_storage; callers release when done.
-    pos = _gram_positions(df, id_col, text_col, k) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # on the result as owned_storage; callers release when done. A
+    # caller pairing this with remove_duplicated_spans passes one shared
+    # span_gram_positions relation via ``positions`` (then THEY own it).
+    owns: tuple[DataFrame, ...] = ()
+    pos = positions
+    if pos is None:
+        pos = span_gram_positions(df, id_col, text_col, k) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        owns = (pos,)
     dup = (pos.groupBy("h")
            .agg((F.min("id") != F.max("id")).alias("__cross"))
            .where(F.col("__cross")).select("h"))
@@ -769,10 +792,9 @@ def duplicated_span_stats(df: DataFrame, id_col: str = "id",
            .groupBy("id")
            .agg(F.count("*").alias("n_dup_positions"),
                 F.sum("__c").alias("dup_tokens")))
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
-               F.lit(0)).otherwise(F.size(toks))
-    base = df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
+    from pdf_parser_spark.operators.textstats import token_count
+    base = df.select(F.col(id_col).alias("id"),
+                     token_count(F.col(text_col)).alias("n_tokens"))
     return _own(base.join(cov, "id", "left")
                 .select("id", "n_tokens",
                         F.coalesce("n_dup_positions", F.lit(0))
@@ -782,11 +804,12 @@ def duplicated_span_stats(df: DataFrame, id_col: str = "id",
                         F.round(F.coalesce("dup_tokens", F.lit(0))
                                 / F.greatest("n_tokens", F.lit(1)), 6)
                          .alias("dup_token_frac")),
-                pos)
+                *owns)
 
 
 def remove_duplicated_spans(df: DataFrame, id_col: str = "id",
-                            text_col: str = "text", k: int = 8) -> DataFrame:
+                            text_col: str = "text", k: int = 8,
+                            positions: DataFrame | None = None) -> DataFrame:
     """The removal half of the span tier: rewrite each document with its
     LOSING duplicated windows cut out, keeping canonical occurrences.
 
@@ -807,12 +830,19 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "id",
     the corpus; its k-fold covered-index expansion happens INSIDE a
     per-document aggregate (collect_list of sequences -> flatten ->
     distinct), so state is bounded by document length, and the rebuild
-    is array_except + transform — JVM expressions, no Python. Shares
-    the persisted fixed-width position relation (owned_storage) with
-    the stats operator's shape.
+    is array_except + transform — JVM expressions, no Python. A caller
+    pairing this with duplicated_span_stats builds the fixed-width
+    position relation ONCE via span_gram_positions and passes it to
+    both through ``positions`` (the tokenize+md5 explode is the
+    dominant cost); left to itself the operator persists its own and
+    attaches it to the result as owned_storage.
     """
-    pos = _gram_positions(df, id_col, text_col, k) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    owns: tuple[DataFrame, ...] = ()
+    pos = positions
+    if pos is None:
+        pos = span_gram_positions(df, id_col, text_col, k) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        owns = (pos,)
     owners = (pos.groupBy("h")
               .agg(F.min("id").alias("__own"),
                    (F.min("id") != F.max("id")).alias("__cross"))
@@ -827,11 +857,10 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "id",
                        F.col("pos"),
                        F.col("pos") + F.lit(k - 1))))))
                    .alias("__cov")))
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
-               F.lit(0)).otherwise(F.size(toks))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"),
-                     n.alias("n_tokens"))
+    from pdf_parser_spark.operators.textstats import token_count
+    base = df.select(F.col(id_col).alias("id"),
+                     _ws_tokens(text_col).alias("__t"),
+                     token_count(F.col(text_col)).alias("n_tokens"))
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
     kept = F.transform(
         F.array_except(F.sequence(F.lit(1), F.col("n_tokens")), cov),
@@ -845,4 +874,4 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "id",
                    F.round(F.size(cov)
                            / F.greatest("n_tokens", F.lit(1)), 6)
                     .alias("removed_frac")))
-    return _own(out, pos)
+    return _own(out, *owns)

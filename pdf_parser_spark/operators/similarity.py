@@ -471,6 +471,11 @@ def semantic_dedup(df: DataFrame, *, k: int = 8, threshold: float = 0.9,
                        F.col(emb_col).alias("e"), hb.alias("hb"))
              .orderBy("hb", "id").limit(k).collect())   # k rows, k*dim floats
     centroids = [[float(x) for x in r["e"]] for r in seeds]
+    if not centroids:
+        # empty corpus: no seeds, nothing to dedup — empty survivors,
+        # same schema (every other dedup tier degrades this way too)
+        return (df.select(F.col(id_col), F.lit(0).cast("int").alias("cell"))
+                .where(F.lit(False)))
     cells = (df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
              .withColumn("cell", _argmax_cell(F.col("e"), centroids))
              .persist(StorageLevel.MEMORY_AND_DISK))

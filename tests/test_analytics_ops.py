@@ -1450,3 +1450,51 @@ def test_duplicated_span_stats_within_doc_only_is_clean(spark):
            duplicated_span_stats(df, "id", "text", k=8).collect()}
     assert got["solo"].n_dup_positions == 0
     assert got["solo"].dup_token_frac == 0.0
+
+
+def test_span_tier_guards_and_shared_positions(spark):
+    from pyspark import StorageLevel
+
+    from pdf_parser_spark.operators.dedup import (duplicated_span_stats,
+                                                  remove_duplicated_spans,
+                                                  span_gram_positions)
+    df = spark.createDataFrame(
+        [("a", "x1 x2 common p q r s t u v w end1"),
+         ("b", "y1 common p q r s t u v w end2")],
+        "id string, text string")
+    # k < 1 would match every position and empty the corpus: refused
+    with pytest.raises(ValueError):
+        span_gram_positions(df, "id", "text", 0)
+    with pytest.raises(ValueError):
+        duplicated_span_stats(df, "id", "text", k=-1)
+    # one shared position relation feeds both operators; neither claims
+    # ownership of it (the caller does), and results match the
+    # self-built path
+    pos = span_gram_positions(df, "id", "text", 8) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        shared_stats = duplicated_span_stats(df, "id", "text", k=8,
+                                             positions=pos)
+        shared_rm = remove_duplicated_spans(df, "id", "text", k=8,
+                                            positions=pos)
+        assert getattr(shared_stats, "owned_storage", ()) == ()
+        assert getattr(shared_rm, "owned_storage", ()) == ()
+        own_stats = duplicated_span_stats(df, "id", "text", k=8)
+        own_rm = remove_duplicated_spans(df, "id", "text", k=8)
+        assert sorted(map(tuple, shared_stats.collect())) == \
+            sorted(map(tuple, own_stats.collect()))
+        assert sorted(map(tuple, shared_rm.collect())) == \
+            sorted(map(tuple, own_rm.collect()))
+        for h in (own_stats, own_rm):
+            for d in h.owned_storage:
+                d.unpersist()
+    finally:
+        pos.unpersist()
+
+
+def test_semantic_dedup_empty_input_returns_empty(spark):
+    from pdf_parser_spark.operators.similarity import semantic_dedup
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    out = semantic_dedup(empty, k=4, threshold=0.9)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cell"]

@@ -218,3 +218,12 @@ def test_source_mix_resample_rejects_bad_spec(spark):
         source_mix_resample(df, {})
     with pytest.raises(ValueError):
         source_mix_resample(df, {"A": -0.1})
+
+
+def test_source_mix_resample_rejects_nonfinite_shares(spark):
+    from pdf_parser_spark.operators.curation import source_mix_resample
+    df = spark.createDataFrame([(1, "A", "x y z")],
+                               "doc_id int, source string, text string")
+    for bad in (float("nan"), float("inf")):
+        with pytest.raises(ValueError):
+            source_mix_resample(df, {"A": bad})
