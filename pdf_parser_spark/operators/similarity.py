@@ -464,28 +464,115 @@ def semantic_dedup(df: DataFrame, *, k: int = 8, threshold: float = 0.9,
     from pyspark import StorageLevel
 
     from pdf_parser_spark.operators.dedup import _own
+
+    cells = assign_seed_cells(df, k=k, emb_col=emb_col, id_col=id_col,
+                              salt=salt).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = cells.alias("a"), cells.alias("b")
+    # pairwise cosine from the precomputed norms (interpreted HOF cost:
+    # one zip_with dot per pair instead of dot + two array folds);
+    # IEEE-identical to cosine() — same dot fold, same denominator
+    denom = F.col("a.enorm") * F.col("b.enorm")
+    pair_sim = F.when(denom > 0,
+                      dot(F.col("a.e"), F.col("b.e")) / denom) \
+        .otherwise(F.lit(0.0))
+    dominated = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                        & (F.col("b.id") < F.col("a.id")))
+                 .where(F.round(pair_sim, 6) >= threshold)
+                 .select(F.col("a.id").alias("id")).distinct())
+    out = (cells.join(dominated, "id", "left_anti")
+           .select(F.col("id").alias(id_col), "cell"))
+    return _own(out, cells)
+
+
+def assign_seed_cells(df: DataFrame, *, k: int = 8,
+                      emb_col: str = "embedding", id_col: str = "vec_id",
+                      salt: str = "semdedup") -> DataFrame:
+    """(id, e, cell, csim, enorm): argmax-cosine assignment of every
+    embedding to k deterministic seed centroids — the shared first stage
+    of the cluster-shaped embedding operators (semantic_dedup's cells,
+    D4-style prototype pruning). Centroids are the embeddings of the k
+    rows with the smallest (md5-hash-bucket, id); assignment ties go to
+    the higher seed index (``_argmax_cell``'s lexicographic array_max).
+    ``csim`` is the cosine to the OWN cell's centroid; ``enorm`` the
+    row's L2 norm, exposed so downstream pairwise cosines reuse it. Pure
+    JVM expressions over one scan; empty input yields an empty frame of
+    the same shape."""
     from pdf_parser_spark.operators.sampling import hash_bucket
+
+    import math
 
     hb = hash_bucket(F.col(id_col), salt)
     seeds = (df.select(F.col(id_col).alias("id"),
                        F.col(emb_col).alias("e"), hb.alias("hb"))
              .orderBy("hb", "id").limit(k).collect())   # k rows, k*dim floats
     centroids = [[float(x) for x in r["e"]] for r in seeds]
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
     if not centroids:
-        # empty corpus: no seeds, nothing to dedup — empty survivors,
-        # same schema (every other dedup tier degrades this way too)
-        return (df.select(F.col(id_col), F.lit(0).cast("int").alias("cell"))
+        # empty corpus: no seeds — empty result, same schema (every
+        # other dedup tier degrades this way too)
+        return (base.select("id", "e", F.lit(0).cast("int").alias("cell"),
+                            F.lit(0.0).alias("csim"),
+                            F.lit(0.0).alias("enorm"))
                 .where(F.lit(False)))
-    cells = (df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
-             .withColumn("cell", _argmax_cell(F.col("e"), centroids))
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    a, b = cells.alias("a"), cells.alias("b")
-    dominated = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                        & (F.col("b.id") < F.col("a.id")))
-                 .where(F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
-                        >= threshold)
-                 .select(F.col("a.id").alias("id")).distinct())
-    out = (cells.join(dominated, "id", "left_anti")
-           .select(F.col("id").alias(id_col),
-                   F.col("cell").cast("int").alias("cell")))
-    return _own(out, cells)
+    # higher-order array expressions evaluate interpreted
+    # (CodegenFallback, the PLANS 16 measurement), so redundant folds are
+    # real cost: the row norm is computed ONCE into `enorm` instead of
+    # once per centroid, and each centroid's norm is a Python-side
+    # literal — same left-fold summation order as F.aggregate and
+    # DuckDB's list_dot_product, so every quotient stays bit-identical
+    # to cosine()'s and the oracle's.
+    base = base.withColumn("enorm", l2_norm(F.col("e")))
+    scored = []
+    for i, c in enumerate(centroids):
+        acc = 0.0
+        for v in c:
+            acc += v * v
+        nc = math.sqrt(acc)
+        denom = F.col("enorm") * F.lit(nc)
+        d = dot(F.col("e"), F.array(*[F.lit(v) for v in c]))
+        sim = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+        scored.append(F.struct(sim.alias("sim"), F.lit(i).alias("cell")))
+    # name the scored array BEFORE field access: best["cell"]/best["sim"]
+    # on a raw expression would each inline the whole k-struct tree
+    # (k x dim literals, twice over) into the projection
+    base = base.withColumn("__best", F.array_max(F.array(*scored)))
+    return base.select("id", "e",
+                       F.col("__best")["cell"].cast("int").alias("cell"),
+                       F.col("__best")["sim"].alias("csim"), "enorm")
+
+
+def cluster_prune_prototypes(df: DataFrame, *, k: int = 8,
+                             drop_frac: float = 0.2,
+                             emb_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             salt: str = "semdedup") -> DataFrame:
+    """D4-style prototype pruning (Tirumala et al. 2023, the stage after
+    SemDeDup): within each embedding cell, drop the ``drop_frac`` most
+    PROTOTYPICAL rows — the ones closest to their centroid, i.e. the
+    most redundant mass of the cluster — and keep the diverse remainder.
+
+    Deterministic: cells/centroids from :func:`assign_seed_cells`;
+    within a cell rows rank by (csim DESC, id ASC) and the first
+    floor(drop_frac * cell_size) ranks are dropped. Returns survivors
+    (id_col, cell, proto_sim = round(csim, 6)).
+
+    Scale: one scan for the assignment, ONE cell-partitioned window
+    (rank + count in the same partition pass) — no self-join at all, so
+    this tier is strictly cheaper than semantic_dedup; per-cell sort
+    state is the cell size, bounded by scaling k with the corpus.
+    """
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    from pyspark.sql.window import Window
+
+    cells = assign_seed_cells(df, k=k, emb_col=emb_col, id_col=id_col,
+                              salt=salt)
+    w = Window.partitionBy("cell").orderBy(F.desc("csim"), F.asc("id"))
+    m = Window.partitionBy("cell")
+    ranked = (cells.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__m", F.count("*").over(m)))
+    return (ranked
+            .where(F.col("__rn")
+                   > F.floor(F.lit(float(drop_frac)) * F.col("__m")))
+            .select(F.col("id").alias(id_col), "cell",
+                    F.round("csim", 6).alias("proto_sim")))

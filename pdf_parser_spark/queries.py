@@ -2182,6 +2182,58 @@ WHERE c.vec_id NOT IN (SELECT vec_id FROM dom)
 """
 
 
+def emb_cluster_prune(spark, sf):
+    # D4-style prototype pruning (Tirumala et al. 2023): within each
+    # seed-centroid cell, drop the 25% closest to the centroid (the
+    # redundant prototypical mass), keep the diverse remainder
+    from pdf_parser_spark.operators.similarity import cluster_prune_prototypes
+    emb = _t_wide(spark, sf, "embeddings")
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return cluster_prune_prototypes(
+        emb.select("vec_id", e_dbl.alias("embedding")), k=8, drop_frac=0.25)
+
+
+EMB_CLUSTER_PRUNE_SQL = """
+WITH allv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), seeds AS (
+  SELECT e AS c,
+         CAST(row_number() OVER (ORDER BY
+           CAST(('0x' || substring(md5('semdedup:'
+                 || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+           vec_id) AS INTEGER) - 1 AS cidx
+  FROM allv
+  ORDER BY CAST(('0x' || substring(md5('semdedup:'
+             || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+           vec_id
+  LIMIT 8
+), scored AS (
+  SELECT v.vec_id, s.cidx,
+         CASE WHEN sqrt(list_dot_product(v.e, v.e))
+                   * sqrt(list_dot_product(s.c, s.c)) > 0
+              THEN list_dot_product(v.e, s.c)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(s.c, s.c)))
+              ELSE 0.0 END AS sim
+  FROM allv v CROSS JOIN seeds s
+), cells AS (
+  SELECT vec_id, cidx AS cell, sim AS csim FROM (
+    SELECT vec_id, cidx, sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cidx DESC) AS rn
+    FROM scored) WHERE rn = 1
+), ranked AS (
+  SELECT vec_id, cell, csim,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY csim DESC, vec_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cell) AS m
+  FROM cells
+)
+SELECT vec_id, cell, round(csim, 6) AS proto_sim
+FROM ranked WHERE rn > floor(CAST(0.25 AS DOUBLE) * m)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2228,6 +2280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_remove_spans": docs_remove_spans,
     "docs_source_mix": docs_source_mix,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "emb_cluster_prune": emb_cluster_prune,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
@@ -2331,6 +2384,7 @@ ORACLES: dict[str, str] = {
     "docs_remove_spans": DOCS_REMOVE_SPANS_SQL,
     "docs_source_mix": DOCS_SOURCE_MIX_SQL,
     "emb_semantic_dedup": EMB_SEMDEDUP_SQL,
+    "emb_cluster_prune": EMB_CLUSTER_PRUNE_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,

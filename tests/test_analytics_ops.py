@@ -1498,3 +1498,27 @@ def test_semantic_dedup_empty_input_returns_empty(spark):
     out = semantic_dedup(empty, k=4, threshold=0.9)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cell"]
+
+
+def test_cluster_prune_prototypes_semantics(spark, emb_df):
+    from pdf_parser_spark.operators.similarity import (
+        assign_seed_cells, cluster_prune_prototypes)
+    cells = {r.id: r for r in assign_seed_cells(emb_df, k=4).collect()}
+    kept = cluster_prune_prototypes(emb_df, k=4, drop_frac=0.25).collect()
+    kept_ids = {r.vec_id for r in kept}
+    # per cell: exactly the floor(0.25*m) highest-(csim, -id) rows drop
+    from collections import defaultdict
+    by_cell = defaultdict(list)
+    for r in cells.values():
+        by_cell[r.cell].append(r)
+    expect = set()
+    for c, rows in by_cell.items():
+        rows.sort(key=lambda r: (-r.csim, r.id))
+        expect |= {r.id for r in rows[int(0.25 * len(rows)):]}
+    assert kept_ids == expect
+    # survivors report their cell and rounded centroid cosine
+    for r in kept:
+        assert r.cell == cells[r.vec_id].cell
+        assert r.proto_sim == round(cells[r.vec_id].csim, 6)
+    with pytest.raises(ValueError):
+        cluster_prune_prototypes(emb_df, drop_frac=1.0)
