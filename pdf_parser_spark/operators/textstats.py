@@ -300,3 +300,49 @@ def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("rank") <= k)
             .select(F.col("id").alias(id_col), "term", "tf", "df",
                     "tf_idf", "rank"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the oracle-checkable degenerate of the CCNet/KenLM
+    perplexity quality filter (Wenzek et al. 2020): docs whose tokens
+    are corpus-typical score high, gibberish and boilerplate-of-rare-
+    symbols score low, and a keep-band on ``avg_logprob`` is the filter
+    (perplexity = exp(-avg_logprob), monotone — the band thresholds
+    translate directly, so the engine never computes exp and stays
+    bit-mirrorable).
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob =
+    round(sum(tf * ln(c_term / T)) / sum(tf), 6), NULL for token-free
+    docs (they have no LM evidence either way).
+
+    Scale shape: one token explode collapsed immediately to per-(doc,
+    term) counts (map-side combine), vocabulary = one more groupBy of
+    that relation, a key-partitioned join on term (corpus-scale
+    vocabulary — never broadcast), and the grand total T — ONE long —
+    collected to the driver as a literal (the k-centroid kind of
+    collect). The tf-weighted sum means the corpus-sized token stream
+    is aggregated once and never rejoined.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_array(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c")).collect()[0][0]
+    if total is None:
+        base = df.select(F.col(id_col).alias("id"))
+        return base.select("id", F.lit(0).cast("long").alias("n_tokens"),
+                           F.lit(None).cast("double").alias("avg_logprob"))
+    scored = (tf.join(vocab, "term")
+              .groupBy("id")
+              .agg(F.sum("tf").alias("n_tokens"),
+                   F.round(F.sum(F.col("tf")
+                                 * F.log(F.col("c").cast("double")
+                                         / F.lit(float(total))))
+                           / F.sum("tf"), 6).alias("avg_logprob")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(scored, "id", "left")
+            .select("id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "avg_logprob"))

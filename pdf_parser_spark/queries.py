@@ -968,6 +968,42 @@ ORDER BY n DESC, value ASC LIMIT 20
 """
 
 
+def docs_unigram_logprob(spark, sf):
+    # CCNet-style LM quality score: mean unigram log-probability under
+    # the corpus's own unigram LM (the oracle-checkable degenerate of
+    # the KenLM perplexity filter; keep-band on avg_logprob = the filter)
+    from pdf_parser_spark.operators.textstats import unigram_logprob
+    d = _t_wide(spark, sf, "documents")
+    return (unigram_logprob(d, "doc_id", "text")
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    "avg_logprob"))
+
+
+DOCS_UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE length(t) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, sum(tf) AS c FROM tf GROUP BY term
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab
+), scored AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * ln(vocab.c::DOUBLE / (SELECT t FROM tot)))
+               / sum(tf.tf), 6) AS avg_logprob
+  FROM tf JOIN vocab USING (term) GROUP BY tf.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.avg_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def docs_stratified_sample(spark, sf):
     # per-stratum deterministic sampling (sampleBy twin): downsample the
     # dominant language, keep minority strata at higher rates — one
@@ -2279,6 +2315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_duplicated_spans": docs_duplicated_spans,
     "docs_remove_spans": docs_remove_spans,
     "docs_source_mix": docs_source_mix,
+    "docs_unigram_logprob": docs_unigram_logprob,
     "emb_semantic_dedup": emb_semantic_dedup,
     "emb_cluster_prune": emb_cluster_prune,
     "docs_minhash_signatures": docs_minhash_signatures,
@@ -2383,6 +2420,7 @@ ORACLES: dict[str, str] = {
     "docs_duplicated_spans": DOCS_SPANS_SQL,
     "docs_remove_spans": DOCS_REMOVE_SPANS_SQL,
     "docs_source_mix": DOCS_SOURCE_MIX_SQL,
+    "docs_unigram_logprob": DOCS_UNIGRAM_SQL,
     "emb_semantic_dedup": EMB_SEMDEDUP_SQL,
     "emb_cluster_prune": EMB_CLUSTER_PRUNE_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,

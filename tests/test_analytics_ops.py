@@ -1522,3 +1522,24 @@ def test_cluster_prune_prototypes_semantics(spark, emb_df):
         assert r.proto_sim == round(cells[r.vec_id].csim, 6)
     with pytest.raises(ValueError):
         cluster_prune_prototypes(emb_df, drop_frac=1.0)
+
+
+def test_unigram_logprob_hand_example(spark):
+    import math
+
+    from pdf_parser_spark.operators.textstats import unigram_logprob
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, ""), (4, None)],
+        "doc_id int, text string")
+    got = {r.id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    # corpus counts: a=2 b=2 c=1, T=5
+    assert got[1].n_tokens == 3
+    assert got[1].avg_logprob == round(
+        (2 * math.log(2 / 5.0) + 1 * math.log(2 / 5.0)) / 3, 6)
+    assert got[2].avg_logprob == round(
+        (math.log(2 / 5.0) + math.log(1 / 5.0)) / 2, 6)
+    # token-free docs carry no LM evidence: NULL score, zero tokens
+    for d in (3, 4):
+        assert got[d].n_tokens == 0 and got[d].avg_logprob is None
+    # typical text scores HIGHER (closer to 0) than rare-token text
+    assert got[1].avg_logprob > got[2].avg_logprob
