@@ -576,3 +576,58 @@ def cluster_prune_prototypes(df: DataFrame, *, k: int = 8,
                    > F.floor(F.lit(float(drop_frac)) * F.col("__m")))
             .select(F.col("id").alias(id_col), "cell",
                     F.round("csim", 6).alias("proto_sim")))
+
+
+def assign_cells_broadcast(df: DataFrame, centroids: list[list[float]], *,
+                           emb_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """(id, e, cell, csim, enorm) — the large-k twin of
+    :func:`assign_seed_cells`'s assignment stage.
+
+    The expression-literal argmax (k cosines inlined into one
+    projection) is the fastest shape for small k but caps out around
+    k ~ 32: the Catalyst tree carries k x dim literals and Janino/
+    optimizer cost grows with it, while real SemDeDup/D4 runs want
+    thousands of cells. This twin broadcasts the centroids as ROWS
+    (k x dim floats — same driver footprint ivf_train already accepts),
+    cross-joins each embedding against them (n x k rows, map-local under
+    a BroadcastNestedLoopJoin — never a shuffle of the corpus), and
+    reduces with max_by-style ``F.max(struct(sim, cell))`` — a map-side-
+    combined aggregate, so the n x k stream collapses inside each task.
+    Tie rule identical to assign_seed_cells: (sim, cell) lexicographic,
+    higher index wins. One corpus shuffle on id for the final aggregate;
+    at 10^12 rows pre-aggregation leaves ~one row per input row, the
+    same cost class as any per-row groupBy.
+    """
+    spark = df.sparkSession
+    if not centroids:
+        base = df.select(F.col(id_col).alias("id"),
+                         F.col(emb_col).alias("e"))
+        return (base.select("id", "e", F.lit(0).cast("int").alias("cell"),
+                            F.lit(0.0).alias("csim"),
+                            F.lit(0.0).alias("enorm"))
+                .where(F.lit(False)))
+    import math
+    cent_rows = []
+    for i, c in enumerate(centroids):
+        acc = 0.0
+        for v in c:
+            acc += v * v
+        cent_rows.append((i, [float(v) for v in c], math.sqrt(acc)))
+    cents = spark.createDataFrame(cent_rows,
+                                  "cidx int, cvec array<double>, cnorm double")
+    base = (df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+            .withColumn("enorm", l2_norm(F.col("e"))))
+    denom = F.col("enorm") * F.col("cnorm")
+    sim = F.when(denom > 0,
+                 dot(F.col("e"), F.col("cvec")) / denom).otherwise(F.lit(0.0))
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select("id", "e", "enorm",
+                      F.struct(sim.alias("sim"),
+                               F.col("cidx").alias("cell")).alias("__sc")))
+    best = (scored.groupBy("id")
+            .agg(F.max("__sc").alias("__best"),
+                 F.first("enorm").alias("enorm"), F.first("e").alias("e")))
+    return best.select("id", "e",
+                       F.col("__best")["cell"].cast("int").alias("cell"),
+                       F.col("__best")["sim"].alias("csim"), "enorm")

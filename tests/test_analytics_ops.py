@@ -1543,3 +1543,34 @@ def test_unigram_logprob_hand_example(spark):
         assert got[d].n_tokens == 0 and got[d].avg_logprob is None
     # typical text scores HIGHER (closer to 0) than rare-token text
     assert got[1].avg_logprob > got[2].avg_logprob
+
+
+def test_assign_cells_broadcast_equals_expression_twin(spark, emb_df):
+    """The large-k broadcast-join argmax must produce the IDENTICAL
+    assignment (cell, csim, enorm — bit-level) as the expression-literal
+    twin, including the (sim, cell) lexicographic tie rule."""
+    from pdf_parser_spark.operators.sampling import hash_bucket
+    from pdf_parser_spark.operators.similarity import (
+        assign_cells_broadcast, assign_seed_cells)
+    # same seed centroids the expression twin derives internally
+    seeds = (emb_df.select("vec_id", "embedding",
+                           hash_bucket(F.col("vec_id"),
+                                       "semdedup").alias("hb"))
+             .orderBy("hb", "vec_id").limit(4).collect())
+    cents = [[float(x) for x in r.embedding] for r in seeds]
+    a = {r.id: (r.cell, r.csim, r.enorm)
+         for r in assign_seed_cells(emb_df, k=4).collect()}
+    b = {r.id: (r.cell, r.csim, r.enorm)
+         for r in assign_cells_broadcast(emb_df, cents).collect()}
+    assert a == b
+    # duplicate centroid => equal sims: the higher index must win in
+    # BOTH twins (lexicographic (sim, cell) max)
+    dup_cents = cents + [cents[0]]
+    c = {r.id: r.cell
+         for r in assign_cells_broadcast(emb_df, dup_cents).collect()}
+    for vid, (cell, _, _) in a.items():
+        if cell == 0:
+            assert c[vid] == 4  # the duplicate of centroid 0, higher idx
+    # empty-centroid degenerate mirrors the expression twin's shape
+    empty = assign_cells_broadcast(emb_df, [])
+    assert empty.count() == 0 and "cell" in empty.columns
