@@ -46,6 +46,7 @@ FUNNEL_STAGES = ("extracted", "exact_unique", "near_unique", "quality",
 _STAGE_FLAGS = (("exact_unique", "f_exact_unique"),
                 ("near_unique", "f_near_unique"),
                 ("quality", "f_quality"),
+                ("lm_quality", "f_lm_quality"),
                 ("repetition", "f_repetition"),
                 ("language", "f_language"),
                 ("length", "f_length"),
@@ -59,7 +60,9 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            max_dup_line_frac: float | None = None,
            max_top_ngram_frac: float | None = None,
            redact_pii: bool = False,
-           remove_spans_k: int | None = None) -> DataFrame:
+           remove_spans_k: int | None = None,
+           lm_logprob_min: float | None = None,
+           lm_logprob_max: float | None = None) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash.
@@ -81,7 +84,12 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       owner keeps its copy, and only rows that actually shed tokens are
       rewritten (untouched rows keep their original whitespace — the
       rewrite join's right side is the duplicated fraction of the
-      corpus, broadcastable by AQE). Adds ``span_tokens_removed``.
+      corpus, broadcastable by AQE). Adds ``span_tokens_removed``;
+    - ``lm_logprob_min`` / ``lm_logprob_max``: CCNet-style LM-quality
+      band (Wenzek et al. 2020) — ``f_lm_quality`` keeps chunks whose
+      mean unigram log-probability under the corpus's own LM
+      (``textstats.unigram_logprob``; kept as ``lm_logprob``) lies in
+      the band; token-free chunks carry no LM evidence and fail it.
     """
     from pyspark import StorageLevel
 
@@ -160,6 +168,21 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                            F.col("char_count").between(min_chars,
                                                        max_chars)))
 
+    if lm_logprob_min is not None or lm_logprob_max is not None:
+        from pdf_parser_spark.operators.textstats import unigram_logprob
+        # per-chunk LM score over the full flag frame (the LM itself is
+        # corpus-wide — dedup losers still inform the vocabulary, as
+        # CCNet's fixed external LM would); one id-keyed join back
+        lm = unigram_logprob(flagged.select("id", "text"), "id", "text") \
+            .select("id", F.col("avg_logprob").alias("lm_logprob"))
+        flagged = flagged.join(lm, "id", "left")
+        ok = F.col("lm_logprob").isNotNull()
+        if lm_logprob_min is not None:
+            ok = ok & (F.col("lm_logprob") >= lm_logprob_min)
+        if lm_logprob_max is not None:
+            ok = ok & (F.col("lm_logprob") <= lm_logprob_max)
+        flagged = flagged.withColumn("f_lm_quality", ok)
+
     if max_dup_line_frac is not None or max_top_ngram_frac is not None:
         from pdf_parser_spark.operators.curation import repetition_features
         flagged = repetition_features(flagged)
@@ -197,7 +220,7 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
 
     sel = F.col("f_near_unique") & F.col("f_quality") \
         & F.col("f_language") & F.col("f_length")
-    for opt in ("f_repetition", "f_decontaminated"):
+    for opt in ("f_lm_quality", "f_repetition", "f_decontaminated"):
         if opt in flagged.columns:
             sel = sel & F.col(opt)
     flagged = flagged.withColumn("selected", sel)
@@ -367,6 +390,11 @@ def main() -> int:
     ap.add_argument("--redact-pii", action="store_true",
                     help="mask email/SSN/phone/IPv4 in the output text "
                          "(counts kept as columns)")
+    ap.add_argument("--lm-logprob-min", type=float, default=None,
+                    help="CCNet-style LM-quality band floor on the mean "
+                         "unigram log-probability (corpus-self LM)")
+    ap.add_argument("--lm-logprob-max", type=float, default=None,
+                    help="upper bound of the LM-quality band")
     ap.add_argument("--remove-spans-k", type=int, default=None,
                     metavar="K",
                     help="cut cross-document duplicated K-token spans "
@@ -394,7 +422,9 @@ def main() -> int:
             max_dup_line_frac=a.max_dup_line_frac,
             max_top_ngram_frac=a.max_top_ngram_frac,
             redact_pii=a.redact_pii,
-            remove_spans_k=a.remove_spans_k, **extract_kw)
+            remove_spans_k=a.remove_spans_k,
+            lm_logprob_min=a.lm_logprob_min,
+            lm_logprob_max=a.lm_logprob_max, **extract_kw)
         print(json.dumps(funnel))
     finally:
         spark.stop()

@@ -283,3 +283,36 @@ def test_pipeline_span_removal_stage(spark):
     funnel = funnel_metrics(cur)
     assert funnel["span_tokens_removed"] == 9
     assert list(funnel)[-1] == "span_tokens_removed"
+
+
+def test_pipeline_lm_quality_band_stage(spark):
+    """The LM band flag equals the standalone unigram_logprob verdict,
+    appears in the funnel between quality and repetition, and token-free
+    chunks fail it (no LM evidence)."""
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+    from pdf_parser_spark.operators.textstats import unigram_logprob
+
+    rows = [
+        ("c0", 0, 0, "text", "alpha beta gamma alpha beta gamma alpha"),
+        ("c1", 0, 0, "text", "alpha beta gamma delta epsilon zeta eta"),
+        ("c2", 0, 0, "text", "qqq zzz xxx www vvv uuu ttt sss rrr"),
+    ]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+    lo = -3.0
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.0,
+                 min_chars=1, max_chars=4000, lm_logprob_min=lo)
+    got = {r.conv_id: r for r in cur.collect()}
+    lm = {r.id: r.avg_logprob for r in unigram_logprob(
+        with_chunk_id(chunks).select("id", "text"), "id", "text").collect()}
+    for r in got.values():
+        assert r.lm_logprob == lm[r.id]
+        assert r.f_lm_quality == (lm[r.id] is not None and lm[r.id] >= lo)
+    funnel = funnel_metrics(cur)
+    keys = list(funnel)
+    assert keys.index("lm_quality") == keys.index("quality") + 1
+    # the funnel stays monotone with the new stage in the chain
+    vals = [funnel[s] for s in keys if s != "extracted"]
+    assert vals == sorted(vals, reverse=True)
