@@ -47,15 +47,21 @@ def _norm(v):
 
 
 def _cell_key(v):
-    """Total order over mixed cells: None < numbers/bools < strings.
+    """Total order over mixed cells: None < numbers/bools < strings <
+    lists < anything orderable within its own type (datetime, date...).
     Without this, sorting rows that mix NULLs (or the 'nan' marker)
     with values raises TypeError whenever two rows tie on every
-    earlier column — a spurious FAIL on an agreeing entry."""
+    earlier column — a spurious FAIL on an agreeing entry. Values of
+    the same class compare by value; classes never compare across."""
     if v is None:
-        return (0, 0, "")
+        return (0, "", "")
+    if isinstance(v, (bool, int, float)):
+        return (1, "", float(v))
     if isinstance(v, str):
-        return (2, 0, v)
-    return (1, float(v), "")
+        return (2, "", v)
+    if isinstance(v, (list, tuple)):
+        return (3, "list", tuple(_cell_key(x) for x in v))
+    return (4, type(v).__name__, v)
 
 
 def _frame(rows, cols):
