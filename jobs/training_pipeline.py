@@ -50,7 +50,8 @@ _STAGE_FLAGS = (("exact_unique", "f_exact_unique"),
                 ("repetition", "f_repetition"),
                 ("language", "f_language"),
                 ("length", "f_length"),
-                ("decontaminated", "f_decontaminated"))
+                ("decontaminated", "f_decontaminated"),
+                ("semantic_kept", "f_semantic_kept"))
 
 
 def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
@@ -62,7 +63,9 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            redact_pii: bool = False,
            remove_spans_k: int | None = None,
            lm_logprob_min: float | None = None,
-           lm_logprob_max: float | None = None) -> DataFrame:
+           lm_logprob_max: float | None = None,
+           semantic_prune_frac: float | None = None,
+           semantic_cells: int = 64) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash.
@@ -89,7 +92,16 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       band (Wenzek et al. 2020) — ``f_lm_quality`` keeps chunks whose
       mean unigram log-probability under the corpus's own LM
       (``textstats.unigram_logprob``; kept as ``lm_logprob``) lies in
-      the band; token-free chunks carry no LM evidence and fail it.
+      the band; token-free chunks carry no LM evidence and fail it;
+    - ``semantic_prune_frac``: D4-style semantic tier (SemDeDup cells +
+      prototype pruning, Tirumala et al. 2023) over the NEAR-UNIQUE
+      survivors: chunks are embedded with the deterministic stub
+      encoder (the real-encoder seam is ``embedding.make_embed_udf``'s
+      ``encoder_factory``), assigned to ``semantic_cells`` cells (the
+      broadcast argmax — k in the thousands is fine), and the
+      prune_frac most-prototypical rows of each cell are dropped.
+      Chunks with empty embeddings (empty text) carry no semantic
+      evidence and keep their flag.
     """
     from pyspark import StorageLevel
 
@@ -218,9 +230,33 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
             .withColumn("text", F.col("redacted_text")) \
             .drop("redacted_text")
 
+    if semantic_prune_frac is not None:
+        from pdf_parser_spark.operators.embedding import make_embed_udf
+        from pdf_parser_spark.operators.similarity import \
+            cluster_prune_prototypes
+        udf = make_embed_udf()
+        c = F.coalesce(F.col("text"), F.lit(""))
+        emb = (flagged.where(F.col("f_near_unique"))
+               .select("id",
+                       F.when(F.length(F.trim(c)) == 0,
+                              F.array().cast("array<float>"))
+                        .otherwise(udf(c)).alias("embedding")))
+        kept = cluster_prune_prototypes(
+            emb.where(F.size("embedding") > 0), k=semantic_cells,
+            drop_frac=semantic_prune_frac, id_col="id") \
+            .select("id").withColumn("__sem_keep", F.lit(True))
+        no_evidence = (emb.where(F.size("embedding") == 0)
+                       .select("id").withColumn("__sem_keep", F.lit(True)))
+        flagged = (flagged.join(kept.unionByName(no_evidence), "id", "left")
+                   .withColumn("f_semantic_kept",
+                               F.col("f_near_unique")
+                               & F.col("__sem_keep").isNotNull())
+                   .drop("__sem_keep"))
+
     sel = F.col("f_near_unique") & F.col("f_quality") \
         & F.col("f_language") & F.col("f_length")
-    for opt in ("f_lm_quality", "f_repetition", "f_decontaminated"):
+    for opt in ("f_lm_quality", "f_repetition", "f_decontaminated",
+                "f_semantic_kept"):
         if opt in flagged.columns:
             sel = sel & F.col(opt)
     flagged = flagged.withColumn("selected", sel)
@@ -390,6 +426,14 @@ def main() -> int:
     ap.add_argument("--redact-pii", action="store_true",
                     help="mask email/SSN/phone/IPv4 in the output text "
                          "(counts kept as columns)")
+    ap.add_argument("--semantic-prune-frac", type=float, default=None,
+                    metavar="FRAC",
+                    help="D4 semantic tier: drop this fraction of the "
+                         "most-prototypical chunks per embedding cell "
+                         "(stub encoder; real-encoder seam available)")
+    ap.add_argument("--semantic-cells", type=int, default=64,
+                    help="number of embedding cells for the semantic "
+                         "tier (scale ~ corpus/target_cell_size)")
     ap.add_argument("--lm-logprob-min", type=float, default=None,
                     help="CCNet-style LM-quality band floor on the mean "
                          "unigram log-probability (corpus-self LM)")
@@ -424,7 +468,9 @@ def main() -> int:
             redact_pii=a.redact_pii,
             remove_spans_k=a.remove_spans_k,
             lm_logprob_min=a.lm_logprob_min,
-            lm_logprob_max=a.lm_logprob_max, **extract_kw)
+            lm_logprob_max=a.lm_logprob_max,
+            semantic_prune_frac=a.semantic_prune_frac,
+            semantic_cells=a.semantic_cells, **extract_kw)
         print(json.dumps(funnel))
     finally:
         spark.stop()

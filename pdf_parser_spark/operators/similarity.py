@@ -484,6 +484,42 @@ def semantic_dedup(df: DataFrame, *, k: int = 8, threshold: float = 0.9,
     return _own(out, cells)
 
 
+def seed_centroids(df: DataFrame, *, k: int = 8,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   salt: str = "semdedup") -> list[list[float]]:
+    """The embeddings of the k rows with the smallest (md5-hash-bucket,
+    id) — the deterministic centroid choice every cluster-shaped
+    operator here shares. One TakeOrdered job; k x dim floats to the
+    driver (the k-centroid kind of collect). Zero-length embeddings are
+    excluded (a [] centroid would zip to NULL sims downstream)."""
+    from pdf_parser_spark.operators.sampling import hash_bucket
+
+    hb = hash_bucket(F.col(id_col), salt)
+    seeds = (df.where(F.size(F.col(emb_col)) > 0)
+             .select(F.col(id_col).alias("id"),
+                     F.col(emb_col).alias("e"), hb.alias("hb"))
+             .orderBy("hb", "id").limit(k).collect())
+    return [[float(x) for x in r["e"]] for r in seeds]
+
+
+def assign_cells(df: DataFrame, *, k: int = 8,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 salt: str = "semdedup", method: str = "auto") -> DataFrame:
+    """Dispatch between the two bit-identical assignment twins: the
+    expression-literal argmax (fastest small-k shape) and the
+    broadcast-join argmax (the large-k/100 TB shape — Catalyst trees cap
+    the literal path near k ~ 32). ``method``: "auto" picks by k,
+    "expr" / "broadcast" force a path (equality pinned in pytest)."""
+    if method not in ("auto", "expr", "broadcast"):
+        raise ValueError(f"method must be auto|expr|broadcast: {method!r}")
+    if method == "expr" or (method == "auto" and k <= 32):
+        return assign_seed_cells(df, k=k, emb_col=emb_col, id_col=id_col,
+                                 salt=salt)
+    cents = seed_centroids(df, k=k, emb_col=emb_col, id_col=id_col,
+                           salt=salt)
+    return assign_cells_broadcast(df, cents, emb_col=emb_col, id_col=id_col)
+
+
 def assign_seed_cells(df: DataFrame, *, k: int = 8,
                       emb_col: str = "embedding", id_col: str = "vec_id",
                       salt: str = "semdedup") -> DataFrame:
@@ -497,15 +533,10 @@ def assign_seed_cells(df: DataFrame, *, k: int = 8,
     row's L2 norm, exposed so downstream pairwise cosines reuse it. Pure
     JVM expressions over one scan; empty input yields an empty frame of
     the same shape."""
-    from pdf_parser_spark.operators.sampling import hash_bucket
-
     import math
 
-    hb = hash_bucket(F.col(id_col), salt)
-    seeds = (df.select(F.col(id_col).alias("id"),
-                       F.col(emb_col).alias("e"), hb.alias("hb"))
-             .orderBy("hb", "id").limit(k).collect())   # k rows, k*dim floats
-    centroids = [[float(x) for x in r["e"]] for r in seeds]
+    centroids = seed_centroids(df, k=k, emb_col=emb_col, id_col=id_col,
+                               salt=salt)
     base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
     if not centroids:
         # empty corpus: no seeds — empty result, same schema (every
@@ -545,13 +576,16 @@ def cluster_prune_prototypes(df: DataFrame, *, k: int = 8,
                              drop_frac: float = 0.2,
                              emb_col: str = "embedding",
                              id_col: str = "vec_id",
-                             salt: str = "semdedup") -> DataFrame:
+                             salt: str = "semdedup",
+                             method: str = "auto") -> DataFrame:
     """D4-style prototype pruning (Tirumala et al. 2023, the stage after
     SemDeDup): within each embedding cell, drop the ``drop_frac`` most
     PROTOTYPICAL rows — the ones closest to their centroid, i.e. the
     most redundant mass of the cluster — and keep the diverse remainder.
 
-    Deterministic: cells/centroids from :func:`assign_seed_cells`;
+    Deterministic: cells/centroids from :func:`assign_cells` (``method``
+    picks the expression or broadcast assignment twin — bit-identical,
+    "auto" switches on k);
     within a cell rows rank by (csim DESC, id ASC) and the first
     floor(drop_frac * cell_size) ranks are dropped. Returns survivors
     (id_col, cell, proto_sim = round(csim, 6)).
@@ -565,8 +599,8 @@ def cluster_prune_prototypes(df: DataFrame, *, k: int = 8,
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     from pyspark.sql.window import Window
 
-    cells = assign_seed_cells(df, k=k, emb_col=emb_col, id_col=id_col,
-                              salt=salt)
+    cells = assign_cells(df, k=k, emb_col=emb_col, id_col=id_col,
+                         salt=salt, method=method)
     w = Window.partitionBy("cell").orderBy(F.desc("csim"), F.asc("id"))
     m = Window.partitionBy("cell")
     ranked = (cells.withColumn("__rn", F.row_number().over(w))

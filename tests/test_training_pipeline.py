@@ -316,3 +316,40 @@ def test_pipeline_lm_quality_band_stage(spark):
     # the funnel stays monotone with the new stage in the chain
     vals = [funnel[s] for s in keys if s != "extracted"]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_pipeline_semantic_prune_stage(spark):
+    """The semantic tier's flag equals the standalone D4 pruner run over
+    the same deterministic stub embeddings, and the stage lands last in
+    the funnel chain."""
+    from pdf_parser_spark.operators.embedding import make_embed_udf
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+    from pdf_parser_spark.operators.similarity import \
+        cluster_prune_prototypes
+
+    rows = [(f"c{i}", 0, 0, "text",
+             f"alpha beta gamma delta w{i} epsilon zeta eta theta")
+            for i in range(12)]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.0,
+                 min_chars=1, max_chars=4000,
+                 semantic_prune_frac=0.25, semantic_cells=3)
+    got = {r.id: r for r in cur.collect()}
+
+    udf = make_embed_udf()
+    emb = (with_chunk_id(chunks)
+           .where(F.col("id").isin([i for i, r in got.items()
+                                    if r.f_near_unique]))
+           .select("id", udf(F.col("text")).alias("embedding")))
+    kept = {r.id for r in cluster_prune_prototypes(
+        emb, k=3, drop_frac=0.25, id_col="id").collect()}
+    for cid, r in got.items():
+        assert r.f_semantic_kept == (r.f_near_unique and cid in kept)
+    assert any(not r.f_semantic_kept for r in got.values())  # prunes
+    funnel = funnel_metrics(cur)
+    keys = list(funnel)
+    assert keys[-2:] == ["semantic_kept", "selected"]
+    assert funnel["selected"] == funnel["semantic_kept"]
