@@ -513,3 +513,144 @@ def source_mix_resample(df: DataFrame, target_shares: dict[str, float], *,
                     F.round("__w", 6).alias("weight"),
                     F.explode(F.sequence(F.lit(1), F.col("__n").cast("int")))
                      .alias("copy_idx")))
+
+
+def token_budget_select(df: DataFrame, budget: int, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        seed: int = 0) -> DataFrame:
+    """Token-budget corpus draw: the documents forming the first
+    ``budget`` tokens of the deterministic seed-keyed shuffle order.
+
+    This is the selection step of "train on B tokens": lay the corpus
+    end-to-end in the global_shuffle order (uniform over the corpus, so
+    the draw is an unbiased sample of it) and cut the stream at the
+    budget. A document is selected iff its start offset lies inside the
+    budget; the document straddling the cut is kept and marked
+    ``clipped`` with ``take_tokens`` telling the trainer how much of it
+    fits — exactly the boundary bookkeeping pack_sequences does per
+    sequence, applied corpus-wide.
+
+    Returns one row per selected document:
+    (id, n_tokens, shuffle_pos, start_offset, take_tokens, clipped).
+
+    Determinism: same md5(id:seed) key as global_shuffle, so the drawn
+    set is a function of (corpus, seed, budget) alone — any run, engine,
+    or cluster size reproduces it bit-for-bit, and budgets nest: the
+    B-token draw is a prefix of the B'-token draw for B <= B'.
+
+    Scale: rides the same md5-prefix-group prefix-sum decomposition as
+    global_shuffle (no single-partition window); the budget filter is a
+    plain predicate on the prefix sum. Zero-token documents occupy no
+    stream space but are still drawn if their offset is inside the
+    budget (they carry metadata; dropping them is a separate filter's
+    job).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    toks = token_count(F.col(text_col)).cast("long")
+    out = _with_global_order(df.withColumn("n_tokens", toks),
+                             id_col, seed, extra_cumsum=F.col("n_tokens"))
+    start = (F.col("cum_tokens") - F.col("n_tokens")).cast("long")
+    return (out.withColumn("start_offset", start)
+            .where(F.col("start_offset") < budget)
+            .withColumn("take_tokens",
+                        F.least(F.col("n_tokens"),
+                                F.lit(int(budget)) - F.col("start_offset"))
+                        .cast("long"))
+            .withColumn("clipped", F.col("cum_tokens") > budget))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-n-gram importance weighting
+# ---------------------------------------------------------------------------
+
+
+def hashed_token_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable token -> feature-bucket hash: the md5-prefix-as-
+    bigint trick (proved DuckDB-mirrorable by the MinHash oracle) mod
+    n_buckets. 60 bits of md5 before the mod, so bucket balance is
+    hash-uniform regardless of n_buckets."""
+    return (F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+            % int(n_buckets))
+
+
+def dsir_importance(df: DataFrame, target: DataFrame, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 4096,
+                    alpha: float = 1.0) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023), the hashed-unigram variant: score every raw document by the
+    log-likelihood ratio of a TARGET-domain unigram LM vs the RAW-corpus
+    unigram LM, both estimated over ``n_buckets`` hashed token features
+    with add-``alpha`` smoothing.
+
+        importance(doc) = mean over tokens of
+            ln p_target(bucket(token)) - ln p_raw(bucket(token))
+
+    Positive = the document looks more like the target domain than like
+    the raw corpus; selecting the top mass by this score (or Gumbel-
+    resampling with it) is the standard pretraining data-selection
+    recipe when a small high-quality target set exists. Length-
+    normalized (mean, not sum) so the score ranks content, not length.
+
+    Returns (id, n_tokens, importance) for every input document;
+    importance is NULL for token-less documents (no evidence either way).
+
+    Scale shape (100 TB raw corpus, small target):
+    - both LMs are ONE token-explode into a map-side-combined groupBy on
+      a fixed-width bucket long — the partial agg collapses each task's
+      tokens to <= n_buckets rows, so the shuffle is executors x
+      n_buckets rows no matter the corpus size;
+    - the per-bucket log-ratio table is n_buckets rows — broadcast;
+    - the per-doc score reuses the (id, bucket) tf relation (map-side
+      combined, fixed-width keys) + one per-doc sum. No Python anywhere.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (unsmoothed zero-count "
+                         f"buckets would yield ln(0)), got {alpha}")
+
+    def bucket_tf(src: DataFrame) -> DataFrame:
+        toks = tokens_array(F.col(text_col))
+        return (src.select(F.col(id_col).alias("id"),
+                           F.explode(toks).alias("__t"))
+                .select("id", hashed_token_bucket(F.col("__t"),
+                                                  n_buckets).alias("b"))
+                .groupBy("id", "b").agg(F.count("*").alias("tf")))
+
+    raw_tf = bucket_tf(df)
+    # ln p(b) = ln(c_b + alpha) - ln(total + alpha * n_buckets); the
+    # ratio table keeps the two LMs' terms separate until one subtract
+    # per bucket, replayed in the same association order by the oracle
+    def lm(tf: DataFrame) -> DataFrame:
+        return tf.groupBy("b").agg(F.sum("tf").alias("c"))
+
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    an = a * n_buckets
+    raw_lm = lm(raw_tf).withColumnRenamed("c", "cr")
+    tgt_lm = lm(bucket_tf(target)).withColumnRenamed("c", "ct")
+    raw_tot = F.sum("cr").over(Window.partitionBy())
+    tgt_tot = F.sum("ct").over(Window.partitionBy())
+    # full outer on bucket id: a bucket seen only in one LM still has a
+    # defined smoothed probability in both
+    ratio = (raw_lm.join(tgt_lm, "b", "full")
+             .withColumn("cr", F.coalesce("cr", F.lit(0)))
+             .withColumn("ct", F.coalesce("ct", F.lit(0)))
+             .withColumn("lr",
+                         (F.log(F.col("ct") + a) - F.log(tgt_tot + an))
+                         - (F.log(F.col("cr") + a) - F.log(raw_tot + an)))
+             .select("b", "lr"))
+    scored = (raw_tf.join(F.broadcast(ratio), "b")
+              .groupBy("id")
+              .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                   F.round(F.sum(F.col("tf") * F.col("lr"))
+                           / F.sum("tf"), 6).alias("importance")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(scored, "id", "left")
+            .select("id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    "importance"))

@@ -875,3 +875,111 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "id",
                            / F.greatest("n_tokens", F.lit(1)), 6)
                     .alias("removed_frac")))
     return _own(out, *owns)
+
+
+# --- paragraph / line tier ---------------------------------------------------
+
+
+def paragraph_segments(df: DataFrame, id_col: str = "id",
+                       text_col: str = "text",
+                       delimiter: str = "\n") -> DataFrame:
+    """(id, seg_idx, seg) — one row per trimmed non-empty segment of the
+    delimiter-split text, seg_idx the 0-based position among KEPT
+    segments (trim-empty segments are structure, not content, and no
+    dedup decision should hinge on them).
+
+    The unit relation for the paragraph tier; callers with a corpus
+    whose paragraph structure lives elsewhere (pre-exploded tables,
+    fixed-width pseudo-paragraphs for paragraph-less text) build this
+    relation themselves and pass it to :func:`dedup_paragraphs` via
+    ``segments=``.
+    """
+    import re as _re
+    segs = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                            _re.escape(delimiter), -1),
+                    lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+    return (df.select(F.col(id_col).alias("id"), segs.alias("__s"))
+            .select("id", F.posexplode("__s").alias("seg_idx", "seg")))
+
+
+def dedup_paragraphs(df: DataFrame, *, id_col: str = "id",
+                     text_col: str = "text", delimiter: str = "\n",
+                     scope: str = "corpus",
+                     segments: DataFrame | None = None) -> DataFrame:
+    """Paragraph-level dedup (the RefinedWeb / Dolma pass): drop repeated
+    paragraphs while KEEPING the documents that contained them.
+
+    Sits between doc-level exact dedup (whole-text copies) and the
+    k-token span tier (arbitrary-offset substrings): crawl corpora repeat
+    whole paragraphs — nav boilerplate, license blocks, share footers —
+    inside otherwise-distinct pages, and removing the repeats beats
+    dropping or keeping whole documents.
+
+    Policy (deterministic, engine-replayable — the same survivor rule as
+    every other tier):
+    - scope="corpus": the canonical occurrence of a paragraph is the
+      MINIMUM (id, seg_idx) that contains it, corpus-wide; every other
+      occurrence is removed.
+    - scope="doc": within-document only — the first occurrence in each
+      document survives, later repeats in the SAME document are removed
+      (cross-document repeats all survive).
+
+    Returns one row per input document:
+    (id, n_segs, n_removed_segs, removed_frac, text_clean) with
+    text_clean the surviving segments in original order joined by
+    ``delimiter``; documents whose every segment was removed (or that
+    had none) yield text_clean = ''.
+
+    Scale shape (100 TB):
+    - segments are hashed to md5 immediately — the grouped/joined keys
+      are fixed-width, never paragraph text (the round-2 shingle-cache
+      lesson);
+    - corpus scope is ONE map-side-combined min-struct groupBy on the
+      hash plus one equality join back (AQE skew-splits the
+      million-occurrence boilerplate paragraph); doc scope needs no
+      global state at all — one per-(id, hash) window;
+    - reassembly is a per-doc sort of its own kept segments — bounded by
+      document length, the same shape as remove_duplicated_spans.
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
+    segs = segments if segments is not None \
+        else paragraph_segments(df, id_col, text_col, delimiter)
+    segs = segs.withColumn("__h", F.md5("seg"))
+    if scope == "corpus":
+        winners = (segs.groupBy("__h")
+                   .agg(F.min(F.struct("id", "seg_idx")).alias("__w")))
+        kept = (segs.join(winners, "__h")
+                .where((F.col("id") == F.col("__w.id"))
+                       & (F.col("seg_idx") == F.col("__w.seg_idx"))))
+    else:
+        w = Window.partitionBy("id", "__h")
+        kept = (segs.withColumn("__first", F.min("seg_idx").over(w))
+                .where(F.col("seg_idx") == F.col("__first")))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count("*").alias("__n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("seg_idx", "seg"))),
+                            lambda s: s.seg),
+                        delimiter).alias("text_clean")))
+    base = segs.groupBy("id").agg(F.count("*").alias("n_segs"))
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (all_ids
+            .join(base, "id", "left")
+            .join(rebuilt, "id", "left")
+            .select("id",
+                    F.coalesce("n_segs", F.lit(0)).cast("long")
+                     .alias("n_segs"),
+                    (F.coalesce("n_segs", F.lit(0))
+                     - F.coalesce("__n_kept", F.lit(0))).cast("long")
+                     .alias("n_removed_segs"),
+                    F.round((F.coalesce("n_segs", F.lit(0))
+                             - F.coalesce("__n_kept", F.lit(0)))
+                            / F.greatest(F.coalesce("n_segs", F.lit(0)),
+                                         F.lit(1)), 6)
+                     .alias("removed_frac"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))

@@ -2270,6 +2270,208 @@ FROM ranked WHERE rn > floor(CAST(0.25 AS DOUBLE) * m)
 """
 
 
+def docs_token_budget(spark, sf):
+    # token-budget corpus draw ("train on B tokens"): documents forming
+    # the first 20k tokens of the seed-keyed shuffle order, with clip
+    # bookkeeping for the straddler; budgets nest (B-prefix of B')
+    from pdf_parser_spark.operators.curation import token_budget_select
+    d = _t(spark, sf, "documents")
+    return token_budget_select(d, 20000, seed=11).select(
+        "doc_id", "n_tokens", "shuffle_pos", "start_offset",
+        "take_tokens", "clipped")
+
+
+DOCS_TOKEN_BUDGET_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+              END AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':11') AS sk
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY sk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, n_tokens, shuffle_pos,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+       CAST(least(n_tokens, 20000 - (cum_tokens - n_tokens)) AS BIGINT)
+         AS take_tokens,
+       cum_tokens > 20000 AS clipped
+FROM cum WHERE cum_tokens - n_tokens < 20000
+"""
+
+
+def _pseudo_paragraph_segments(d, width: int):
+    """Aligned width-token windows as (id, seg_idx, seg) — the derived
+    paragraph relation for paragraph-LESS text (the driver corpus is
+    single-line word streams); real corpora pass delimiter-split text
+    straight to dedup_paragraphs instead."""
+    from pdf_parser_spark.operators.textstats import tokens_array
+    base = d.select(F.col("doc_id").alias("id"),
+                    tokens_array(F.col("text")).alias("__t"))
+    nseg = F.ceil(F.size("__t") / width).cast("int")
+    return (base.where(F.size("__t") > 0)
+            .select("id",
+                    F.explode(F.sequence(F.lit(0), nseg - 1))
+                     .alias("seg_idx"), "__t")
+            .select("id", F.col("seg_idx").cast("long").alias("seg_idx"),
+                    F.array_join(
+                        F.slice("__t", F.col("seg_idx") * width + 1, width),
+                        " ").alias("seg")))
+
+
+def docs_paragraph_dedup(spark, sf):
+    # paragraph tier of the dedup stack (RefinedWeb/Dolma pass): remove
+    # repeated paragraphs corpus-wide, keep the min-(id, idx) canonical
+    # occurrence, rebuild each document from its survivors
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    d = _t_wide(spark, sf, "documents")
+    segs = _pseudo_paragraph_segments(d, 8)
+    return (dedup_paragraphs(d, id_col="doc_id", delimiter=" ",
+                             scope="corpus", segments=segs)
+            .select(F.col("id").alias("doc_id"), "n_segs",
+                    "n_removed_segs", "removed_frac", "text_clean"))
+
+
+_PSEUDO_SEGS_SQL = r"""
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(toks[(i * {w}) + 1:(i * {w}) + {w}], ' ') AS seg
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(coalesce(text, '')),
+                                              '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+       unnest(range(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT))) AS u(i)
+  WHERE len(toks) > 0
+"""
+
+DOCS_PARAGRAPH_DEDUP_SQL = r"""
+WITH segs AS (
+""" + _PSEUDO_SEGS_SQL.format(w=8) + r"""
+), kept AS (
+  SELECT doc_id, seg_idx, seg FROM (
+    SELECT doc_id, seg_idx, seg,
+           row_number() OVER (PARTITION BY seg
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM segs) WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(b.n_segs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed_segs,
+       round((coalesce(b.n_segs, 0) - coalesce(r.n_kept, 0))::DOUBLE
+             / greatest(coalesce(b.n_segs, 0), 1), 6) AS removed_frac,
+       coalesce(r.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN base b USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def docs_line_dedup_within(spark, sf):
+    # within-document repeat removal (the transformation the Gopher
+    # duplicate-line FEATURE measures): first occurrence per document
+    # survives, later in-document repeats are cut; cross-doc repeats all
+    # survive. Narrow windows (2 tokens) stand in for lines on the
+    # word-stream driver corpus.
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    d = _t_wide(spark, sf, "documents")
+    segs = _pseudo_paragraph_segments(d, 2)
+    return (dedup_paragraphs(d, id_col="doc_id", delimiter=" ",
+                             scope="doc", segments=segs)
+            .select(F.col("id").alias("doc_id"), "n_segs",
+                    "n_removed_segs", "removed_frac", "text_clean"))
+
+
+DOCS_LINE_DEDUP_SQL = r"""
+WITH segs AS (
+""" + _PSEUDO_SEGS_SQL.format(w=2) + r"""
+), kept AS (
+  SELECT doc_id, seg_idx, seg FROM (
+    SELECT doc_id, seg_idx, seg,
+           row_number() OVER (PARTITION BY doc_id, seg
+                              ORDER BY seg_idx) AS rn
+    FROM segs) WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(b.n_segs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed_segs,
+       round((coalesce(b.n_segs, 0) - coalesce(r.n_kept, 0))::DOUBLE
+             / greatest(coalesce(b.n_segs, 0), 1), 6) AS removed_frac,
+       coalesce(r.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN base b USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def docs_dsir_importance(spark, sf):
+    # DSIR (Xie et al. 2023) hashed-unigram importance: per-doc mean
+    # log-likelihood ratio of a target-domain LM (en docs of src0-2, the
+    # quality proxy) vs the raw-corpus LM over 1024 hashed buckets
+    from pdf_parser_spark.operators.curation import dsir_importance
+    d = _t_wide(spark, sf, "documents")
+    target = d.where((F.col("lang") == "en")
+                     & F.col("source").isin("src0", "src1", "src2"))
+    return (dsir_importance(d, target, n_buckets=1024, alpha=1.0)
+            .select(F.col("id").alias("doc_id"), "n_tokens", "importance"))
+
+
+DOCS_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source, t
+  FROM (SELECT doc_id, lang, source,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE length(t) > 0
+), bt AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM toks
+), raw_tf AS (
+  SELECT doc_id, b, count(*) AS tf FROM bt GROUP BY 1, 2
+), raw_lm AS (
+  SELECT b, sum(tf) AS cr FROM raw_tf GROUP BY b
+), tgt_lm AS (
+  SELECT b, count(*) AS ct FROM bt
+  WHERE lang = 'en' AND source IN ('src0', 'src1', 'src2') GROUP BY b
+), tots AS (
+  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw_lm) AS rt,
+         (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tgt_lm) AS tt
+), ratio AS (
+  SELECT b,
+         (ln(coalesce(ct, 0) + 1.0) - ln(tt + 1024.0))
+         - (ln(coalesce(cr, 0) + 1.0) - ln(rt + 1024.0)) AS lr
+  FROM raw_lm FULL JOIN tgt_lm USING (b), tots
+), scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(sum(tf * lr) / sum(tf), 6) AS importance
+  FROM raw_tf JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.importance
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2327,6 +2529,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redaction": docs_pii_redaction,
     "docs_global_shuffle": docs_global_shuffle,
     "docs_sequence_packing": docs_sequence_packing,
+    "docs_token_budget": docs_token_budget,
+    "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_line_dedup_within": docs_line_dedup_within,
+    "docs_dsir_importance": docs_dsir_importance,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2432,6 +2638,10 @@ ORACLES: dict[str, str] = {
     "docs_pii_redaction": DOCS_PII_SQL,
     "docs_global_shuffle": DOCS_SHUFFLE_SQL,
     "docs_sequence_packing": DOCS_PACKING_SQL,
+    "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
+    "docs_paragraph_dedup": DOCS_PARAGRAPH_DEDUP_SQL,
+    "docs_line_dedup_within": DOCS_LINE_DEDUP_SQL,
+    "docs_dsir_importance": DOCS_DSIR_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

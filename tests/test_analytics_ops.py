@@ -1574,3 +1574,73 @@ def test_assign_cells_broadcast_equals_expression_twin(spark, emb_df):
     # empty-centroid degenerate mirrors the expression twin's shape
     empty = assign_cells_broadcast(emb_df, [])
     assert empty.count() == 0 and "cell" in empty.columns
+
+
+def test_dedup_paragraphs_corpus_scope(spark):
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    rows = [
+        ("a", "unique alpha\nshared block\nunique beta"),
+        ("b", "shared block\nonly in b"),          # loses 'shared block'
+        ("c", "only in c\nshared block\nshared block"),  # loses both copies
+        ("d", ""),                                  # no segments at all
+        ("e", "   \n  \n"),                         # blank-only lines
+        ("f", None),                                # null text
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r for r in dedup_paragraphs(df).collect()}
+    # canonical = min (id, seg_idx): a owns 'shared block', keeps all 3
+    assert got["a"].text_clean == "unique alpha\nshared block\nunique beta"
+    assert (got["a"].n_segs, got["a"].n_removed_segs) == (3, 0)
+    # b sheds its copy, keeps order of survivors
+    assert got["b"].text_clean == "only in b"
+    assert (got["b"].n_segs, got["b"].n_removed_segs) == (2, 1)
+    assert got["b"].removed_frac == 0.5
+    # BOTH of c's copies lose to a's canonical occurrence
+    assert got["c"].text_clean == "only in c"
+    assert (got["c"].n_segs, got["c"].n_removed_segs) == (3, 2)
+    # segment-less docs keep a row with empty text and zero counts
+    for doc in ("d", "e", "f"):
+        assert got[doc].text_clean == ""
+        assert (got[doc].n_segs, got[doc].n_removed_segs) == (0, 0)
+        assert got[doc].removed_frac == 0.0
+
+
+def test_dedup_paragraphs_doc_scope_keeps_cross_doc_repeats(spark):
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    rows = [
+        ("a", "x\ny\nx\nz\ny"),    # in-doc repeats of x and y removed
+        ("b", "x\ny"),             # cross-doc repeats survive doc scope
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r for r in dedup_paragraphs(df, scope="doc").collect()}
+    assert got["a"].text_clean == "x\ny\nz"
+    assert (got["a"].n_segs, got["a"].n_removed_segs) == (5, 2)
+    assert got["b"].text_clean == "x\ny"
+    assert got["b"].n_removed_segs == 0
+
+
+def test_dedup_paragraphs_trims_and_skips_blank_lines(spark):
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    # '  shared  ' and 'shared' are the SAME paragraph after trim;
+    # blank lines are structure, not content — never counted or kept
+    rows = [("a", "  shared  \n\nkeep a"), ("b", "shared\nkeep b")]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r for r in dedup_paragraphs(df).collect()}
+    assert got["a"].text_clean == "shared\nkeep a"
+    assert got["a"].n_segs == 2
+    assert got["b"].text_clean == "keep b"
+    assert got["b"].n_removed_segs == 1
+
+
+def test_dedup_paragraphs_external_segments_and_scope_guard(spark):
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    df = spark.createDataFrame([("a", "ignored")], "id string, text string")
+    segs = spark.createDataFrame(
+        [("a", 0, "s1"), ("a", 1, "s2"), ("a", 2, "s1")],
+        "id string, seg_idx long, seg string")
+    got = dedup_paragraphs(df, segments=segs, delimiter=" | ").collect()
+    assert got[0].text_clean == "s1 | s2"
+    assert got[0].n_removed_segs == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scope"):
+        dedup_paragraphs(df, scope="global")

@@ -227,3 +227,139 @@ def test_source_mix_resample_rejects_nonfinite_shares(spark):
     for bad in (float("nan"), float("inf")):
         with pytest.raises(ValueError):
             source_mix_resample(df, {"A": bad})
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def budget_docs(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 9)))
+            for i in range(40)] + [(40, ""), (41, None)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_token_budget_select_cut_semantics(budget_docs):
+    from pdf_parser_spark.operators.curation import token_budget_select
+    got = token_budget_select(budget_docs, 50, seed=3).collect()
+    by_pos = sorted(got, key=lambda r: r.shuffle_pos)
+    # the selected set is a PREFIX of the shuffle order: contiguous
+    # positions from 0, offsets telescoping
+    assert [r.shuffle_pos for r in by_pos] == list(range(len(by_pos)))
+    off = 0
+    for r in by_pos:
+        assert r.start_offset == off
+        off += r.n_tokens
+    # every doc but the straddler fits whole; take_tokens sums to the
+    # budget exactly when the corpus exceeds it
+    clipped = [r for r in by_pos if r.clipped]
+    assert len(clipped) <= 1
+    assert all(r.take_tokens == r.n_tokens for r in by_pos if not r.clipped)
+    assert sum(r.take_tokens for r in by_pos) == 50
+
+
+def test_token_budget_select_budgets_nest(budget_docs):
+    from pdf_parser_spark.operators.curation import token_budget_select
+    small = {r.doc_id for r in
+             token_budget_select(budget_docs, 30, seed=3).collect()}
+    big = {r.doc_id for r in
+           token_budget_select(budget_docs, 90, seed=3).collect()}
+    assert small <= big
+    # budget covering the whole corpus selects every document
+    all_sel = token_budget_select(budget_docs, 10**9, seed=3).collect()
+    assert len(all_sel) == 42
+    assert not any(r.clipped for r in all_sel)
+
+
+def test_token_budget_select_zero_budget_and_guard(budget_docs):
+    from pdf_parser_spark.operators.curation import token_budget_select
+    assert token_budget_select(budget_docs, 0, seed=3).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(budget_docs, -1)
+
+
+def test_token_budget_select_partition_invariant(budget_docs):
+    from pdf_parser_spark.operators.curation import token_budget_select
+    a = {(r.doc_id, r.shuffle_pos, r.start_offset, r.take_tokens)
+         for r in token_budget_select(budget_docs, 70, seed=5).collect()}
+    b = {(r.doc_id, r.shuffle_pos, r.start_offset, r.take_tokens)
+         for r in token_budget_select(budget_docs.repartition(13), 70,
+                                      seed=5).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    from pdf_parser_spark.operators.curation import dsir_importance
+    target_like = "alpha beta gamma delta alpha beta"
+    other = "zeta eta theta iota kappa zeta"
+    rows = [(0, target_like), (1, other), (2, "alpha beta zeta eta"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id int, text string")
+    got = {r.id: r for r in
+           dsir_importance(df, target, n_buckets=512).collect()}
+    # pure target vocabulary outranks the mix, which outranks disjoint
+    assert got[0].importance > got[2].importance > got[1].importance
+    # token-less docs keep their row with NULL importance (no evidence)
+    assert got[3].importance is None and got[3].n_tokens == 0
+    assert got[4].importance is None
+    assert len(got) == 5
+
+
+def test_dsir_importance_matches_pure_python(spark):
+    import hashlib
+    import math
+
+    from pdf_parser_spark.operators.curation import dsir_importance
+    from pdf_parser_spark.operators.textstats import ascii_tokens
+
+    raw_rows = [(0, "a b c a"), (1, "c d e"), (2, "a a e f g")]
+    tgt_rows = [(9, "a b b"), (10, "b c")]
+    nb, alpha = 64, 1.0
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % nb
+
+    raw_counts, tgt_counts, doc_buckets = {}, {}, {}
+    for i, t in raw_rows:
+        bs = [bucket(x) for x in ascii_tokens(t)]
+        doc_buckets[i] = bs
+        for b in bs:
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+    for _, t in tgt_rows:
+        for x in ascii_tokens(t):
+            b = bucket(x)
+            tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    rt, tt = sum(raw_counts.values()), sum(tgt_counts.values())
+
+    def lr(b):
+        return ((math.log(tgt_counts.get(b, 0) + alpha)
+                 - math.log(tt + alpha * nb))
+                - (math.log(raw_counts.get(b, 0) + alpha)
+                   - math.log(rt + alpha * nb)))
+
+    want = {i: round(sum(lr(b) for b in bs) / len(bs), 6)
+            for i, bs in doc_buckets.items()}
+
+    df = spark.createDataFrame(raw_rows, "doc_id int, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id int, text string")
+    got = {r.id: r.importance for r in
+           dsir_importance(df, tgt, n_buckets=nb, alpha=alpha).collect()}
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_dsir_importance_rejects_bad_params(spark):
+    from pdf_parser_spark.operators.curation import dsir_importance
+    df = spark.createDataFrame([(0, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(df, df, n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_importance(df, df, alpha=0.0)
