@@ -47,11 +47,16 @@ _STAGE_FLAGS = (("exact_unique", "f_exact_unique"),
                 ("near_unique", "f_near_unique"),
                 ("quality", "f_quality"),
                 ("lm_quality", "f_lm_quality"),
+                ("dsir", "f_dsir"),
                 ("repetition", "f_repetition"),
                 ("language", "f_language"),
                 ("length", "f_length"),
                 ("decontaminated", "f_decontaminated"),
-                ("semantic_kept", "f_semantic_kept"))
+                ("semantic_kept", "f_semantic_kept"),
+                # budget is computed over rows passing EVERYTHING else,
+                # so it must stay the last stage for the funnel's
+                # cumulative AND to equal `selected`
+                ("budget", "f_budget"))
 
 
 def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
@@ -65,7 +70,13 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            lm_logprob_min: float | None = None,
            lm_logprob_max: float | None = None,
            semantic_prune_frac: float | None = None,
-           semantic_cells: int = 64) -> DataFrame:
+           semantic_cells: int = 64,
+           paragraph_scope: str | None = None,
+           dsir_target: DataFrame | None = None,
+           dsir_min_importance: float | None = None,
+           dsir_buckets: int = 4096,
+           token_budget: int | None = None,
+           budget_seed: int = 0) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash.
@@ -102,6 +113,21 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       prune_frac most-prototypical rows of each cell are dropped.
       Chunks with empty embeddings (empty text) carry no semantic
       evidence and keep their flag.
+    - ``paragraph_scope``: paragraph-tier dedup (RefinedWeb/Dolma) over
+      the near-unique survivors, another text REWRITE before the
+      quality tiers: repeated '\\n'-lines are cut, keeping the
+      min-(id, idx) canonical occurrence ('corpus') or the first
+      in-document occurrence ('doc'). Only rows that actually shed a
+      line are rewritten. Adds ``paragraph_segs_removed``;
+    - ``dsir_target`` + ``dsir_min_importance``: DSIR selection (Xie et
+      al. 2023) — ``f_dsir`` keeps chunks whose hashed-unigram
+      importance (target-LM vs corpus-LM log-ratio, kept as
+      ``dsir_importance``) clears the floor; token-less chunks carry no
+      evidence and fail it;
+    - ``token_budget``: "train on B tokens" — the deterministic
+      seed-keyed budget draw (curation.token_budget_select) over the
+      rows passing every other stage; ``f_budget`` marks the drawn set
+      and becomes the final ``selected``. Always the LAST stage.
     """
     from pyspark import StorageLevel
 
@@ -171,6 +197,25 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                    .drop("text_clean", "n_removed_tokens"))
         span_storage = tuple(getattr(rewrites, "owned_storage", ()))
 
+    if paragraph_scope is not None:
+        from pdf_parser_spark.operators.dedup import dedup_paragraphs
+        # same rewrite shape as the span stage: the right side is only
+        # the rows that shed a line (the duplicated fraction — AQE
+        # broadcasts it), untouched rows keep their original text
+        para = (dedup_paragraphs(
+            flagged.where(F.col("f_near_unique")).select("id", "text"),
+            id_col="id", text_col="text", scope=paragraph_scope)
+            .where(F.col("n_removed_segs") > 0)
+            .select("id", F.col("text_clean").alias("__ptext"),
+                    "n_removed_segs"))
+        flagged = (flagged.join(para, "id", "left")
+                   .withColumn("paragraph_segs_removed",
+                               F.coalesce("n_removed_segs", F.lit(0)))
+                   .withColumn("text",
+                               F.coalesce("__ptext", F.col("text")))
+                   .withColumn("char_count", F.length("text").cast("int"))
+                   .drop("__ptext", "n_removed_segs"))
+
     # text_statistics APPENDS its columns — no join, one pass over text
     flagged = (text_statistics(flagged)
                .withColumn("f_quality",
@@ -194,6 +239,25 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
         if lm_logprob_max is not None:
             ok = ok & (F.col("lm_logprob") <= lm_logprob_max)
         flagged = flagged.withColumn("f_lm_quality", ok)
+
+    if (dsir_target is None) != (dsir_min_importance is None):
+        raise ValueError("dsir_target and dsir_min_importance enable the "
+                         "DSIR stage together — passing one without the "
+                         "other silently skips it, so it is an error")
+    if dsir_target is not None:
+        from pdf_parser_spark.operators.curation import dsir_importance
+        # raw LM over the FULL flag frame (dedup losers still inform the
+        # corpus distribution, as DSIR's raw-pool LM would); one id-keyed
+        # join back of (id, score)
+        sc = (dsir_importance(flagged.select("id", "text"), dsir_target,
+                              id_col="id", text_col="text",
+                              n_buckets=dsir_buckets)
+              .select("id", F.col("importance").alias("dsir_importance")))
+        flagged = (flagged.join(sc, "id", "left")
+                   .withColumn("f_dsir",
+                               F.col("dsir_importance").isNotNull()
+                               & (F.col("dsir_importance")
+                                  >= dsir_min_importance)))
 
     if max_dup_line_frac is not None or max_top_ngram_frac is not None:
         from pdf_parser_spark.operators.curation import repetition_features
@@ -255,11 +319,29 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
 
     sel = F.col("f_near_unique") & F.col("f_quality") \
         & F.col("f_language") & F.col("f_length")
-    for opt in ("f_lm_quality", "f_repetition", "f_decontaminated",
-                "f_semantic_kept"):
+    for opt in ("f_lm_quality", "f_dsir", "f_repetition",
+                "f_decontaminated", "f_semantic_kept"):
         if opt in flagged.columns:
             sel = sel & F.col(opt)
     flagged = flagged.withColumn("selected", sel)
+
+    if token_budget is not None:
+        from pdf_parser_spark.operators.curation import token_budget_select
+        # the draw runs over the rows passing every other stage, so the
+        # budget caps the OUTPUT corpus; the drawn id set is tiny
+        # relative to the corpus only when the budget is — the join is a
+        # plain id equality join either way (AQE picks broadcast/shuffle)
+        drawn = (token_budget_select(
+            flagged.where(F.col("selected")).select("id", "text"),
+            token_budget, id_col="id", seed=budget_seed)
+            .select("id", F.lit(True).alias("__in_budget")))
+        flagged = (flagged.join(drawn, "id", "left")
+                   .withColumn("f_budget",
+                               F.col("selected")
+                               & F.col("__in_budget").isNotNull())
+                   .withColumn("selected", F.col("f_budget"))
+                   .drop("__in_budget"))
+
     out = deterministic_split(flagged, "id", split_weights)
     # the dedup tiers pinned executor storage (simhash signatures, the
     # component labeling) — re-attach those handles to the final result
@@ -292,12 +374,12 @@ def funnel_metrics(curated: DataFrame) -> dict:
         aggs.append(_s(acc).alias(stage))
     aggs.append(_s(F.col("selected")).alias("selected"))
     info = []
-    if "span_tokens_removed" in curated.columns:
-        # rewrite accounting, not a filter stage: reported after the
-        # stage counts so the funnel's monotone prefix stays intact
-        aggs.append(F.coalesce(F.sum("span_tokens_removed"), F.lit(0))
-                    .alias("span_tokens_removed"))
-        info.append("span_tokens_removed")
+    for acct in ("span_tokens_removed", "paragraph_segs_removed"):
+        if acct in curated.columns:
+            # rewrite accounting, not a filter stage: reported after the
+            # stage counts so the funnel's monotone prefix stays intact
+            aggs.append(F.coalesce(F.sum(acct), F.lit(0)).alias(acct))
+            info.append(acct)
     row = curated.agg(*aggs).collect()[0]
     stages = (("extracted",) + tuple(s for s, _ in present)
               + ("selected",) + tuple(info))
@@ -445,7 +527,30 @@ def main() -> int:
                          "from near-unique survivors before the quality "
                          "tiers (Lee et al. ACL 2022; min-id owner keeps "
                          "its copy)")
+    ap.add_argument("--paragraph-dedup", default=None, metavar="SCOPE",
+                    choices=("corpus", "doc"),
+                    help="paragraph-tier dedup rewrite before the quality "
+                         "tiers: cut repeated lines, keeping the corpus-"
+                         "wide canonical occurrence ('corpus') or the "
+                         "first in-document one ('doc')")
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="parquet of target-domain text (a 'text' column "
+                         "is enough): enables the DSIR selection stage")
+    ap.add_argument("--dsir-min-importance", type=float, default=None,
+                    help="keep chunks whose DSIR importance (target-LM "
+                         "vs corpus-LM hashed-unigram log-ratio) clears "
+                         "this floor; required with --dsir-target")
+    ap.add_argument("--token-budget", type=int, default=None, metavar="B",
+                    help="cap the output corpus at B tokens via the "
+                         "deterministic seed-keyed budget draw (always "
+                         "the last funnel stage)")
+    ap.add_argument("--budget-seed", type=int, default=0,
+                    help="seed of the token-budget shuffle order")
     a = ap.parse_args()
+    if (a.dsir_target is None) != (a.dsir_min_importance is None):
+        ap.error("--dsir-target and --dsir-min-importance go together")
+    if a.token_budget is not None and a.token_budget < 0:
+        ap.error("--token-budget must be >= 0")
     if a.remove_spans_k is not None and a.remove_spans_k < 1:
         ap.error("--remove-spans-k must be >= 1 (a 0-token window "
                  "matches everything and would empty the corpus)")
@@ -470,7 +575,13 @@ def main() -> int:
             lm_logprob_min=a.lm_logprob_min,
             lm_logprob_max=a.lm_logprob_max,
             semantic_prune_frac=a.semantic_prune_frac,
-            semantic_cells=a.semantic_cells, **extract_kw)
+            semantic_cells=a.semantic_cells,
+            paragraph_scope=a.paragraph_dedup,
+            dsir_target=(spark.read.parquet(a.dsir_target)
+                         if a.dsir_target else None),
+            dsir_min_importance=a.dsir_min_importance,
+            token_budget=a.token_budget, budget_seed=a.budget_seed,
+            **extract_kw)
         print(json.dumps(funnel))
     finally:
         spark.stop()

@@ -611,27 +611,30 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
         raise ValueError(f"alpha must be > 0 (unsmoothed zero-count "
                          f"buckets would yield ln(0)), got {alpha}")
 
-    def bucket_tf(src: DataFrame) -> DataFrame:
+    def bucket_counts(src: DataFrame) -> DataFrame:
+        # the target needs nothing but a text column — its per-doc
+        # identity is irrelevant to the LM
         toks = tokens_array(F.col(text_col))
-        return (src.select(F.col(id_col).alias("id"),
-                           F.explode(toks).alias("__t"))
-                .select("id", hashed_token_bucket(F.col("__t"),
-                                                  n_buckets).alias("b"))
-                .groupBy("id", "b").agg(F.count("*").alias("tf")))
+        return (src.select(F.explode(toks).alias("__t"))
+                .select(hashed_token_bucket(F.col("__t"),
+                                            n_buckets).alias("b"))
+                .groupBy("b").agg(F.count("*").alias("c")))
 
-    raw_tf = bucket_tf(df)
+    toks = tokens_array(F.col(text_col))
+    raw_tf = (df.select(F.col(id_col).alias("id"),
+                        F.explode(toks).alias("__t"))
+              .select("id", hashed_token_bucket(F.col("__t"),
+                                                n_buckets).alias("b"))
+              .groupBy("id", "b").agg(F.count("*").alias("tf")))
     # ln p(b) = ln(c_b + alpha) - ln(total + alpha * n_buckets); the
     # ratio table keeps the two LMs' terms separate until one subtract
     # per bucket, replayed in the same association order by the oracle
-    def lm(tf: DataFrame) -> DataFrame:
-        return tf.groupBy("b").agg(F.sum("tf").alias("c"))
-
     from pyspark.sql import Window
 
     a = float(alpha)
     an = a * n_buckets
-    raw_lm = lm(raw_tf).withColumnRenamed("c", "cr")
-    tgt_lm = lm(bucket_tf(target)).withColumnRenamed("c", "ct")
+    raw_lm = raw_tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    tgt_lm = bucket_counts(target).withColumnRenamed("c", "ct")
     raw_tot = F.sum("cr").over(Window.partitionBy())
     tgt_tot = F.sum("ct").over(Window.partitionBy())
     # full outer on bucket id: a bucket seen only in one LM still has a

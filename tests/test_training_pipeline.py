@@ -353,3 +353,135 @@ def test_pipeline_semantic_prune_stage(spark):
     keys = list(funnel)
     assert keys[-2:] == ["semantic_kept", "selected"]
     assert funnel["selected"] == funnel["semantic_kept"]
+
+
+def test_pipeline_paragraph_dedup_stage(spark):
+    """The paragraph rewrite equals the standalone dedup_paragraphs over
+    the same survivors: repeated lines cut (min-(id, idx) canonical
+    kept), untouched rows keep their original text, char_count tracks
+    the rewrite, and the accounting lands after the stage counts."""
+    from pdf_parser_spark.operators.dedup import dedup_paragraphs
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+
+    hdr = "=== session log ==="
+    rows = [
+        ("c0", 0, 0, "text", f"{hdr}\nunique alpha words here\nshared tail"),
+        ("c1", 0, 0, "text", f"{hdr}\ndifferent beta content\nshared tail"),
+        ("c2", 0, 0, "text", "no repeats at all in this one"),
+    ]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.0,
+                 min_chars=1, max_chars=4000, paragraph_scope="corpus")
+    got = {r.conv_id: r for r in cur.collect()}
+    twin = {r.id: r for r in dedup_paragraphs(
+        with_chunk_id(chunks).select("id", "text"),
+        id_col="id", text_col="text", scope="corpus").collect()}
+    texts = {c: x for c, _, _, _, x in rows}
+    for r in got.values():
+        t = twin[r.id]
+        assert r.text == (t.text_clean if t.n_removed_segs > 0
+                          else texts[r.conv_id])
+        assert r.paragraph_segs_removed == t.n_removed_segs
+        assert r.char_count == len(r.text)
+    # one chunk owns the header + shared tail; the other sheds both
+    removed = sorted(r.paragraph_segs_removed for r in got.values())
+    assert removed == [0, 0, 2]
+    assert got["c2"].paragraph_segs_removed == 0
+    funnel = funnel_metrics(cur)
+    assert funnel["paragraph_segs_removed"] == 2
+    assert "paragraph_segs_removed" in list(funnel)[-2:]
+
+
+def test_pipeline_dsir_stage(spark):
+    """f_dsir equals the standalone dsir_importance verdict against the
+    floor, token-less chunks fail it, and the stage slots after
+    lm_quality in the funnel order."""
+    from pdf_parser_spark.operators.curation import dsir_importance
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+
+    rows = [
+        ("c0", 0, 0, "text", "alpha beta gamma alpha beta"),
+        ("c1", 0, 0, "text", "zeta eta theta iota kappa"),
+        ("c2", 0, 0, "text", "alpha zeta beta eta mixed"),
+    ]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+    target = spark.createDataFrame([("alpha beta gamma",)], "text string")
+    # the standalone scores decide the floor: smoothing dominates tiny
+    # corpora, so only the ORDER is meaningful — place the floor between
+    # the extremes and the pipeline flag must reproduce the split
+    twin = {r.id: r.importance for r in dsir_importance(
+        with_chunk_id(chunks).select("id", "text"), target,
+        id_col="id", text_col="text", n_buckets=256).collect()}
+    floor = (min(twin.values()) + max(twin.values())) / 2
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.0,
+                 min_chars=1, max_chars=4000,
+                 dsir_target=target, dsir_min_importance=floor,
+                 dsir_buckets=256)
+    got = {r.conv_id: r for r in cur.collect()}
+    for r in got.values():
+        assert r.dsir_importance == twin[r.id]
+        assert r.f_dsir == (twin[r.id] is not None and twin[r.id] >= floor)
+    # target-vocabulary chunk passes, disjoint-vocabulary chunk fails
+    assert got["c0"].f_dsir and not got["c1"].f_dsir
+    funnel = funnel_metrics(cur)
+    keys = list(funnel)
+    assert keys.index("dsir") == keys.index("quality") + 1
+    vals = [funnel[s] for s in keys if s != "extracted"]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_pipeline_dsir_requires_both_params(spark):
+    import pytest
+    chunks = spark.createDataFrame(
+        [("c0", 0, 0, "text", "x", 1)],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+    with pytest.raises(ValueError, match="dsir"):
+        curate(chunks, dsir_min_importance=0.5)
+
+
+def test_pipeline_token_budget_stage(spark):
+    """The budget draw caps the OUTPUT corpus: f_budget is the last
+    funnel stage, equals selected, marks a prefix of the shuffle order
+    over the otherwise-selected rows, and a huge budget is a no-op."""
+    from pdf_parser_spark.operators.curation import token_budget_select
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+
+    rows = [(f"c{i}", 0, 0, "text",
+             " ".join(f"w{i}x{j}" for j in range(16)))
+            for i in range(12)]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+
+    kw = dict(langs=("en", "und"), quality_floor=0.0,
+              min_chars=1, max_chars=4000)
+    free = curate(chunks, **kw)
+    pre_selected = {r.id for r in free.where("selected").select("id")
+                    .collect()}
+
+    budget = 8 * 16  # half the corpus when everything else passes
+    cur = curate(chunks, token_budget=budget, budget_seed=5, **kw)
+    got = cur.collect()
+    for r in got:
+        assert r.selected == r.f_budget
+    drawn = {r.id for r in token_budget_select(
+        with_chunk_id(chunks).where(F.col("id").isin(list(pre_selected)))
+        .select("id", "text"), budget, id_col="id", seed=5).collect()}
+    assert {r.id for r in got if r.f_budget} == drawn
+    assert 0 < len(drawn) < len(pre_selected)
+    funnel = funnel_metrics(cur)
+    keys = [k for k in funnel
+            if k not in ("span_tokens_removed", "paragraph_segs_removed")]
+    assert keys[-2:] == ["budget", "selected"]
+    assert funnel["budget"] == funnel["selected"] == len(drawn)
+    # a budget beyond the corpus changes nothing
+    free_funnel = funnel_metrics(curate(chunks, token_budget=10**9, **kw))
+    assert free_funnel["selected"] == len(pre_selected)
