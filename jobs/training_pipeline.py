@@ -244,20 +244,23 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
         raise ValueError("dsir_target and dsir_min_importance enable the "
                          "DSIR stage together — passing one without the "
                          "other silently skips it, so it is an error")
+    dsir_storage: tuple = ()
     if dsir_target is not None:
         from pdf_parser_spark.operators.curation import dsir_importance
         # raw LM over the FULL flag frame (dedup losers still inform the
         # corpus distribution, as DSIR's raw-pool LM would); one id-keyed
         # join back of (id, score)
-        sc = (dsir_importance(flagged.select("id", "text"), dsir_target,
-                              id_col="id", text_col="text",
-                              n_buckets=dsir_buckets)
-              .select("id", F.col("importance").alias("dsir_importance")))
+        scored = dsir_importance(flagged.select("id", "text"), dsir_target,
+                                 id_col="id", text_col="text",
+                                 n_buckets=dsir_buckets)
+        sc = scored.select("id",
+                           F.col("importance").alias("dsir_importance"))
         flagged = (flagged.join(sc, "id", "left")
                    .withColumn("f_dsir",
                                F.col("dsir_importance").isNotNull()
                                & (F.col("dsir_importance")
                                   >= dsir_min_importance)))
+        dsir_storage = tuple(getattr(scored, "owned_storage", ()))
 
     if max_dup_line_frac is not None or max_top_ngram_frac is not None:
         from pdf_parser_spark.operators.curation import repetition_features
@@ -350,7 +353,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     out.owned_storage = ((base,)
                          + tuple(getattr(pairs, "owned_storage", ()))
                          + tuple(getattr(loser_ids, "owned_storage", ()))
-                         + span_storage)
+                         + span_storage
+                         + dsir_storage)
     return out
 
 

@@ -595,6 +595,9 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
 
     Returns (id, n_tokens, importance) for every input document;
     importance is NULL for token-less documents (no evidence either way).
+    The (id, bucket, tf) relation is persisted and rides on the result
+    as ``owned_storage`` (two consumers — the raw LM and the score
+    join); release via ``dedup.release_owned_storage`` when done.
 
     Scale shape (100 TB raw corpus, small target):
     - both LMs are ONE token-explode into a map-side-combined groupBy on
@@ -621,11 +624,18 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
                 .groupBy("b").agg(F.count("*").alias("c")))
 
     toks = tokens_array(F.col(text_col))
+    # the (id, bucket, tf) relation feeds BOTH the raw LM and the final
+    # score join; without a persist the tokenize+explode (the dominant
+    # cost) executes twice. Fixed-width rows only (id + two longs — the
+    # round-2 jaccard lesson: never cache token text). Rides on the
+    # result as owned_storage; callers release when done.
+    from pyspark import StorageLevel
     raw_tf = (df.select(F.col(id_col).alias("id"),
                         F.explode(toks).alias("__t"))
               .select("id", hashed_token_bucket(F.col("__t"),
                                                 n_buckets).alias("b"))
-              .groupBy("id", "b").agg(F.count("*").alias("tf")))
+              .groupBy("id", "b").agg(F.count("*").alias("tf"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
     # ln p(b) = ln(c_b + alpha) - ln(total + alpha * n_buckets); the
     # ratio table keeps the two LMs' terms separate until one subtract
     # per bucket, replayed in the same association order by the oracle
@@ -652,8 +662,10 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
                    F.round(F.sum(F.col("tf") * F.col("lr"))
                            / F.sum("tf"), 6).alias("importance")))
     base = df.select(F.col(id_col).alias("id"))
-    return (base.join(scored, "id", "left")
-            .select("id",
-                    F.coalesce("n_tokens", F.lit(0)).cast("long")
-                     .alias("n_tokens"),
-                    "importance"))
+    from pdf_parser_spark.operators.dedup import _own
+    return _own(base.join(scored, "id", "left")
+                .select("id",
+                        F.coalesce("n_tokens", F.lit(0)).cast("long")
+                         .alias("n_tokens"),
+                        "importance"),
+                raw_tf)

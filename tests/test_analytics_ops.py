@@ -315,20 +315,26 @@ def test_dedup_operators_release_storage(spark):
 
     from pdf_parser_spark.operators.dedup import duplicated_span_stats
 
+    from pdf_parser_spark.operators.curation import dsir_importance
+
     jp = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2)
     sp = simhash_dup_pairs(df, "doc_id", "text", max_hamming=6)
     ds = duplicated_span_stats(df, "doc_id", "text", k=4)
-    n_jp, n_sp, n_ds = jp.count(), sp.count(), ds.count()  # consume
+    di = dsir_importance(df, df.limit(5), n_buckets=64)
+    n_jp, n_sp, n_ds, n_di = (jp.count(), sp.count(), ds.count(),
+                              di.count())  # consume
     assert _persistent_rdd_ids(spark) - before, \
         "operators should have materialized their index"
 
     release_owned_storage(jp)
     release_owned_storage(sp)
     release_owned_storage(ds)
+    release_owned_storage(di)
     leaked = _persistent_rdd_ids(spark) - before
     assert not leaked, f"persistent RDDs leaked after release: {leaked}"
     # released results remain correct: plans recompute from lineage
     assert jp.count() == n_jp and sp.count() == n_sp and ds.count() == n_ds
+    assert di.count() == n_di
     release_owned_storage(jp)  # idempotent no-op after handles cleared
 
 
