@@ -669,3 +669,55 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
                          .alias("n_tokens"),
                         "importance"),
                 raw_tf)
+
+
+def gumbel_topk_sample(df: DataFrame, k: int, weight_col: str, *,
+                       id_col: str = "doc_id", salt: str = "gumbel",
+                       temperature: float = 1.0) -> DataFrame:
+    """Deterministic Gumbel top-k: sample ``k`` rows WITHOUT replacement
+    from softmax(weight / temperature) — the resampling half of DSIR
+    (Xie et al. 2023 select with importance + Gumbel noise; the Gumbel
+    top-k trick is Vieira 2014 / Kool et al. 2019). ``weight_col`` is a
+    LOG-weight (dsir_importance's log-ratio plugs in directly).
+
+        key = weight / temperature - ln(-ln(u)),   u = md5-uniform(id)
+
+    The noise is the engine-wide deterministic md5 hash of (salt, id)
+    mapped into (0, 1) — so the drawn set is a pure function of
+    (corpus, weights, salt, k): reproducible across runs, engines and
+    cluster sizes, and auditable row by row. Rows with NULL weight carry
+    no evidence and are excluded (DSIR's token-less documents).
+
+    Returns the k winners: (id, weight, gumbel_key, rank), rank 1-based
+    by descending key.
+
+    Scale: the key is one codegen expression; top-k is Spark's
+    TakeOrderedAndProject (per-partition heaps + driver merge of k per
+    partition — no global sort, no shuffle of the corpus). Bounded-k
+    selection only: for "sample 1% of 10^12 rows" use the weight as a
+    threshold instead (keep key >= cutoff), or token_budget_select for
+    budget-shaped draws.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    # 60-bit md5 prefix -> u in (0, 1) open on both ends ((h+1) of 2^60+1
+    # never hits 0 or 1, so ln(-ln(u)) is always finite)
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("double")
+    u = (h + 1.0) / float((1 << 60) + 1)
+    key = (F.col(weight_col) / float(temperature)) - F.log(-F.log(u))
+    out = (df.where(F.col(weight_col).isNotNull())
+           .select(F.col(id_col).alias("id"),
+                   F.col(weight_col).alias("weight"),
+                   F.round(key, 6).alias("gumbel_key"))
+           .orderBy(F.col("gumbel_key").desc(), F.col("id"))
+           .limit(int(k)))
+    from pyspark.sql import Window
+    # rank over the k winners only — a k-row single-partition window,
+    # the offsets-table kind of smallness, not a data window
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("id"))
+    return out.withColumn("rank", F.row_number().over(w))

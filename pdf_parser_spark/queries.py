@@ -2471,6 +2471,44 @@ SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.importance
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
+# the shared CTE chain of the DSIR oracle, minus the final projection —
+# the resample oracle replays the identical scoring then adds the
+# Gumbel-key top-k on top, so the two entries cannot drift apart
+_DSIR_SCORED_CTE = DOCS_DSIR_SQL[:DOCS_DSIR_SQL.index("\nSELECT d.doc_id")]
+
+
+def docs_dsir_resample(spark, sf):
+    # the resampling half of DSIR: Gumbel top-k over the importance
+    # scores (softmax sampling without replacement, deterministic md5
+    # noise) — score + draw is the complete Xie et al. 2023 recipe
+    from pdf_parser_spark.operators.curation import (dsir_importance,
+                                                     gumbel_topk_sample)
+    d = _t_wide(spark, sf, "documents")
+    target = d.where((F.col("lang") == "en")
+                     & F.col("source").isin("src0", "src1", "src2"))
+    scored = dsir_importance(d, target, n_buckets=1024)
+    return (gumbel_topk_sample(scored, 100, "importance", id_col="id",
+                               salt="dsir")
+            .select(F.col("id").alias("doc_id"), "weight", "gumbel_key",
+                    "rank"))
+
+
+DOCS_DSIR_RESAMPLE_SQL = _DSIR_SCORED_CTE + r"""
+, win AS (
+  SELECT doc_id, importance AS weight,
+         round(importance / 1.0
+               - ln(-ln((CAST(('0x' || substring(
+                     md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) + 1.0) / 1152921504606846977.0)), 6)
+           AS gumbel_key
+  FROM scored WHERE importance IS NOT NULL
+)
+SELECT doc_id, weight, gumbel_key,
+       CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+            AS INTEGER) AS rank
+FROM win ORDER BY gumbel_key DESC, doc_id LIMIT 100
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -2533,6 +2571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_line_dedup_within": docs_line_dedup_within,
     "docs_dsir_importance": docs_dsir_importance,
+    "docs_dsir_resample": docs_dsir_resample,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2642,6 +2681,7 @@ ORACLES: dict[str, str] = {
     "docs_paragraph_dedup": DOCS_PARAGRAPH_DEDUP_SQL,
     "docs_line_dedup_within": DOCS_LINE_DEDUP_SQL,
     "docs_dsir_importance": DOCS_DSIR_SQL,
+    "docs_dsir_resample": DOCS_DSIR_RESAMPLE_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

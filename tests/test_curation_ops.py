@@ -363,3 +363,59 @@ def test_dsir_importance_rejects_bad_params(spark):
         dsir_importance(df, df, n_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_importance(df, df, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Gumbel top-k resampling
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_topk_matches_pure_python(spark):
+    import hashlib
+    import math
+
+    from pdf_parser_spark.operators.curation import gumbel_topk_sample
+
+    rows = [(i, float(i % 7) / 3.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = gumbel_topk_sample(df, 10, "w", salt="s7").collect()
+
+    def key(i, w):
+        h = float(int(hashlib.md5(f"s7:{i}".encode()).hexdigest()[:15], 16))
+        u = (h + 1.0) / float((1 << 60) + 1)
+        return round(w / 1.0 - math.log(-math.log(u)), 6)
+
+    want = sorted(((key(i, w), i, w) for i, w in rows),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r.id, r.weight, r.gumbel_key, r.rank) for r in
+            sorted(got, key=lambda r: r.rank)] \
+        == [(i, w, k, n + 1) for n, (k, i, w) in enumerate(want)]
+
+
+def test_gumbel_topk_is_weight_sensitive_and_null_safe(spark):
+    from pdf_parser_spark.operators.curation import gumbel_topk_sample
+    # one overwhelming log-weight wins every draw; NULL-weight rows are
+    # excluded (no evidence); k > population returns everyone
+    rows = [(0, 1000.0)] + [(i, 0.0) for i in range(1, 30)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = gumbel_topk_sample(df, 5, "w")
+    top = {r.id: r.rank for r in got.collect()}
+    assert top[0] == 1 and 99 not in top and len(top) == 5
+    assert gumbel_topk_sample(df, 100, "w").count() == 30
+
+
+def test_gumbel_topk_deterministic_and_salted(spark):
+    from pdf_parser_spark.operators.curation import gumbel_topk_sample
+    rows = [(i, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    a = [(r.id, r.rank) for r in gumbel_topk_sample(
+        df.repartition(7), 8, "w", salt="a").collect()]
+    b = [(r.id, r.rank) for r in gumbel_topk_sample(df, 8, "w",
+                                                    salt="a").collect()]
+    c = {r.id for r in gumbel_topk_sample(df, 8, "w", salt="b").collect()}
+    assert sorted(a) == sorted(b)          # partition-invariant
+    assert {i for i, _ in a} != c          # a different salt redraws
+    with pytest.raises(ValueError, match="k"):
+        gumbel_topk_sample(df, 0, "w")
+    with pytest.raises(ValueError, match="temperature"):
+        gumbel_topk_sample(df, 3, "w", temperature=0.0)
