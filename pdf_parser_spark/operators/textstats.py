@@ -346,3 +346,112 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .select("id",
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     "avg_logprob"))
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats).
+
+    (id, n_tokens, n_distinct, entropy) with
+    entropy = round(ln(n) - sum(tf * ln(tf)) / n, 6) over the document's
+    own token frequencies — the standard template/gibberish signal:
+    "batch batch batch" scores 0, fully-distinct text scores ln(n).
+    Complements the Gopher repetition fractions (which look at lines and
+    top grams) with a whole-distribution number. Token-less documents
+    report NULL entropy (no distribution to measure).
+
+    Scale: one token explode into a map-side-combined (id, term) count,
+    then one per-doc aggregate of fixed-width rows; the ln(n) - S/n form
+    keeps every per-term term integer-argument (ln(tf)), so the DuckDB
+    oracle replays it exactly (same association order).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_array(F.col(text_col))).alias("t"))
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    per_doc = (tf.groupBy("id")
+               .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                    F.count("*").cast("long").alias("n_distinct"),
+                    F.round(F.log(F.sum("tf").cast("double"))
+                            - F.sum(F.col("tf")
+                                    * F.log(F.col("tf").cast("double")))
+                            / F.sum("tf"), 6).alias("entropy")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("n_distinct", F.lit(0)).cast("long")
+                     .alias("n_distinct"),
+                    "entropy"))
+
+
+# --- URL / domain extraction and blocklist filtering -------------------------
+
+# one regex, two engines: Java (Spark codegen) and RE2 (DuckDB) agree on
+# this subset — no backrefs, no lookaround, character classes only.
+# Deliberately greedy-simple: a URL runs to the next whitespace, matching
+# how crawl-pipeline blocklists key on the raw token.
+URL_REGEX = r"https?://[^\s]+"
+# capture the host: scheme :// then everything up to the first / ? # or
+# end; the port stays (blocklists that care strip it themselves)
+_HOST_REGEX = r"https?://([^/?#\s]+)"
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs of a text column, as an array expression."""
+    return F.regexp_extract_all(F.coalesce(col, F.lit("")),
+                                F.lit(URL_REGEX), F.lit(0))
+
+
+def url_domains(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, url, domain) — one row per URL occurrence, document order.
+
+    The domain is lowercased host (port kept). The relation a link-graph
+    or blocklist pass consumes; documents without URLs emit no rows.
+    """
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(extract_urls(F.col(text_col))).alias("url"))
+            .select("id", "url",
+                    F.lower(F.regexp_extract(F.col("url"), _HOST_REGEX, 1))
+                     .alias("domain")))
+
+
+def domain_blocklist_filter(df: DataFrame, blocked_domains, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """UT1-style domain blocklist pass: per document, count URLs and
+    blocked-domain hits and flag survivors.
+
+    (id, n_urls, n_blocked, blocked) — blocked is TRUE when any URL's
+    domain (or a parent registrable suffix of it) is on the list, i.e.
+    ``ads.example.com`` is blocked by ``example.com``. The list is a
+    driver-side set (UT1 is ~4M lines ≈ tens of MB — a broadcast-sized
+    literal); membership is one isin over the exploded suffix chain, so
+    the whole pass is codegen expressions on one scan + one per-doc
+    aggregate. Documents with no URLs survive with zeros.
+    """
+    blocked = sorted({d.lower() for d in blocked_domains})
+    if not blocked:
+        raise ValueError("blocked_domains must name at least one domain: "
+                         "an empty blocklist silently blocks nothing")
+    urls = url_domains(df, id_col, text_col)
+    # suffix chain: ads.example.com -> [ads.example.com, example.com, com]
+    parts = F.split(F.col("domain"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."))
+    hit = F.exists(suffixes, lambda s: s.isin(*blocked))
+    per_doc = (urls.withColumn("__hit", hit)
+               .groupBy("id")
+               .agg(F.count("*").alias("n_urls"),
+                    F.sum(F.col("__hit").cast("int")).alias("n_blocked")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_urls", F.lit(0)).cast("long")
+                     .alias("n_urls"),
+                    F.coalesce("n_blocked", F.lit(0)).cast("long")
+                     .alias("n_blocked"),
+                    (F.coalesce("n_blocked", F.lit(0)) > 0)
+                     .alias("blocked")))

@@ -2510,6 +2510,100 @@ FROM win ORDER BY gumbel_key DESC, doc_id LIMIT 100
 """
 
 
+def docs_token_entropy(spark, sf):
+    # per-doc Shannon entropy of the token distribution (nats): the
+    # whole-distribution template/gibberish signal complementing the
+    # Gopher line/gram repetition fractions
+    from pdf_parser_spark.operators.textstats import token_entropy
+    return (token_entropy(_t_wide(spark, sf, "documents"))
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    "n_distinct", "entropy"))
+
+
+DOCS_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE length(t) > 0
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         round(ln(CAST(sum(tf) AS DOUBLE))
+               - sum(tf * ln(CAST(tf AS DOUBLE))) / sum(tf), 6) AS entropy
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_distinct, 0) AS n_distinct, p.entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def docs_url_blocklist(spark, sf):
+    # UT1-style domain blocklist pass. The word-soup corpus carries no
+    # URLs, so (decontamination-canary precedent) deterministic URLs are
+    # planted from doc columns — subdomain hits prove the suffix-chain
+    # match, the safe.org ref proves non-hits survive
+    from pdf_parser_spark.operators.textstats import domain_blocklist_filter
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" see https://ads.example.com/"), did))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" ref http://docs.safe.org/p?x="), did))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" at https://tracker.net")).otherwise(F.lit(""))))
+    return (domain_blocklist_filter(aug, ["example.com", "tracker.net"])
+            .select(F.col("id").alias("doc_id"), "n_urls", "n_blocked",
+                    "blocked"))
+
+
+DOCS_URL_BLOCKLIST_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://ads.example.com/'
+                      || CAST(doc_id AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ref http://docs.safe.org/p?x='
+                      || CAST(doc_id AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' at https://tracker.net' ELSE '' END AS t
+  FROM documents
+), urls AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, 'https?://([^/?#\s]+)', 1)) AS domain
+  FROM (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+'))
+               AS u
+        FROM aug)
+), per AS (
+  SELECT doc_id, count(*) AS n_urls,
+         sum(CASE WHEN domain = 'example.com'
+                    OR domain LIKE '%.example.com'
+                    OR domain = 'tracker.net'
+                    OR domain LIKE '%.tracker.net'
+                  THEN 1 ELSE 0 END) AS n_blocked
+  FROM urls GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_urls, 0) AS BIGINT) AS n_urls,
+       CAST(coalesce(p.n_blocked, 0) AS BIGINT) AS n_blocked,
+       coalesce(p.n_blocked, 0) > 0 AS blocked
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2572,6 +2666,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_line_dedup_within": docs_line_dedup_within,
     "docs_dsir_importance": docs_dsir_importance,
     "docs_dsir_resample": docs_dsir_resample,
+    "docs_token_entropy": docs_token_entropy,
+    "docs_url_blocklist": docs_url_blocklist,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2682,6 +2778,8 @@ ORACLES: dict[str, str] = {
     "docs_line_dedup_within": DOCS_LINE_DEDUP_SQL,
     "docs_dsir_importance": DOCS_DSIR_SQL,
     "docs_dsir_resample": DOCS_DSIR_RESAMPLE_SQL,
+    "docs_token_entropy": DOCS_ENTROPY_SQL,
+    "docs_url_blocklist": DOCS_URL_BLOCKLIST_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

@@ -1650,3 +1650,54 @@ def test_dedup_paragraphs_external_segments_and_scope_guard(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="scope"):
         dedup_paragraphs(df, scope="global")
+
+
+def test_token_entropy_hand_examples(spark):
+    import math
+
+    from pdf_parser_spark.operators.textstats import token_entropy
+    rows = [(0, "batch batch batch batch"),       # one symbol -> 0
+            (1, "a b c d"),                        # uniform -> ln(4)
+            (2, "a a b"),                          # mixed
+            (3, ""), (4, None), (5, "word")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.id: r for r in token_entropy(df).collect()}
+    assert got[0].entropy == 0.0 and got[0].n_distinct == 1
+    assert got[1].entropy == round(math.log(4), 6)
+    assert got[2].entropy == round(
+        math.log(3) - (2 * math.log(2) + 1 * math.log(1)) / 3, 6)
+    for i in (3, 4):
+        assert got[i].entropy is None and got[i].n_tokens == 0
+    assert got[5].entropy == 0.0 and got[5].n_tokens == 1
+    assert len(got) == 6
+
+
+def test_url_domains_and_blocklist(spark):
+    from pdf_parser_spark.operators.textstats import (
+        domain_blocklist_filter, url_domains)
+    rows = [
+        (0, "see https://ads.Example.com/x?a=1 and http://safe.org/p"),
+        (1, "no urls at all here"),
+        (2, "https://example.com https://sub.deep.example.com/q"),
+        (3, "https://notexample.com/ok http://example.org#frag"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    doms = {(r.id, r.domain) for r in url_domains(df).collect()}
+    # host is lowercased, path/query/fragment cut at / ? #
+    assert (0, "ads.example.com") in doms and (0, "safe.org") in doms
+    assert (2, "example.com") in doms and (2, "sub.deep.example.com") in doms
+    assert (3, "notexample.com") in doms and (3, "example.org") in doms
+    assert not any(i == 1 or i == 4 for i, _ in doms)
+
+    got = {r.id: r for r in
+           domain_blocklist_filter(df, ["example.com"]).collect()}
+    # suffix chain: subdomains hit, lookalike prefixes and other TLDs not
+    assert (got[0].n_urls, got[0].n_blocked, got[0].blocked) == (2, 1, True)
+    assert (got[1].n_urls, got[1].blocked) == (0, False)
+    assert (got[2].n_urls, got[2].n_blocked) == (2, 2)
+    assert (got[3].n_urls, got[3].n_blocked, got[3].blocked) == (2, 0, False)
+    assert (got[4].n_urls, got[4].blocked) == (0, False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="blocklist"):
+        domain_blocklist_filter(df, [])
