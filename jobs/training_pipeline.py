@@ -52,6 +52,7 @@ _STAGE_FLAGS = (("exact_unique", "f_exact_unique"),
                 ("language", "f_language"),
                 ("length", "f_length"),
                 ("decontaminated", "f_decontaminated"),
+                ("domain_clean", "f_domain_clean"),
                 ("semantic_kept", "f_semantic_kept"),
                 # budget is computed over rows passing EVERYTHING else,
                 # so it must stay the last stage for the funnel's
@@ -75,6 +76,7 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            dsir_target: DataFrame | None = None,
            dsir_min_importance: float | None = None,
            dsir_buckets: int = 4096,
+           blocked_domains=None,
            token_budget: int | None = None,
            budget_seed: int = 0) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
@@ -124,6 +126,10 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       importance (target-LM vs corpus-LM log-ratio, kept as
       ``dsir_importance``) clears the floor; token-less chunks carry no
       evidence and fail it;
+    - ``blocked_domains``: UT1-style domain blocklist —
+      ``f_domain_clean`` drops chunks containing any URL whose host (or
+      a parent suffix of it) is listed; the per-doc hit count is kept
+      as ``blocked_url_count``. URL-free chunks pass;
     - ``token_budget``: "train on B tokens" — the deterministic
       seed-keyed budget draw (curation.token_budget_select) over the
       rows passing every other stage; ``f_budget`` marks the drawn set
@@ -297,6 +303,21 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
             .withColumn("text", F.col("redacted_text")) \
             .drop("redacted_text")
 
+    if blocked_domains is not None:
+        from pdf_parser_spark.operators.textstats import \
+            domain_blocklist_filter
+        # UT1-style pass: one id-keyed join back of the per-doc verdict;
+        # the blocklist itself is a driver-side literal (UT1 scale is
+        # tens of MB — broadcast territory, documented in the operator)
+        verdict = (domain_blocklist_filter(
+            flagged.select("id", "text"), blocked_domains, id_col="id")
+            .select("id", F.col("n_blocked").alias("blocked_url_count"),
+                    F.col("blocked").alias("__blocked")))
+        flagged = (flagged.join(verdict, "id", "left")
+                   .withColumn("f_domain_clean",
+                               ~F.coalesce("__blocked", F.lit(False)))
+                   .drop("__blocked"))
+
     if semantic_prune_frac is not None:
         from pdf_parser_spark.operators.embedding import make_embed_udf
         from pdf_parser_spark.operators.similarity import \
@@ -323,7 +344,7 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     sel = F.col("f_near_unique") & F.col("f_quality") \
         & F.col("f_language") & F.col("f_length")
     for opt in ("f_lm_quality", "f_dsir", "f_repetition",
-                "f_decontaminated", "f_semantic_kept"):
+                "f_decontaminated", "f_domain_clean", "f_semantic_kept"):
         if opt in flagged.columns:
             sel = sel & F.col(opt)
     flagged = flagged.withColumn("selected", sel)
@@ -477,6 +498,17 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
     return funnel
 
 
+def _read_blocklist(path: str | None) -> list[str] | None:
+    """One domain per line (the UT1 distribution format); '#' comments
+    and blank lines ignored. None path -> stage disabled."""
+    if path is None:
+        return None
+    with open(path) as f:
+        domains = [ln.strip() for ln in f
+                   if ln.strip() and not ln.lstrip().startswith("#")]
+    return domains
+
+
 def main() -> int:
     import argparse
 
@@ -544,6 +576,11 @@ def main() -> int:
                     help="keep chunks whose DSIR importance (target-LM "
                          "vs corpus-LM hashed-unigram log-ratio) clears "
                          "this floor; required with --dsir-target")
+    ap.add_argument("--blocklist-file", default=None, metavar="TXT",
+                    help="text file of blocked domains, one per line "
+                         "(UT1 distribution format; '#' comments and "
+                         "blank lines ignored): drop chunks with any "
+                         "URL on a listed domain or its subdomains")
     ap.add_argument("--token-budget", type=int, default=None, metavar="B",
                     help="cap the output corpus at B tokens via the "
                          "deterministic seed-keyed budget draw (always "
@@ -584,6 +621,7 @@ def main() -> int:
             dsir_target=(spark.read.parquet(a.dsir_target)
                          if a.dsir_target else None),
             dsir_min_importance=a.dsir_min_importance,
+            blocked_domains=_read_blocklist(a.blocklist_file),
             token_budget=a.token_budget, budget_seed=a.budget_seed,
             **extract_kw)
         print(json.dumps(funnel))

@@ -485,3 +485,31 @@ def test_pipeline_token_budget_stage(spark):
     # a budget beyond the corpus changes nothing
     free_funnel = funnel_metrics(curate(chunks, token_budget=10**9, **kw))
     assert free_funnel["selected"] == len(pre_selected)
+
+
+def test_pipeline_domain_blocklist_stage(spark):
+    """f_domain_clean equals the standalone blocklist verdict: listed
+    domains and their subdomains kill the chunk, URL-free and
+    clean-domain chunks pass, and the hit count is kept."""
+    rows = [
+        ("c0", 0, 0, "text",
+         "normal words then https://ads.spam.example/x more words"),
+        ("c1", 0, 0, "text", "only safe refs http://docs.ok.org/page"),
+        ("c2", 0, 0, "text", "no urls in this chunk at all"),
+    ]
+    chunks = spark.createDataFrame(
+        [(c, i, t, k, x, len(x)) for c, i, t, k, x in rows],
+        "conv_id string, chunk_idx int, turn_idx int, chunk_type string, "
+        "text string, char_count int")
+    cur = curate(chunks, langs=("en", "und"), quality_floor=0.0,
+                 min_chars=1, max_chars=4000,
+                 blocked_domains=["spam.example"])
+    got = {r.conv_id: r for r in cur.collect()}
+    assert not got["c0"].f_domain_clean
+    assert got["c0"].blocked_url_count == 1
+    assert got["c1"].f_domain_clean and got["c1"].blocked_url_count == 0
+    assert got["c2"].f_domain_clean and got["c2"].blocked_url_count == 0
+    funnel = funnel_metrics(cur)
+    assert funnel["domain_clean"] == 2
+    vals = [funnel[s] for s in funnel if s != "extracted"]
+    assert vals == sorted(vals, reverse=True)
