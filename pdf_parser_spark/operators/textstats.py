@@ -455,3 +455,79 @@ def domain_blocklist_filter(df: DataFrame, blocked_domains, *,
                      .alias("n_blocked"),
                     (F.coalesce("n_blocked", F.lit(0)) > 0)
                      .alias("blocked")))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   alpha: float = 0.1) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-alpha-smoothed bigram LM — one rung up the KenLM ladder from
+    :func:`unigram_logprob` (the CCNet quality filter, Wenzek et al.
+    2020): repeated-template and shuffled-word documents separate here
+    where unigram statistics cannot see word ORDER at all.
+
+        score(doc) = mean over its bigram instances of
+            ln (c(w1 w2) + alpha) - ln (c1(w1) + alpha * V)
+
+    with c(w1 w2) the corpus bigram count, c1(w1) the count of w1 AS A
+    CONTEXT (= sum of its bigram counts, so conditionals normalize), and
+    V the corpus vocabulary size. Documents with < 2 tokens carry no
+    bigram evidence and report NULL.
+
+    Returns (id, n_bigrams, avg_logprob); the per-doc (context, bigram)
+    tf relation is persisted (fixed-width md5-prefix longs, never gram
+    text — the jaccard-cache lesson) and rides on the result as
+    ``owned_storage``; release via ``dedup.release_owned_storage``.
+
+    Scale shape: bigrams come from ONE array transform + explode (no
+    positional self-join); corpus counts are map-side-combined groupBys
+    on 60-bit longs; the count joins are key-partitioned on those longs
+    (the vocabulary is corpus-scale — never broadcast it); V is a 1-row
+    broadcast. No Python anywhere.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (unsmoothed unseen bigrams "
+                         f"would yield ln(0)), got {alpha}")
+    from pyspark import StorageLevel
+
+    def h(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    toks = tokens_array(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            h(F.element_at(toks, i)).alias("h1"),
+            h(F.concat_ws(" ", F.element_at(toks, i),
+                          F.element_at(toks, i + 1))).alias("h2")))
+    big_tf = (df.where(F.size(toks) >= 2)
+              .select(F.col(id_col).alias("id"),
+                      F.explode(pairs).alias("p"))
+              .select("id", F.col("p.h1").alias("h1"),
+                      F.col("p.h2").alias("h2"))
+              .groupBy("id", "h1", "h2").agg(F.count("*").alias("tf"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    c2 = big_tf.groupBy("h1", "h2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
+    vocab = (df.select(F.explode(tokens_array(F.col(text_col)))
+                       .alias("t"))
+             .agg(F.countDistinct("t").cast("double").alias("v")))
+    a = float(alpha)
+    scored = (big_tf
+              .join(c2, ["h1", "h2"])
+              .join(c1, "h1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("id")
+              .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                   F.round(F.sum(F.col("tf")
+                                 * (F.log(F.col("c2") + a)
+                                    - F.log(F.col("c1") + a * F.col("v"))))
+                           / F.sum("tf"), 6).alias("avg_logprob")))
+    base = df.select(F.col(id_col).alias("id"))
+    from pdf_parser_spark.operators.dedup import _own
+    return _own(base.join(scored, "id", "left")
+                .select("id",
+                        F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                         .alias("n_bigrams"),
+                        "avg_logprob"),
+                big_tf)

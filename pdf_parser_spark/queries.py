@@ -2604,6 +2604,50 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def docs_bigram_logprob(spark, sf):
+    # one rung up the KenLM ladder from the unigram CCNet degenerate:
+    # mean add-alpha bigram log-prob under the corpus's own bigram LM —
+    # sees word ORDER where unigram statistics cannot
+    from pdf_parser_spark.operators.textstats import bigram_logprob
+    return (bigram_logprob(_t_wide(spark, sf, "documents"), alpha=0.1)
+            .select(F.col("id").alias("doc_id"), "n_bigrams",
+                    "avg_logprob"))
+
+
+DOCS_BIGRAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(toks[i]), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substring(md5(toks[i] || ' ' || toks[i + 1]),
+                                 1, 15)) AS BIGINT) AS h2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), btf AS (
+  SELECT doc_id, h1, h2, count(*) AS tf FROM big GROUP BY 1, 2, 3
+), cb AS (
+  SELECT h1, h2, sum(tf) AS c2 FROM btf GROUP BY 1, 2
+), cc AS (
+  SELECT h1, sum(c2) AS c1 FROM cb GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT x) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS x FROM t)
+), scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         round(sum(tf * (ln(c2 + 0.1)
+                         - ln(c1 + 0.1 * (SELECT v FROM vocab))))
+               / sum(tf), 6) AS avg_logprob
+  FROM btf JOIN cb USING (h1, h2) JOIN cc USING (h1) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2668,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_resample": docs_dsir_resample,
     "docs_token_entropy": docs_token_entropy,
     "docs_url_blocklist": docs_url_blocklist,
+    "docs_bigram_logprob": docs_bigram_logprob,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2780,6 +2825,7 @@ ORACLES: dict[str, str] = {
     "docs_dsir_resample": DOCS_DSIR_RESAMPLE_SQL,
     "docs_token_entropy": DOCS_ENTROPY_SQL,
     "docs_url_blocklist": DOCS_URL_BLOCKLIST_SQL,
+    "docs_bigram_logprob": DOCS_BIGRAM_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

@@ -1701,3 +1701,44 @@ def test_url_domains_and_blocklist(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="blocklist"):
         domain_blocklist_filter(df, [])
+
+
+def test_bigram_logprob_hand_example_and_release(spark):
+    import math
+
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+    from pdf_parser_spark.operators.textstats import bigram_logprob
+
+    # corpus: "a b" x2 in doc0, "a c" in doc1 -> c(a b)=2, c(a c)=1,
+    # c1(a)=3, c1(b)=1 (from "b a" in doc0)... keep it fully explicit:
+    rows = [(0, "a b a b"), (1, "a c"), (2, "x"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.id: r for r in bigram_logprob(df, alpha=0.5).collect()}
+
+    # corpus bigrams: doc0 -> (a b), (b a), (a b); doc1 -> (a c)
+    c2 = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    c1 = {"a": 3, "b": 1}
+    v = 4.0  # vocabulary: a b c x
+    a = 0.5
+
+    def lp(w1, w2):
+        return math.log(c2[(w1, w2)] + a) - math.log(c1[w1] + a * v)
+
+    want0 = round((2 * lp("a", "b") + lp("b", "a")) / 3, 6)
+    want1 = round(lp("a", "c") / 1, 6)
+    assert got[0].n_bigrams == 3 and got[0].avg_logprob == want0
+    assert got[1].n_bigrams == 1 and got[1].avg_logprob == want1
+    # < 2 tokens: no bigram evidence
+    for i in (2, 3, 4):
+        assert got[i].n_bigrams == 0 and got[i].avg_logprob is None
+    # the repeated-template doc outranks the one-off continuation
+    assert got[0].avg_logprob > got[1].avg_logprob
+    # structural cache hygiene: the tf relation is result-owned
+    before = _persistent_rdd_ids(spark)
+    res = bigram_logprob(df, alpha=0.5)
+    res.count()
+    release_owned_storage(res)
+    assert not (_persistent_rdd_ids(spark) - before)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        bigram_logprob(df, alpha=0.0)
