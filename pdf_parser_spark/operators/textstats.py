@@ -531,3 +531,62 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                          .alias("n_bigrams"),
                         "avg_logprob"),
                 big_tf)
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str],
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
+    """Top-k documents under Okapi BM25 for a bag of query terms — the
+    standard lexical ranking function (Robertson et al., TREC-3), the
+    rung above the reference's additive contains() scoring
+    (gea_qa_agent.py:332-352) and this engine's tf-idf:
+
+        score(d) = sum over query terms t of
+            idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))   [Lucene form,
+                                                          always >= 0]
+
+    with dl the document's token count and avgdl the corpus mean (both
+    under the engine-wide ASCII-\\s+ convention). Returns
+    (id, bm25, rank), rank deterministic under (bm25 DESC, id ASC).
+
+    Scale shape: the token stream is filtered to query terms INSIDE the
+    array expression BEFORE the explode, so the only corpus-sized work
+    is the per-doc length — a pure expression on the scan, no shuffle.
+    The (doc, term) tf relation is query-sized; df-per-term and the
+    (N, avgdl) row are broadcast; the dl join is key-partitioned on id.
+    Top-k is a single TakeOrderedAndProject, never a full sort.
+    """
+    toks = tokens_array(F.col(text_col))
+    lengths = df.select(F.col(id_col).alias("id"),
+                        F.size(toks).alias("dl"))
+    stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    qtf = (df.select(F.col(id_col).alias("id"),
+                     F.explode(F.filter(
+                         toks, lambda t: t.isin(*query_terms)))
+                      .alias("term"))
+           .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    dft = qtf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b
+                                   + b * F.col("dl") / F.col("avgdl"))))
+    scored = (qtf.join(F.broadcast(dft), "term")
+              .join(lengths, "id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("id")
+              .agg(F.round(F.sum(idf * norm), 6).alias("bm25")))
+    from pyspark.sql.window import Window
+
+    # limit BEFORE ranking: sort+limit compiles to TakeOrderedAndProject
+    # (per-partition top-k, tiny driver merge); the row_number window then
+    # runs over k rows, not the corpus
+    topk = scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+    return (topk
+            .withColumn("rank",
+                        F.row_number().over(
+                            Window.orderBy(F.desc("bm25"), F.asc("id"))))
+            .select(F.col("id").alias(id_col), "bm25",
+                    F.col("rank").cast("int").alias("rank")))

@@ -2647,6 +2647,54 @@ SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
+_BM25_TERMS = ["join", "hash", "vector", "lineage"]
+
+
+def docs_bm25_topk(spark, sf):
+    # Okapi BM25 top-10 for a fixed query bag — the standard lexical
+    # ranker, one rung above additive contains() scoring and tf-idf;
+    # the corpus-sized work is one pure-expression length scan, the
+    # (doc, term) tf relation is filtered to query terms BEFORE the
+    # explode shuffles anything
+    from pdf_parser_spark.operators.textstats import bm25_topk
+    return bm25_topk(_t_wide(spark, sf, "documents"), _BM25_TERMS, k=10)
+
+
+DOCS_BM25_SQL = r"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+'),
+                         x -> length(x) > 0)) AS dl
+  FROM documents
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
+), toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE t IN ('join', 'hash', 'vector', 'lineage')
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               6) AS bm25
+  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), st
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -2713,6 +2761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_entropy": docs_token_entropy,
     "docs_url_blocklist": docs_url_blocklist,
     "docs_bigram_logprob": docs_bigram_logprob,
+    "docs_bm25_topk": docs_bm25_topk,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2826,6 +2875,7 @@ ORACLES: dict[str, str] = {
     "docs_token_entropy": DOCS_ENTROPY_SQL,
     "docs_url_blocklist": DOCS_URL_BLOCKLIST_SQL,
     "docs_bigram_logprob": DOCS_BIGRAM_SQL,
+    "docs_bm25_topk": DOCS_BM25_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

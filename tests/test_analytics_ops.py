@@ -1742,3 +1742,32 @@ def test_bigram_logprob_hand_example_and_release(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="alpha"):
         bigram_logprob(df, alpha=0.0)
+
+
+def test_bm25_topk_hand_example(spark):
+    import math
+
+    from pdf_parser_spark.operators.textstats import bm25_topk
+    df = spark.createDataFrame(
+        [(1, "join join hash x"), (2, "join y z"), (3, "a b c d e f"),
+         (4, ""), (5, None)],
+        "doc_id int, text string")
+    rows = bm25_topk(df, ["join", "hash"], k=10).collect()
+    got = {r.doc_id: r for r in rows}
+    # N=5, avgdl=(4+3+6+0+0)/5=2.6; df(join)=2, df(hash)=1
+    n_docs, avgdl, k1, b = 5.0, 2.6, 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1].bm25 == round(idf(2) * w(2, 4) + idf(1) * w(1, 4), 6)
+    assert got[2].bm25 == round(idf(2) * w(1, 3), 6)
+    # only docs containing a query term appear; ranks are contiguous
+    # under (bm25 DESC, doc_id ASC)
+    assert set(got) == {1, 2}
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
+    # two query hits in a shorter doc beat one hit in a longer one
+    assert got[1].bm25 > got[2].bm25
