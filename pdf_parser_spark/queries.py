@@ -2696,6 +2696,68 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
+def docs_nb_classifier(spark, sf):
+    # fastText/CCNet-style quality/domain classifier tier as closed-form
+    # multinomial Naive Bayes: train on the doc_id%5<2 seed labeled by
+    # lang, score EVERY document, argmax with deterministic ties —
+    # train-then-score is one dataflow DuckDB recomputes value-for-value
+    from pdf_parser_spark.operators.classify import nb_classify
+    d = _t_wide(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 5 < 2)
+    return nb_classify(d, train, "lang", alpha=1.0)
+
+
+DOCS_NB_SQL = r"""
+WITH train AS (
+  SELECT * FROM documents WHERE doc_id % 5 < 2
+), ttoks AS (
+  SELECT label, t AS term
+  FROM (SELECT lang AS label,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM train)
+  WHERE length(t) > 0
+), ctc AS (
+  SELECT label, term, count(*) AS c FROM ttoks GROUP BY 1, 2
+), tot AS (
+  SELECT label, sum(c) AS t_c FROM ctc GROUP BY 1
+), cls AS (
+  SELECT lang AS label,
+         ln(count(*)::DOUBLE / (SELECT count(*) FROM train)) AS prior
+  FROM train GROUP BY 1
+), clst AS (
+  SELECT cls.label, prior, coalesce(t_c, 0)::DOUBLE AS t_c
+  FROM cls LEFT JOIN tot USING (label)
+), vocab AS (
+  SELECT count(DISTINCT term)::DOUBLE AS v FROM ttoks
+), tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE length(t) > 0 GROUP BY 1, 2
+), contrib AS (
+  SELECT doc_id, label,
+         sum(tf * (ln(coalesce(c, 0) + 1.0) - ln(t_c + 1.0 * v)))
+           AS evidence
+  FROM tf CROSS JOIN clst LEFT JOIN ctc USING (label, term), vocab
+  GROUP BY 1, 2
+), scores AS (
+  SELECT d.doc_id, cl.label,
+         round(cl.prior + coalesce(ct.evidence, 0), 6) AS logscore
+  FROM documents d CROSS JOIN clst cl
+  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id AND ct.label = cl.label
+)
+SELECT doc_id, label AS predicted, logscore
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY logscore DESC, label ASC)
+               AS rn
+      FROM scores)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2762,6 +2824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_url_blocklist": docs_url_blocklist,
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_nb_classifier": docs_nb_classifier,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2876,6 +2939,7 @@ ORACLES: dict[str, str] = {
     "docs_url_blocklist": DOCS_URL_BLOCKLIST_SQL,
     "docs_bigram_logprob": DOCS_BIGRAM_SQL,
     "docs_bm25_topk": DOCS_BM25_SQL,
+    "docs_nb_classifier": DOCS_NB_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

@@ -1771,3 +1771,57 @@ def test_bm25_topk_hand_example(spark):
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
     # two query hits in a shorter doc beat one hit in a longer one
     assert got[1].bm25 > got[2].bm25
+
+
+def test_nb_classifier_hand_example(spark):
+    import math
+
+    from pdf_parser_spark.operators.classify import (nb_class_scores,
+                                                     nb_classify)
+    train = spark.createDataFrame(
+        [(1, "spam", "buy buy cheap"), (2, "spam", "cheap pills"),
+         (3, "ham", "meeting notes agenda"), (4, "ham", "notes")],
+        "doc_id int, y string, text string")
+    test = spark.createDataFrame(
+        [(10, "buy cheap"), (11, "meeting notes"), (12, ""), (13, None)],
+        "doc_id int, text string")
+    scores = {(r.id, r.label): r.logscore
+              for r in nb_class_scores(test, train, "y").collect()}
+    # corpus: V=6 distinct terms; spam counts buy=2 cheap=2 pills=1 T=5;
+    # ham counts meeting=1 notes=2 agenda=1 T=4; priors ln(2/4) each
+    v, prior = 6.0, math.log(0.5)
+    assert scores[(10, "spam")] == round(
+        prior + math.log(3 / (5 + v)) + math.log(3 / (5 + v)), 6)
+    assert scores[(10, "ham")] == round(
+        prior + 2 * math.log(1 / (4 + v)), 6)
+    pred = {r.doc_id: r for r in nb_classify(test, train, "y").collect()}
+    assert pred[10].predicted == "spam" and pred[11].predicted == "ham"
+    # token-free docs fall back to the prior; tie broken by label ASC
+    assert pred[12].predicted == "ham" and pred[13].predicted == "ham"
+    assert pred[12].logscore == round(prior, 6)
+
+
+def test_nb_classifier_learns_separable_classes(spark):
+    """On a corpus whose classes differ only in token FREQUENCIES (full
+    vocabulary overlap — no giveaway tokens), held-out accuracy must be
+    near-perfect: the learning, not just the plumbing. (The driver's
+    documents table can't test this — its lang column is uncorrelated
+    with its text by construction, so the oracle entry checks the math
+    while this checks the statistics.)"""
+    import random
+
+    from pdf_parser_spark.operators.classify import nb_classify
+    rng = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    # class-conditional distributions: same support, skewed opposite ways
+    weights = {"a": [6, 3, 1, 1, 1], "b": [1, 1, 1, 3, 6]}
+    rows = [(i, y, " ".join(rng.choices(vocab, weights[y], k=20)))
+            for i in range(300) for y in [("a" if i % 2 == 0 else "b")]]
+    docs = spark.createDataFrame(rows, "doc_id int, y string, text string")
+    train = docs.where(F.col("doc_id") < 150)
+    test = docs.where(F.col("doc_id") >= 150)
+    pred = nb_classify(test, train, "y")
+    joined = pred.join(test.select("doc_id", "y"), "doc_id")
+    acc = (joined.where(F.col("predicted") == F.col("y")).count()
+           / joined.count())
+    assert acc >= 0.95, acc
