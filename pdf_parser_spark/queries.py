@@ -2758,6 +2758,40 @@ WHERE rn = 1
 """
 
 
+def events_quantile_profile(spark, sf):
+    # EXACT grouped quantiles (A5/A7 depth): per-type p25/p50/p75/p95 +
+    # IQR via Spark's exact `percentile` aggregate — linear interpolation
+    # semantics verified identical to DuckDB quantile_cont, so the oracle
+    # is a full value match, not a tolerance. At scale the exact form is
+    # a per-group sort within one shuffle; the approx_percentile twin
+    # (KLL-sketch, one pass, mergeable) is the 100TB default when a
+    # bounded error is acceptable — this entry pins the exact path.
+    ev = _t(spark, sf, "events")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    aggs = [F.round(F.percentile("value", p), 6).alias(n)
+            for n, p in qs.items()]
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 6).alias("vmin"),
+                 *aggs,
+                 F.round(F.max("value"), 6).alias("vmax"))
+            .withColumn("iqr", F.round(F.col("p75") - F.col("p25"), 6)))
+
+
+EVENTS_QUANTILE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(min(value), 6) AS vmin,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(max(value), 6) AS vmax,
+       round(round(quantile_cont(value, 0.75), 6)
+             - round(quantile_cont(value, 0.25), 6), 6) AS iqr
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2825,6 +2859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_nb_classifier": docs_nb_classifier,
+    "events_quantile_profile": events_quantile_profile,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2940,6 +2975,7 @@ ORACLES: dict[str, str] = {
     "docs_bigram_logprob": DOCS_BIGRAM_SQL,
     "docs_bm25_topk": DOCS_BM25_SQL,
     "docs_nb_classifier": DOCS_NB_SQL,
+    "events_quantile_profile": EVENTS_QUANTILE_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

@@ -1825,3 +1825,23 @@ def test_nb_classifier_learns_separable_classes(spark):
     acc = (joined.where(F.col("predicted") == F.col("y")).count()
            / joined.count())
     assert acc >= 0.95, acc
+
+
+def test_approx_percentile_twin_within_rank_error(spark):
+    """The one-pass mergeable KLL sketch (approx_percentile) is the
+    100TB default the exact `events_quantile_profile` entry documents;
+    pin its contract: rank error of the sketch value <= n/accuracy + 1
+    positions for every probed quantile."""
+    import bisect
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    vals = sorted(r.value for r in ev.select("value").collect())
+    n, acc = len(vals), 100
+    probes = [0.25, 0.5, 0.75, 0.95]
+    approx = ev.agg(
+        *[F.approx_percentile("value", p, acc).alias(f"a{i}")
+          for i, p in enumerate(probes)]).collect()[0]
+    for i, p in enumerate(probes):
+        got = approx[f"a{i}"]
+        rank = bisect.bisect_left(vals, got)
+        assert abs(rank - p * n) <= n / acc + 1, (p, got, rank)
