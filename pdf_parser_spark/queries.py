@@ -2792,6 +2792,74 @@ FROM events GROUP BY event_type
 """
 
 
+def docs_domain_authority(spark, sf):
+    # link-graph authority tier: bipartite HITS (2 full rounds) over the
+    # (doc, domain) citation relation — web curation's "weigh documents
+    # by who they cite". URLs are planted deterministically (blocklist-
+    # canary precedent): a 51-domain mesh with +-1 doc-count variation
+    # (real near-ties), one high-authority hub on even ids, rare leaf
+    # domains on multiples of 7. The oracle unrolls both rounds in SQL.
+    from pdf_parser_spark.operators.graph import top_authorities
+    from pdf_parser_spark.operators.textstats import url_domains
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.concat(F.lit(" https://d"), (did % 17).cast("string"),
+                     F.lit(".corp"), (did % 3).cast("string"),
+                     F.lit(".example/p/"), did.cast("string")),
+            F.when(did % 2 == 0, F.lit(" https://hub.central.example/"))
+             .otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" https://rare"),
+                            (did % 31).cast("string"),
+                            F.lit(".example/x"))).otherwise(F.lit(""))))
+    edges = url_domains(aug)
+    return top_authorities(edges, k=20, iters=2)
+
+
+DOCS_HITS_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || ' https://d' || CAST(doc_id % 17 AS VARCHAR)
+         || '.corp' || CAST(doc_id % 3 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' https://hub.central.example/' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' https://rare' || CAST(doc_id % 31 AS VARCHAR)
+                      || '.example/x' ELSE '' END AS t
+  FROM documents
+), e AS (
+  SELECT DISTINCT doc_id AS src,
+         lower(regexp_extract(u, 'https?://([^/?#\s]+)', 1)) AS dst
+  FROM (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+'))
+               AS u
+        FROM aug)
+), a1 AS (
+  SELECT dst, sum(1.0) AS a FROM e GROUP BY dst
+), a1n AS (
+  SELECT dst, a / (SELECT sum(a) FROM a1) AS a FROM a1
+), h1 AS (
+  SELECT src, sum(a) AS h FROM e JOIN a1n USING (dst) GROUP BY src
+), h1n AS (
+  SELECT src, h / (SELECT sum(h) FROM h1) AS h FROM h1
+), a2 AS (
+  SELECT dst, sum(h) AS a FROM e JOIN h1n USING (src) GROUP BY dst
+), a2n AS (
+  SELECT dst, round(a / (SELECT sum(a) FROM a2), 6) AS authority
+  FROM a2
+)
+SELECT dst AS domain, authority,
+       CAST(row_number() OVER (ORDER BY authority DESC, dst ASC)
+            AS INTEGER) AS rank
+FROM a2n ORDER BY authority DESC, dst ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2860,6 +2928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_topk": docs_bm25_topk,
     "docs_nb_classifier": docs_nb_classifier,
     "events_quantile_profile": events_quantile_profile,
+    "docs_domain_authority": docs_domain_authority,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -2976,6 +3045,7 @@ ORACLES: dict[str, str] = {
     "docs_bm25_topk": DOCS_BM25_SQL,
     "docs_nb_classifier": DOCS_NB_SQL,
     "events_quantile_profile": EVENTS_QUANTILE_SQL,
+    "docs_domain_authority": DOCS_HITS_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

@@ -1845,3 +1845,27 @@ def test_approx_percentile_twin_within_rank_error(spark):
         got = approx[f"a{i}"]
         rank = bisect.bisect_left(vals, got)
         assert abs(rank - p * n) <= n / acc + 1, (p, got, rank)
+
+
+def test_hits_bipartite_hand_example_and_release(spark):
+    from fractions import Fraction as Fr
+
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+    from pdf_parser_spark.operators.graph import (hits_bipartite,
+                                                  top_authorities)
+    edges = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (1, "y"), (1, "y")],  # dup counts once
+        "id int, domain string")
+    before = _persistent_rdd_ids(spark)
+    res = hits_bipartite(edges, iters=2)
+    got = {r.domain: r.authority for r in res.collect()}
+    # round 1: a=(3,1)/4 -> h = (1.0, .75, .75)/2.5 = (.4, .3, .3)
+    # round 2: a(x)=1.0, a(y)=.4 -> normalized (5/7, 2/7)
+    assert got["x"] == round(float(Fr(5, 7)), 6)
+    assert got["y"] == round(float(Fr(2, 7)), 6)
+    release_owned_storage(res)
+    assert _persistent_rdd_ids(spark) <= before
+    ranked = top_authorities(edges, k=1, iters=2)
+    assert [(r.domain, r.rank) for r in ranked.collect()] == [("x", 1)]
+    release_owned_storage(ranked)
+    assert _persistent_rdd_ids(spark) <= before
