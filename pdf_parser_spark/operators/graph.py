@@ -82,3 +82,60 @@ def top_authorities(edges: DataFrame, k: int = 20, *,
                                 F.row_number().over(Window.orderBy(*order))
                                  .cast("int")),
                 *scores.owned_storage)
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """PageRank after a fixed number of power iterations, with proper
+    dangling-node handling — the directed-graph complement to
+    :func:`hits_bipartite` (same node kind on both sides, damping (the
+    teleport) instead of per-round normalization).
+
+    One iteration:  r'(v) = (1 - d) / N + d * (sum over in-links of
+    r(u) / outdeg(u)  +  dangling_mass / N), where dangling_mass is the
+    total rank parked on nodes with no out-links — dropping it (the
+    common shortcut) leaks rank mass every round and the scores stop
+    summing to 1. Duplicate edges count once; ranks start uniform 1/N.
+    Returns (node, rank_score) rounded to 6 places, one row per node of
+    the graph (union of sources and destinations).
+
+    Scale shape: the distinct edge list (persisted once, owned by the
+    result) joins the node-sized rank relation on src — key-partitioned
+    — then one map-side-combined sum per iteration; outdegree is
+    computed once; N and the dangling mass are 1-row broadcasts per
+    round. Lineage grows linearly in ``iters`` (same note as HITS).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    from pyspark import StorageLevel
+
+    from pdf_parser_spark.operators.dedup import _own
+
+    d = float(damping)
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(outdeg, "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("r") / F.col("deg")).alias("c")))
+        dangling = (ranks.join(outdeg,
+                               ranks["node"] == outdeg["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit((1.0 - d) / n)
+                          + d * (F.coalesce(F.col("c"), F.lit(0.0))
+                                 + F.col("dm") / n)).alias("r")))
+    return _own(ranks.select("node", F.round("r", 6).alias("rank_score")),
+                e, nodes)

@@ -2860,6 +2860,84 @@ FROM a2n ORDER BY authority DESC, dst ASC LIMIT 20
 """
 
 
+def docs_domain_pagerank(spark, sf):
+    # directed-graph complement of the HITS entry: damped PageRank with
+    # dangling-mass redistribution, 3 power iterations. The domain graph
+    # is synthesized deterministically from doc ids — 9 domains whose
+    # quadratic link map gives them UNEQUAL in-degrees (squares mod 9
+    # hit only 4 residues, so some domains draw no links at all),
+    # plus a 'sink' that never links out, so the dangling-node
+    # path is actually exercised (drop it and rank mass leaks every
+    # round — the oracle would catch exactly that). Oracle unrolls all
+    # 3 iterations in SQL.
+    from pdf_parser_spark.operators.graph import pagerank
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("d"), (did % 9).cast("string")).alias("src"),
+        F.when(did % 13 == 0, F.lit("sink"))
+         .otherwise(F.concat(F.lit("d"),
+                             ((did * did + 1) % 9).cast("string")))
+         .alias("dst"))
+    return pagerank(edges, iters=3, damping=0.85).orderBy("node")
+
+
+DOCS_PAGERANK_SQL = r"""
+WITH e AS (
+  SELECT DISTINCT 'd' || CAST(doc_id % 9 AS VARCHAR) AS src,
+         CASE WHEN doc_id % 13 = 0 THEN 'sink'
+              ELSE 'd' || CAST((doc_id * doc_id + 1) % 9 AS VARCHAR)
+              END AS dst
+  FROM documents
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), outdeg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+), c1 AS (
+  SELECT dst AS node, sum(r / deg) AS c
+  FROM e JOIN r0 ON r0.node = e.src JOIN outdeg USING (src) GROUP BY dst
+), d1 AS (
+  SELECT coalesce(sum(r), 0) AS dm FROM r0
+  WHERE node NOT IN (SELECT src FROM outdeg)
+), r1 AS (
+  SELECT nodes.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c, 0)
+                   + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS r
+  FROM nodes LEFT JOIN c1 USING (node)
+), c2 AS (
+  SELECT dst AS node, sum(r / deg) AS c
+  FROM e JOIN r1 ON r1.node = e.src JOIN outdeg USING (src) GROUP BY dst
+), d2 AS (
+  SELECT coalesce(sum(r), 0) AS dm FROM r1
+  WHERE node NOT IN (SELECT src FROM outdeg)
+), r2 AS (
+  SELECT nodes.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c, 0)
+                   + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS r
+  FROM nodes LEFT JOIN c2 USING (node)
+), c3 AS (
+  SELECT dst AS node, sum(r / deg) AS c
+  FROM e JOIN r2 ON r2.node = e.src JOIN outdeg USING (src) GROUP BY dst
+), d3 AS (
+  SELECT coalesce(sum(r), 0) AS dm FROM r2
+  WHERE node NOT IN (SELECT src FROM outdeg)
+), r3 AS (
+  SELECT nodes.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c, 0)
+                   + (SELECT dm FROM d3) / (SELECT n FROM nn)) AS r
+  FROM nodes LEFT JOIN c3 USING (node)
+)
+SELECT node, round(r, 6) AS rank_score FROM r3 ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2929,6 +3007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_nb_classifier": docs_nb_classifier,
     "events_quantile_profile": events_quantile_profile,
     "docs_domain_authority": docs_domain_authority,
+    "docs_domain_pagerank": docs_domain_pagerank,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3046,6 +3125,7 @@ ORACLES: dict[str, str] = {
     "docs_nb_classifier": DOCS_NB_SQL,
     "events_quantile_profile": EVENTS_QUANTILE_SQL,
     "docs_domain_authority": DOCS_HITS_SQL,
+    "docs_domain_pagerank": DOCS_PAGERANK_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

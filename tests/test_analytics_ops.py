@@ -1869,3 +1869,29 @@ def test_hits_bipartite_hand_example_and_release(spark):
     assert [(r.domain, r.rank) for r in ranked.collect()] == [("x", 1)]
     release_owned_storage(ranked)
     assert _persistent_rdd_ids(spark) <= before
+
+
+def test_pagerank_dangling_mass_and_hand_example(spark):
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+    from pdf_parser_spark.operators.graph import pagerank
+    # a -> b -> sink (dangling), duplicate edge counts once
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "sink")], "src string, dst string")
+    before = _persistent_rdd_ids(spark)
+    res = pagerank(edges, iters=2, damping=0.85)
+    got = {r.node: r.rank_score for r in res.collect()}
+
+    # pure-python power iteration, same dangling redistribution
+    r = {"a": 1 / 3, "b": 1 / 3, "sink": 1 / 3}
+    for _ in range(2):
+        dm = r["sink"]  # only dangling node
+        base = (1 - 0.85) / 3 + 0.85 * dm / 3
+        r = {"a": base,
+             "b": base + 0.85 * r["a"],      # outdeg(a)=1 after dedup
+             "sink": base + 0.85 * r["b"]}
+    for k in r:
+        assert abs(got[k] - r[k]) < 1e-6, (k, got[k], r[k])
+    # rank mass is conserved — the point of carrying the dangling term
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    release_owned_storage(res)
+    assert _persistent_rdd_ids(spark) <= before
