@@ -2938,6 +2938,24 @@ SELECT node, round(r, 6) AS rank_score FROM r3 ORDER BY node
 """
 
 
+def events_windowed_counts(spark, sf):
+    # the streaming module's aggregation, verbatim, on a bounded frame —
+    # the SAME function stream_windowed_counts wires to the watermark +
+    # append sink, so the streaming tier's arithmetic is oracle-checked
+    # (watermark/late-drop behavior is pinned by test_stream_windowed)
+    from pdf_parser_spark.streaming.windowed import windowed_counts
+    return windowed_counts(_t(spark, sf, "events"), width="1 hour")
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3008,6 +3026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantile_profile": events_quantile_profile,
     "docs_domain_authority": docs_domain_authority,
     "docs_domain_pagerank": docs_domain_pagerank,
+    "events_windowed_counts": events_windowed_counts,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3126,6 +3145,7 @@ ORACLES: dict[str, str] = {
     "events_quantile_profile": EVENTS_QUANTILE_SQL,
     "docs_domain_authority": DOCS_HITS_SQL,
     "docs_domain_pagerank": DOCS_PAGERANK_SQL,
+    "events_windowed_counts": EVENTS_WINDOWED_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
