@@ -2956,6 +2956,39 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def events_session_window_native(spark, sf):
+    # Spark's NATIVE gap session windows (F.session_window — the
+    # streaming-ready twin of the custom applyInPandasWithState
+    # sessionizer and the window-function entry events_sessionize).
+    # Boundary pinned by test (exact-gap pair merges, gap+1 splits):
+    # native semantics equal the running-sum formulation's strict >,
+    # which the oracle encodes.
+    ev = _t(spark, sf, "events")
+    sw = (ev.groupBy(F.session_window(F.col("ts"), "30 minutes"),
+                     "user_id")
+          .agg(F.count("*").alias("n")))
+    return (sw.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n").alias("n_events")))
+
+
+EVENTS_SESSION_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+                OR lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3027,6 +3060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_domain_authority": docs_domain_authority,
     "docs_domain_pagerank": docs_domain_pagerank,
     "events_windowed_counts": events_windowed_counts,
+    "events_session_window_native": events_session_window_native,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3146,6 +3180,7 @@ ORACLES: dict[str, str] = {
     "docs_domain_authority": DOCS_HITS_SQL,
     "docs_domain_pagerank": DOCS_PAGERANK_SQL,
     "events_windowed_counts": EVENTS_WINDOWED_SQL,
+    "events_session_window_native": EVENTS_SESSION_NATIVE_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

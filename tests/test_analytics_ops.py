@@ -1895,3 +1895,25 @@ def test_pagerank_dangling_mass_and_hand_example(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-5
     release_owned_storage(res)
     assert _persistent_rdd_ids(spark) <= before
+
+
+def test_session_window_native_boundary_semantics(spark):
+    """Pin F.session_window's gap boundary: an event EXACTLY gap seconds
+    after its predecessor MERGES (the session extends through ts + gap
+    inclusive), one second beyond starts a new session — i.e. native
+    semantics equal the running-sum formulation's (gap > threshold),
+    which is what the events_session_window_native oracle encodes. The
+    driver corpus has no exact-gap pairs, so only this test can catch an
+    oracle that silently flips > to >=."""
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+
+    def n_sessions(gap_sec):
+        ev = spark.createDataFrame(
+            [("u", t0), ("u", t0 + dt.timedelta(seconds=gap_sec))],
+            "user_id string, ts timestamp")
+        return (ev.groupBy(F.session_window("ts", "30 minutes"),
+                           "user_id").count().count())
+
+    assert n_sessions(1800) == 1   # exactly-gap merges
+    assert n_sessions(1801) == 2   # beyond-gap splits
