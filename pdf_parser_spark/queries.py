@@ -2989,6 +2989,37 @@ FROM g GROUP BY user_id
 """
 
 
+def events_interval_join(spark, sf):
+    # the stream-stream interval join's batch twin, verbatim function
+    # (streaming/joins.stream_interval_join): purchases attributed to
+    # the same user's signups within 10 minutes — the click-after-
+    # impression shape. Streaming state-bounding behavior is pinned by
+    # test_stream_joins; this entry oracle-checks the join arithmetic.
+    from pdf_parser_spark.streaming.joins import stream_interval_join
+    ev = _t(spark, sf, "events")
+    imps = (ev.where(F.col("event_type") == "signup")
+            .select("user_id", "event_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", "event_id", "ts"))
+    return (stream_interval_join(imps, clicks, "user_id",
+                                 max_delay="10 minutes")
+            .select("user_id", "event_id", "ts",
+                    "event_id_r", "ts_r"))
+
+
+EVENTS_INTERVAL_JOIN_SQL = """
+SELECT i.user_id, i.event_id, i.ts,
+       c.event_id AS event_id_r, c.ts AS ts_r
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'signup') i
+JOIN (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase') c
+  ON i.user_id = c.user_id
+ AND c.ts >= i.ts
+ AND c.ts <= i.ts + INTERVAL 10 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3061,6 +3092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_domain_pagerank": docs_domain_pagerank,
     "events_windowed_counts": events_windowed_counts,
     "events_session_window_native": events_session_window_native,
+    "events_interval_join": events_interval_join,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3181,6 +3213,7 @@ ORACLES: dict[str, str] = {
     "docs_domain_pagerank": DOCS_PAGERANK_SQL,
     "events_windowed_counts": EVENTS_WINDOWED_SQL,
     "events_session_window_native": EVENTS_SESSION_NATIVE_SQL,
+    "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
