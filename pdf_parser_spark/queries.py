@@ -3020,6 +3020,34 @@ JOIN (SELECT user_id, event_id, ts FROM events
 """
 
 
+def events_pivot_matrix(spark, sf):
+    # reshape: per-user event-type count matrix via groupBy().pivot()
+    # with EXPLICIT pivot values — the two-pass values-discovery scan is
+    # skipped and the plan is a single map-side-combined aggregation
+    # (each pivot column a conditional partial agg), the only shape that
+    # survives at 100 TB. Oracle = the equivalent CASE aggregation.
+    ev = _t(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", kinds)
+           .agg(F.count(F.lit(1))))
+    out = [F.col("user_id")]
+    out += [F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    return piv.select(*out)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3093,6 +3121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_counts": events_windowed_counts,
     "events_session_window_native": events_session_window_native,
     "events_interval_join": events_interval_join,
+    "events_pivot_matrix": events_pivot_matrix,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3214,6 +3243,7 @@ ORACLES: dict[str, str] = {
     "events_windowed_counts": EVENTS_WINDOWED_SQL,
     "events_session_window_native": EVENTS_SESSION_NATIVE_SQL,
     "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
+    "events_pivot_matrix": EVENTS_PIVOT_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
