@@ -3048,6 +3048,29 @@ FROM events GROUP BY user_id
 """
 
 
+def events_cardinality_profile(spark, sf):
+    # cardinality profiling: exact distinct users / days per event type.
+    # Exact COUNT(DISTINCT) expands to a two-level aggregation
+    # (per-group de-dup then count — Catalyst's expand+partial shape);
+    # the one-pass mergeable HLL++ sketch (approx_count_distinct) is the
+    # 100 TB default and is pinned by an rsd-bound pytest rather than
+    # oracled (sketch estimates aren't cross-engine-stable).
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct(F.to_date("ts")).alias("n_days"),
+                 F.count("*").alias("n_events")))
+
+
+EVENTS_CARDINALITY_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3122,6 +3145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window_native": events_session_window_native,
     "events_interval_join": events_interval_join,
     "events_pivot_matrix": events_pivot_matrix,
+    "events_cardinality_profile": events_cardinality_profile,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3244,6 +3268,7 @@ ORACLES: dict[str, str] = {
     "events_session_window_native": EVENTS_SESSION_NATIVE_SQL,
     "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
     "events_pivot_matrix": EVENTS_PIVOT_SQL,
+    "events_cardinality_profile": EVENTS_CARDINALITY_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

@@ -1917,3 +1917,16 @@ def test_session_window_native_boundary_semantics(spark):
 
     assert n_sessions(1800) == 1   # exactly-gap merges
     assert n_sessions(1801) == 2   # beyond-gap splits
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """The HLL++ sketch (approx_count_distinct) is the one-pass mergeable
+    100TB twin of the exact events_cardinality_profile entry; pin its
+    contract: estimate within 3x the configured rsd of the exact
+    distinct count (3 sigma; rsd 0.05 default would flake, so probe a
+    tight 0.01)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    est = ev.agg(F.approx_count_distinct("user_id", rsd=0.01)
+                 .alias("e")).collect()[0].e
+    assert abs(est - exact) <= 3 * 0.01 * exact + 1, (est, exact)
