@@ -303,7 +303,8 @@ def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
 
 
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    counts: DataFrame | None = None) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM — the oracle-checkable degenerate of the CCNet/KenLM
     perplexity quality filter (Wenzek et al. 2020): docs whose tokens
@@ -328,7 +329,15 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens_array(F.col(text_col))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    # counts: a precomputed corpus (term, c) relation — the
+    # incrementally-maintained store (sources/stats_store.py), so
+    # scoring a new batch costs O(batch + vocabulary), not a corpus
+    # rescan. Must COVER the scored documents' corpus (the store is
+    # maintained over the same stream); by default the LM is derived
+    # from df itself, exactly as before.
+    vocab = (counts.select("term", F.col("c").cast("long").alias("c"))
+             if counts is not None
+             else tf.groupBy("term").agg(F.sum("tf").alias("c")))
     total = vocab.agg(F.sum("c")).collect()[0][0]
     if total is None:
         base = df.select(F.col(id_col).alias("id"))

@@ -1,0 +1,84 @@
+"""Incrementally-maintained corpus token statistics: merge equals full
+recompute, exactly-once ledger, streaming maintenance, and the
+LM-scoring consumer."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.sources.stats_store import (merge_token_counts,
+                                                  read_token_counts,
+                                                  stream_token_stats,
+                                                  token_count_deltas)
+
+B1 = [(1, "alpha beta alpha"), (2, "beta gamma")]
+B2 = [(3, "alpha delta"), (4, "")]
+FULL_COUNTS = {"alpha": 3, "beta": 2, "gamma": 1, "delta": 1}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _counts(spark, store):
+    return {r.term: r.c
+            for r in read_token_counts(spark, str(store)).collect()}
+
+
+def test_incremental_merge_equals_full_recompute(spark, tmp_path):
+    store = tmp_path / "store"
+    store.mkdir()
+    m1 = merge_token_counts(spark, _df(spark, B1), str(store), batch_id=0)
+    assert m1["version"] == 1
+    m2 = merge_token_counts(spark, _df(spark, B2), str(store), batch_id=1)
+    assert m2["version"] == 2 and m2["applied"] == [0, 1]
+    assert _counts(spark, store) == FULL_COUNTS
+    # and equals the one-shot delta over the union
+    full = {r.term: r.c for r in
+            token_count_deltas(_df(spark, B1 + B2)).collect()}
+    assert full == FULL_COUNTS
+
+
+def test_merge_is_exactly_once(spark, tmp_path):
+    store = tmp_path / "store"
+    store.mkdir()
+    merge_token_counts(spark, _df(spark, B1), str(store), batch_id=0)
+    # foreachBatch re-delivery: same batch id must be a no-op
+    m = merge_token_counts(spark, _df(spark, B1), str(store), batch_id=0)
+    assert m["version"] == 1
+    assert _counts(spark, store) == {"alpha": 2, "beta": 2, "gamma": 1}
+
+
+def test_streaming_maintenance(spark, tmp_path):
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    for name, rows in (("f1", B1), ("f2", B2)):
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(inp / f"{name}.parquet"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(inp)))
+    q = stream_token_stats(stream, str(tmp_path / "store"),
+                           str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _counts(spark, tmp_path / "store") == FULL_COUNTS
+
+
+def test_unigram_logprob_from_store_counts(spark, tmp_path):
+    """Scoring against the store's snapshot equals the full-scan LM —
+    the consumer contract that makes incremental maintenance worth
+    having."""
+    from pdf_parser_spark.operators.textstats import unigram_logprob
+    store = tmp_path / "store"
+    store.mkdir()
+    docs = _df(spark, B1 + B2)
+    merge_token_counts(spark, docs, str(store), batch_id=0)
+    via_store = unigram_logprob(
+        docs, counts=read_token_counts(spark, str(store)))
+    full_scan = unigram_logprob(docs)
+    a = {r.id: (r.n_tokens, r.avg_logprob) for r in via_store.collect()}
+    b = {r.id: (r.n_tokens, r.avg_logprob) for r in full_scan.collect()}
+    assert a == b and len(a) == 4
