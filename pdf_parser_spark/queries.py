@@ -3071,6 +3071,66 @@ FROM events GROUP BY event_type
 """
 
 
+def docs_curriculum_order(spark, sf):
+    # curriculum ordering: decile-band documents by quality (ntile over
+    # the whole corpus), then a deterministic seed-keyed shuffle WITHIN
+    # each band — the easy-to-hard training schedule with no
+    # within-band ordering bias. ntile's global window is the scale
+    # hazard; here it rides the same decomposition argument as
+    # global_shuffle (at 100 TB, band = a percentile cut against
+    # broadcast quantile bounds, not a single-partition window — this
+    # entry pins the SEMANTICS; operators/curation.py holds the
+    # decomposed machinery).
+    from pdf_parser_spark.operators.textstats import quality_features
+    d = quality_features(_t(spark, sf, "documents"))
+    wq = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    band = F.ntile(10).over(wq)
+    key = F.md5(F.concat(F.lit("curriculum:"),
+                         F.col("doc_id").cast("string")))
+    wo = Window.orderBy("band", "shuffle_key")
+    return (d.select("doc_id",
+                     F.round("quality_score", 6).alias("quality_score"))
+            .withColumn("band", band)
+            .withColumn("shuffle_key", key)
+            .withColumn("position",
+                        F.row_number().over(wo).cast("int"))
+            .select("doc_id", "band", "position"))
+
+
+DOCS_CURRICULUM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS n_tokens,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+           AS alnum,
+         length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\s]', '', 'g'))
+           AS punct
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+               + 0.4 * round(alnum::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+               + 0.2 * (1.0 - least(round(punct::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+                   * 4, 1.0)), 6) AS quality_score
+  FROM base
+), q AS (
+  SELECT doc_id,
+         ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC) AS band,
+         md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM feat
+)
+SELECT doc_id, CAST(band AS INTEGER) AS band,
+       CAST(row_number() OVER (ORDER BY band, shuffle_key) AS INTEGER)
+         AS position
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3146,6 +3206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": events_interval_join,
     "events_pivot_matrix": events_pivot_matrix,
     "events_cardinality_profile": events_cardinality_profile,
+    "docs_curriculum_order": docs_curriculum_order,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3269,6 +3330,7 @@ ORACLES: dict[str, str] = {
     "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
     "events_pivot_matrix": EVENTS_PIVOT_SQL,
     "events_cardinality_profile": EVENTS_CARDINALITY_SQL,
+    "docs_curriculum_order": DOCS_CURRICULUM_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
