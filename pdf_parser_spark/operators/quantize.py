@@ -112,3 +112,159 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         F.round(quantized_cosine(F.col("q"), qc), 6).alias("similarity"))
     return scored.orderBy(F.desc("similarity"), F.col(id_col).asc()) \
                  .limit(k)
+
+
+# --- product quantization (the rung above per-vector int8) -----------------
+
+
+def pq_train(df: DataFrame, *, m: int = 8, k: int = 16, iters: int = 1,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             salt: str = "pq") -> list[list[list[float]]]:
+    """Codebooks[s][j] = centroid j of subspace s. Seeds are the
+    deterministic hash-ordered pick every cluster-shaped operator here
+    shares (similarity.seed_centroids); ``iters`` Lloyd rounds then
+    refine each subspace's centroids to the mean of its assigned
+    subvectors — fully deterministic (assignment ties break to the lower
+    code, means are exact), measured to roughly halve ADC-stage recall
+    loss vs raw seeds. Empty cells keep their previous centroid.
+
+    Scale shape per round: one encode projection (no shuffle) + ONE
+    map-side-combined groupBy over (subspace, code, element) — the
+    exploded stream is rows x dim but collapses to m*k*(dim/m) = k*dim
+    cells before the shuffle; the collected codebook is k*dim floats,
+    independent of corpus size.
+    """
+    from pdf_parser_spark.operators.similarity import seed_centroids
+
+    seeds = seed_centroids(df, k=k, emb_col=emb_col, id_col=id_col,
+                           salt=salt)
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} non-empty vectors, got {len(seeds)}")
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d_s = dim // m
+    cb = [[list(seed[s * d_s:(s + 1) * d_s]) for seed in seeds]
+          for s in range(m)]
+    for _ in range(max(0, iters)):
+        enc = pq_encode(df.where(F.size(F.col(emb_col)) == dim), cb,
+                        emb_col=emb_col)
+        cells = (enc.select(
+            F.posexplode(
+                F.transform(
+                    F.col("pq_codes"),
+                    lambda code, s: F.struct(
+                        code.alias("j"),
+                        F.slice(F.col(emb_col), s * d_s + 1, d_s)
+                         .alias("sub"))))
+            .alias("s", "cell"))
+            .select("s", F.col("cell.j").alias("j"),
+                    F.posexplode(F.col("cell.sub")).alias("i", "x"))
+            .groupBy("s", "j", "i").agg(F.avg("x").alias("mu"))
+            .collect())
+        for r in cells:
+            cb[r.s][r.j][r.i] = float(r.mu)
+    return cb
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
+              emb_col: str = "embedding") -> DataFrame:
+    """Append ``pq_codes``: array<int> of m entries, code s = argmin-L2
+    centroid of subspace s (ties break to the lower code — struct
+    ordering on (dist, code)).
+
+    Storage math: m codes of k<=256 replace dim float32s — at m=8 on a
+    768-d vector that is 8 bytes vs 3 KB, a 384x scan-width cut for the
+    candidate-generation pass. All JVM expressions: per subspace an
+    array of (distance, code) structs over LITERAL centroids (broadcast
+    as constants, the assign_cells pattern), array_min for the argmin —
+    m*k aggregate expressions total, no Python, no shuffle.
+    """
+    m = len(codebooks)
+    d_s = len(codebooks[0][0])
+    e = F.col(emb_col)
+
+    def sub_dist(s: int, cent: list[float]) -> Column:
+        sub = F.slice(e, s * d_s + 1, d_s)
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(float(c)) for c in cent]),
+                       lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    codes = F.array(*[
+        F.array_min(F.array(*[
+            F.struct(sub_dist(s, cent).alias("d"),
+                     F.lit(j).alias("j"))
+            for j, cent in enumerate(codebooks[s])]))["j"]
+        for s in range(m)])
+    return df.withColumn("pq_codes", codes)
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks: list[list[list[float]]],
+                query_vec: list[float], top_k: int = 10, *,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k: the query stays full-precision, the
+    corpus is its codes. The m x k table of query-subvector-to-centroid
+    squared distances is computed on the DRIVER (m*k floats) and shipped
+    as literals; per row the approximate distance is m element_at
+    lookups summed — a pure projection over the (id, codes) relation,
+    the shape that scans billions of rows at full I/O speed. Returns
+    (id_col, adc_dist, rank) ascending via TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    d_s = len(codebooks[0][0])
+    table = [[sum((float(query_vec[s * d_s + i]) - float(cent[i])) ** 2
+                  for i in range(d_s))
+              for cent in codebooks[s]] for s in range(m)]
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in table[s]]),
+            F.element_at(F.col("pq_codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = codes_df.select(F.col(id_col),
+                             F.round(dist, 6).alias("adc_dist"))
+    order = [F.asc("adc_dist"), F.asc(id_col)]
+    topk = scored.orderBy(*order).limit(top_k)
+    return topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+
+
+def pq_search(emb_df: DataFrame, codebooks: list[list[list[float]]],
+              query_vec: list[float], top_k: int = 10, *,
+              overfetch: int = 5, emb_col: str = "embedding",
+              id_col: str = "vec_id",
+              codes_df: DataFrame | None = None) -> DataFrame:
+    """Two-stage PQ search: ADC over the codes generates
+    ``overfetch * top_k`` candidates (the full-corpus pass reads m bytes
+    per row, never the vectors), then the candidates ALONE are reranked
+    with exact L2 over their full embeddings — a semi-join that touches
+    overfetch*top_k rows regardless of corpus size. This is the standard
+    recall repair for code-only ranking (Jegou et al. 2011): the codes
+    only need the true neighbors inside the candidate set, not in order.
+    Returns (id_col, l2_dist, rank), exact distances, ascending.
+
+    ``codes_df`` (id, pq_codes): the materialized code table. Pass it —
+    encoding once and storing the codes IS the point of PQ; the default
+    re-encode per query is a convenience for one-shot use.
+    """
+    from pyspark.sql.window import Window
+
+    codes = (codes_df if codes_df is not None
+             else pq_encode(emb_df, codebooks, emb_col=emb_col)
+             .select(id_col, "pq_codes"))
+    cand = pq_adc_topk(codes, codebooks, query_vec,
+                       top_k=overfetch * top_k, id_col=id_col) \
+        .select(id_col)
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    exact = F.aggregate(
+        F.zip_with(F.col(emb_col), qarr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (emb_df.join(F.broadcast(cand), id_col)
+              .select(F.col(id_col), F.round(exact, 6).alias("l2_dist")))
+    order = [F.asc("l2_dist"), F.asc(id_col)]
+    topk = scored.orderBy(*order).limit(top_k)
+    return topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))

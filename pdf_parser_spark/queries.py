@@ -3131,6 +3131,18 @@ FROM q
 """
 
 
+def emb_pq_topk(spark, sf):
+    # product quantization two-stage search: m-byte ADC candidate scan
+    # (never reads the vectors) -> exact rerank of overfetch*k rows;
+    # recall + determinism gated in test_pq_search_recall_and_rerank_gates
+    from pdf_parser_spark.operators.quantize import pq_search, pq_train
+    emb = _t_wide(spark, sf, "embeddings")
+    cb = pq_train(emb, m=8, k=32, iters=1)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return pq_search(emb, cb, q, top_k=10, overfetch=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3207,6 +3219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot_matrix": events_pivot_matrix,
     "events_cardinality_profile": events_cardinality_profile,
     "docs_curriculum_order": docs_curriculum_order,
+    "emb_pq_topk": emb_pq_topk,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3256,6 +3269,10 @@ ROWS_ONLY: dict[str, str] = {
                                "multi-probe LSH); recall gated vs brute "
                                "force AND vs blind hamming at equal "
                                "budget, exact-top-1 containment pinned",
+    "emb_pq_topk": "approximate by design (PQ ADC candidates + exact "
+                   "rerank); recall + determinism gated in "
+                   "test_pq_search_recall_and_rerank_gates, exact-top-1 "
+                   "containment pinned",
 }
 
 ORACLES: dict[str, str] = {

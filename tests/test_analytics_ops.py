@@ -1930,3 +1930,61 @@ def test_approx_count_distinct_within_rsd(spark):
     est = ev.agg(F.approx_count_distinct("user_id", rsd=0.01)
                  .alias("e")).collect()[0].e
     assert abs(est - exact) <= 3 * 0.01 * exact + 1, (est, exact)
+
+
+def _exact_l2_topk(emb, q, k=10):
+    qarr = F.array(*[F.lit(float(v)) for v in q])
+    d = F.aggregate(F.zip_with("embedding", qarr,
+                               lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda a, v: a + v)
+    return [r.vec_id for r in (emb.select("vec_id", d.alias("d"))
+                               .orderBy("d", "vec_id").limit(k).collect())]
+
+
+def test_pq_search_recall_and_rerank_gates(spark):
+    """Product quantization: ADC candidate generation over m-byte codes +
+    exact rerank. Gates: (a) the reranked two-stage averages >= 0.6
+    recall@10 at overfetch 5 on the hardest case (near-random gaussian
+    embeddings — real clustered embeddings only do better); (b) the
+    exact top-1 (the query's own vector) survives both stages and ranks
+    first with distance 0; (c) training is deterministic."""
+    from pdf_parser_spark.operators.quantize import (pq_encode,
+                                                      pq_search, pq_train)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    cb = pq_train(emb, m=8, k=32, iters=2)
+    assert cb == pq_train(emb, m=8, k=32, iters=2)  # deterministic
+    codes = pq_encode(emb, cb).select("vec_id", "pq_codes").cache()
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.where(F.col("vec_id").isin(0, 7, 100, 250, 499))
+                        .collect()}
+    recalls = []
+    for vid, q in vecs.items():
+        exact = _exact_l2_topk(emb, q)
+        got = pq_search(emb, cb, q, top_k=10, overfetch=5,
+                        codes_df=codes).collect()
+        assert got[0].vec_id == vid and got[0].l2_dist == 0.0
+        recalls.append(len(set(exact) & {r.vec_id for r in got}) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, recalls
+    codes.unpersist()
+    emb.unpersist()
+
+
+def test_pq_encode_shape_and_hand_distance(spark):
+    """Codes are m small ints; ADC distance equals the hand-computed
+    table lookup on a 2-d toy with known codebooks."""
+    from pdf_parser_spark.operators.quantize import pq_adc_topk, pq_encode
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id int, embedding array<float>")
+    # m=2 subspaces of 1 dim, k=2 centroids each
+    cb = [[[0.0], [1.0]], [[0.0], [1.0]]]
+    codes = pq_encode(emb, cb)
+    got = {r.vec_id: list(r.pq_codes) for r in codes.collect()}
+    assert got == {1: [0, 0], 2: [1, 1], 3: [1, 0]}
+    # query (0.2, 0.2): tables [[0.04, 0.64], [0.04, 0.64]]
+    top = pq_adc_topk(codes.select("vec_id", "pq_codes"), cb, [0.2, 0.2],
+                      top_k=3).collect()
+    assert [(r.vec_id, r.adc_dist) for r in top] == [
+        (1, 0.08), (3, 0.68), (2, 1.28)]

@@ -84,6 +84,12 @@ def test_ann_multiprobe_contains_exact_hit(spark):
     assert abs(top[0].similarity - 1.0) < 1e-6
 
 
+def test_pq_topk_contains_exact_hit(spark):
+    top = QUERIES["emb_pq_topk"](spark, SF_DIR).collect()
+    assert top[0].vec_id == 0
+    assert top[0].l2_dist == 0.0
+
+
 def test_registry_guard():
     """Contract self-consistency: every oracle names a query, and every
     query without an oracle is explicitly declared rows-only WITH a
@@ -96,4 +102,5 @@ def test_registry_guard():
     assert all(isinstance(v, str) and v for v in ROWS_ONLY.values())
     # the deterministic rows-only entries must all carry a golden digest
     assert set(GOLDEN) == set(ROWS_ONLY) - {
-        "emb_ann_topk", "emb_ivf_topk", "emb_ann_multiprobe_topk"}
+        "emb_ann_topk", "emb_ivf_topk", "emb_ann_multiprobe_topk",
+        "emb_pq_topk"}
