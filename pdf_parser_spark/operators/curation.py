@@ -577,7 +577,8 @@ def hashed_token_bucket(col: Column, n_buckets: int) -> Column:
 def dsir_importance(df: DataFrame, target: DataFrame, *,
                     id_col: str = "doc_id", text_col: str = "text",
                     n_buckets: int = 4096,
-                    alpha: float = 1.0) -> DataFrame:
+                    alpha: float = 1.0,
+                    raw_counts: DataFrame | None = None) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023), the hashed-unigram variant: score every raw document by the
     log-likelihood ratio of a TARGET-domain unigram LM vs the RAW-corpus
@@ -643,7 +644,15 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
 
     a = float(alpha)
     an = a * n_buckets
-    raw_lm = raw_tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    # raw_counts: a precomputed raw-corpus bucket LM — (b, c), e.g.
+    # sources/stats_store.bucket_counts_from_store over the incremental
+    # token store — so scoring a NEW batch costs O(batch + n_buckets)
+    # instead of a raw-corpus rescan. Must be built with the same
+    # n_buckets and cover the corpus the scores are relative to; by
+    # default the raw LM comes from df itself, exactly as before.
+    raw_lm = (raw_counts.select("b", F.col("c").cast("long").alias("cr"))
+              if raw_counts is not None
+              else raw_tf.groupBy("b").agg(F.sum("tf").alias("cr")))
     tgt_lm = bucket_counts(target).withColumnRenamed("c", "ct")
     raw_tot = F.sum("cr").over(Window.partitionBy())
     tgt_tot = F.sum("ct").over(Window.partitionBy())

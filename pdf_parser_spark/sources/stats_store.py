@@ -111,3 +111,16 @@ def stream_token_stats(docs: DataFrame, store_path: str,
     return (docs.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def bucket_counts_from_store(counts: DataFrame,
+                             n_buckets: int = 4096) -> DataFrame:
+    """Derive DSIR's hashed-bucket counts (b, c) from the store's
+    (term, c) snapshot — O(vocabulary), no corpus scan. Uses the same
+    hashed_token_bucket the scorer uses, so the bucket LM is identical
+    to one computed from the raw token stream."""
+    from pdf_parser_spark.operators.curation import hashed_token_bucket
+
+    return (counts.select(hashed_token_bucket(F.col("term"), n_buckets)
+                          .alias("b"), "c")
+            .groupBy("b").agg(F.sum("c").alias("c")))

@@ -82,3 +82,26 @@ def test_unigram_logprob_from_store_counts(spark, tmp_path):
     a = {r.id: (r.n_tokens, r.avg_logprob) for r in via_store.collect()}
     b = {r.id: (r.n_tokens, r.avg_logprob) for r in full_scan.collect()}
     assert a == b and len(a) == 4
+
+
+def test_dsir_from_store_counts(spark, tmp_path):
+    """DSIR's raw LM derived from the store's bucket counts equals the
+    full-scan raw LM — the second consumer of incremental stats."""
+    from pdf_parser_spark.operators.curation import dsir_importance
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+    from pdf_parser_spark.sources.stats_store import \
+        bucket_counts_from_store
+    store = tmp_path / "store"
+    store.mkdir()
+    docs = _df(spark, B1 + B2)
+    target = spark.createDataFrame([("alpha alpha beta",)], "text string")
+    merge_token_counts(spark, docs, str(store), batch_id=0)
+    bc = bucket_counts_from_store(
+        read_token_counts(spark, str(store)), n_buckets=32)
+    via_store = dsir_importance(docs, target, n_buckets=32, raw_counts=bc)
+    full_scan = dsir_importance(docs, target, n_buckets=32)
+    a = {r.id: (r.n_tokens, r.importance) for r in via_store.collect()}
+    b = {r.id: (r.n_tokens, r.importance) for r in full_scan.collect()}
+    assert a == b and len(a) == 4
+    release_owned_storage(via_store)
+    release_owned_storage(full_scan)
