@@ -3143,6 +3143,70 @@ def emb_pq_topk(spark, sf):
     return pq_search(emb, cb, q, top_k=10, overfetch=5)
 
 
+def events_cube(spark, sf):
+    # CUBE completes the grouping-sets family (rollup = hierarchy, cube
+    # = every dimension subset): (type x weekday-class) totals with both
+    # marginals and the grand total in one pass — Catalyst expands to
+    # one Expand + one map-side-combined aggregation, not 4 scans
+    ev = _t(spark, sf, "events")
+    wk = F.when(F.dayofweek("ts").isin(1, 7), "weekend") \
+          .otherwise("weekday")
+    return (ev.withColumn("day_class", wk)
+            .cube("event_type", "day_class")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.coalesce("event_type", F.lit("ALL"))
+                    .alias("event_type"),
+                    F.coalesce("day_class", F.lit("ALL"))
+                    .alias("day_class"),
+                    "n_events", "sum_value"))
+
+
+EVENTS_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day_class, 'ALL') AS day_class,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, value,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                  ELSE 'weekday' END AS day_class
+      FROM events)
+GROUP BY CUBE (event_type, day_class)
+"""
+
+
+def events_unpivot(spark, sf):
+    # melt/unpivot — the inverse reshaping of events_pivot_matrix: the
+    # per-user count matrix back to long (user_id, event_type, n) form.
+    # Spark's unpivot is a zero-shuffle Expand over the wide relation.
+    wide = events_pivot_matrix(spark, sf)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (wide.unpivot("user_id",
+                         [f"n_{k}" for k in kinds],
+                         "event_type", "n")
+            .withColumn("event_type",
+                        F.substring("event_type", 3, 100)))
+
+
+EVENTS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchase,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           AS n_signup,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+UNION ALL SELECT user_id, 'error', n_error FROM wide
+UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+UNION ALL SELECT user_id, 'view', n_view FROM wide
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3220,6 +3284,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cardinality_profile": events_cardinality_profile,
     "docs_curriculum_order": docs_curriculum_order,
     "emb_pq_topk": emb_pq_topk,
+    "events_cube": events_cube,
+    "events_unpivot": events_unpivot,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3348,6 +3414,8 @@ ORACLES: dict[str, str] = {
     "events_pivot_matrix": EVENTS_PIVOT_SQL,
     "events_cardinality_profile": EVENTS_CARDINALITY_SQL,
     "docs_curriculum_order": DOCS_CURRICULUM_SQL,
+    "events_cube": EVENTS_CUBE_SQL,
+    "events_unpivot": EVENTS_UNPIVOT_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
