@@ -95,3 +95,38 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
     return (joined.where(F.col(ts_col).between(F.col(start_col),
                                                F.col(end_col)))
             .drop("__bin"))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, *,
+                n_salts: int = 16, how: str = "inner",
+                salt_col: str = "__salt") -> DataFrame:
+    """Skew-safe equi-join: the classic manual salting the north rule
+    names ("salted repartition for skewed long conversations"), for when
+    AQE's skew-join split can't help — e.g. the skewed side feeds a
+    downstream aggregation that pins partitioning, or the planner can't
+    see the skew (post-UDF stats).
+
+    The BIG side gets a deterministic per-row salt in [0, n_salts); the
+    SMALL side is replicated n_salts times (explode of a literal range —
+    its rows multiply by n_salts, which is why this wants a small-but-
+    not-broadcastable right side). The join key becomes (key, salt), so
+    one hot key's rows spread over n_salts shuffle partitions instead of
+    one straggler task. Row-for-row equal to the plain join (each big
+    row meets exactly the one replica carrying its salt) — pinned by
+    test_salted_join_equals_plain_join. The salt is md5-deterministic
+    (row content, not RNG), so retries and resumes reproduce the plan.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # salt on the FULL row content, not the key: hashing the key alone
+    # would send a hot key's rows all to one salt (no spread at all);
+    # monotonically_increasing_id would spread but isn't retry-stable
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns],
+                             F.lit("salted-join")),
+                  F.lit(n_salts)).cast("int")
+    b = big.withColumn(salt_col, salt)
+    s = (small.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                  .alias(salt_col))
+         .withColumn(salt_col, F.col(salt_col).cast("int")))
+    return b.join(s, [key, salt_col], how).drop(salt_col)

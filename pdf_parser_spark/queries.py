@@ -3207,6 +3207,29 @@ UNION ALL SELECT user_id, 'view', n_view FROM wide
 """
 
 
+def orders_salted_join(spark, sf):
+    # explicit salting for skewed equi-joins (the north rule's "salted
+    # repartition" as a reusable operator): the hot key's rows spread
+    # over n_salts shuffle partitions, the small side replicates
+    # n_salts times, and the answer is row-for-row the plain join —
+    # which is exactly what the oracle checks
+    from pdf_parser_spark.operators.joins import salted_join
+    orders = (_t(spark, sf, "orders")
+              .withColumnRenamed("o_custkey", "custkey")
+              .select("o_orderkey", "custkey", "o_totalprice"))
+    cust = (_t(spark, sf, "customer")
+            .withColumnRenamed("c_custkey", "custkey")
+            .select("custkey", "c_mktsegment"))
+    return salted_join(orders, cust, "custkey", n_salts=8)
+
+
+ORDERS_SALTED_SQL = """
+SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3286,6 +3309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_topk": emb_pq_topk,
     "events_cube": events_cube,
     "events_unpivot": events_unpivot,
+    "orders_salted_join": orders_salted_join,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3416,6 +3440,7 @@ ORACLES: dict[str, str] = {
     "docs_curriculum_order": DOCS_CURRICULUM_SQL,
     "events_cube": EVENTS_CUBE_SQL,
     "events_unpivot": EVENTS_UNPIVOT_SQL,
+    "orders_salted_join": ORDERS_SALTED_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

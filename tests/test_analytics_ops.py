@@ -1988,3 +1988,32 @@ def test_pq_encode_shape_and_hand_distance(spark):
                       top_k=3).collect()
     assert [(r.vec_id, r.adc_dist) for r in top] == [
         (1, 0.08), (3, 0.68), (2, 1.28)]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change the answer: row-for-row equal to the
+    plain equi-join on a skewed input (one key holds 90% of rows),
+    including duplicate small-side keys (each big row meets each
+    matching small row exactly once) and inner-join key dropout."""
+    from pdf_parser_spark.operators.joins import salted_join
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)]
+        + [("cold", i) for i in range(100)]
+        + [("orphan", 0)],
+        "k string, payload int")
+    small = spark.createDataFrame(
+        [("hot", "h1"), ("hot", "h2"), ("cold", "c")],
+        "k string, attr string")
+    plain = sorted((r.k, r.payload, r.attr)
+                   for r in big.join(small, "k").collect())
+    salted = sorted((r.k, r.payload, r.attr)
+                    for r in salted_join(big, small, "k",
+                                         n_salts=8).collect())
+    assert salted == plain and len(plain) == 900 * 2 + 100
+    # the hot key's rows actually spread: > 1 distinct salt observed
+    n = (big.where(F.col("k") == "hot")
+         .select(F.pmod(F.xxhash64("k", "payload",
+                                   F.lit("salted-join")), F.lit(8))
+                 .alias("s"))
+         .distinct().count())
+    assert n > 1
