@@ -471,14 +471,25 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
     chunks = chunks.where(F.col("chunk_type") == "text").drop("table_cells")
     # curated feeds BOTH the funnel aggregation and the write; persist it
     # so the flag joins + text-statistics UDFs execute once, not twice
+    curriculum_bands = curate_kwargs.pop("curriculum_bands", None)
     curated = curate(chunks, **curate_kwargs) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         funnel = funnel_metrics(curated)
         flag_cols = [c for c in curated.columns
                      if c == "selected" or c.startswith("f_")]
-        (curated.where(F.col("selected")).drop(*flag_cols)
-         .write.partitionBy("split").mode("overwrite")
+        out = curated.where(F.col("selected")).drop(*flag_cols)
+        if curriculum_bands:
+            # easy-to-hard training schedule over the SELECTED corpus:
+            # band + position columns (parquet keeps no row order; the
+            # trainer sorts by them), rows laid out in schedule order
+            # within files via sortWithinPartitions
+            from pdf_parser_spark.operators.curation import \
+                curriculum_order
+            out = (curriculum_order(out, bands=curriculum_bands,
+                                    id_col="id")
+                   .sortWithinPartitions("band", "position"))
+        (out.write.partitionBy("split").mode("overwrite")
          .parquet(f"{output_dir}/corpus"))
     finally:
         # the dedup tiers' + base chunks' pinned storage rides on
@@ -585,6 +596,11 @@ def main() -> int:
                     help="cap the output corpus at B tokens via the "
                          "deterministic seed-keyed budget draw (always "
                          "the last funnel stage)")
+    ap.add_argument("--curriculum-bands", type=int, default=None,
+                    metavar="N",
+                    help="order the output corpus easy-to-hard: N "
+                         "quality-decile bands + deterministic "
+                         "within-band shuffle (band/position columns)")
     ap.add_argument("--budget-seed", type=int, default=0,
                     help="seed of the token-budget shuffle order")
     a = ap.parse_args()
@@ -623,6 +639,7 @@ def main() -> int:
             dsir_min_importance=a.dsir_min_importance,
             blocked_domains=_read_blocklist(a.blocklist_file),
             token_budget=a.token_budget, budget_seed=a.budget_seed,
+            curriculum_bands=a.curriculum_bands,
             **extract_kw)
         print(json.dumps(funnel))
     finally:

@@ -730,3 +730,34 @@ def gumbel_topk_sample(df: DataFrame, k: int, weight_col: str, *,
     # the offsets-table kind of smallness, not a data window
     w = Window.orderBy(F.col("gumbel_key").desc(), F.col("id"))
     return out.withColumn("rank", F.row_number().over(w))
+
+
+def curriculum_order(df: DataFrame, bands: int = 10, *,
+                     quality_col: str = "quality_score",
+                     id_col: str = "doc_id",
+                     salt: str = "curriculum") -> DataFrame:
+    """Easy-to-hard curriculum schedule: ntile ``bands`` over the
+    quality score (descending — band 1 is the highest-quality decile),
+    then a deterministic seed-keyed shuffle WITHIN each band so the
+    schedule carries no within-band ordering bias. Appends (band,
+    position); position is the global training order.
+
+    The two global windows pin the SEMANTICS; the trillion-row rendition
+    replaces ntile with percentile cuts against broadcast quantile
+    bounds and position with the 256-group prefix-sum decomposition
+    ``global_shuffle``/``pack_sequences`` already use — banding becomes
+    a pure expression once the bounds are known.
+    """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    from pyspark.sql.window import Window
+
+    band = F.ntile(bands).over(
+        Window.orderBy(F.desc(quality_col), F.asc(id_col)))
+    key = F.md5(F.concat(F.lit(f"{salt}:"),
+                         F.col(id_col).cast("string")))
+    pos = F.row_number().over(Window.orderBy("band", "__ck"))
+    return (df.withColumn("band", band)
+            .withColumn("__ck", key)
+            .withColumn("position", pos.cast("int"))
+            .drop("__ck"))

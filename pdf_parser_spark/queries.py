@@ -3081,19 +3081,10 @@ def docs_curriculum_order(spark, sf):
     # broadcast quantile bounds, not a single-partition window — this
     # entry pins the SEMANTICS; operators/curation.py holds the
     # decomposed machinery).
+    from pdf_parser_spark.operators.curation import curriculum_order
     from pdf_parser_spark.operators.textstats import quality_features
     d = quality_features(_t(spark, sf, "documents"))
-    wq = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    band = F.ntile(10).over(wq)
-    key = F.md5(F.concat(F.lit("curriculum:"),
-                         F.col("doc_id").cast("string")))
-    wo = Window.orderBy("band", "shuffle_key")
-    return (d.select("doc_id",
-                     F.round("quality_score", 6).alias("quality_score"))
-            .withColumn("band", band)
-            .withColumn("shuffle_key", key)
-            .withColumn("position",
-                        F.row_number().over(wo).cast("int"))
+    return (curriculum_order(d.select("doc_id", "quality_score"))
             .select("doc_id", "band", "position"))
 
 

@@ -513,3 +513,28 @@ def test_pipeline_domain_blocklist_stage(spark):
     assert funnel["domain_clean"] == 2
     vals = [funnel[s] for s in funnel if s != "extracted"]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_curriculum_stage_matches_standalone_operator(spark, tmp_path):
+    """--curriculum-bands appends (band, position) to the selected
+    corpus and equals the standalone operator applied to the same rows."""
+    from pdf_parser_spark.operators.curation import curriculum_order
+
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=40, seed=13)
+    out = str(tmp_path / "out")
+    run_training_pipeline(spark, src, out, cleaning=True,
+                          langs=("en", "und"), quality_floor=0.2,
+                          min_chars=40, max_chars=2000,
+                          curriculum_bands=5)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert {"band", "position"} <= set(corpus.columns)
+    # recompute from the written rows: same operator, same columns
+    redo = curriculum_order(corpus.drop("band", "position"),
+                            bands=5, id_col="id")
+    a = {r.id: (r.band, r.position) for r in corpus.collect()}
+    b = {r.id: (r.band, r.position) for r in redo.collect()}
+    assert a == b and len(a) > 0
+    # schedule is a permutation of 1..n and band 1 exists
+    assert sorted(p for _, p in a.values()) == list(range(1, len(a) + 1))
+    assert min(band for band, _ in a.values()) == 1
