@@ -1,0 +1,71 @@
+"""Data layout for scan pruning: Z-order (Morton) clustering.
+
+Parquet scans skip row groups / files whose min-max stats exclude the
+predicate. Sorting by one column makes its stats tight but leaves every
+other column's ranges full-width; interleaving the bits of several
+columns' rank codes (the Morton / Z-order curve — Delta's OPTIMIZE
+ZORDER, Iceberg's sort-order zorder) makes ALL participating columns'
+per-file ranges narrow simultaneously, so multi-dimensional point/range
+predicates prune most files no matter which column they hit.
+
+Implementation is pure JVM expressions: each column is rank-coded to
+``bits`` levels via percentile bounds (collected once — 2^bits - 1
+doubles per column, the k-centroid kind of collect), the codes'
+bits are interleaved arithmetically, and one range-repartition + sort
+on the z-value lays files out along the curve. Effectiveness is
+MEASURED, not assumed: tests read the written parquet footers and
+assert the per-file min-max widths shrink vs the unsorted layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _rank_code(col: Column, bounds: list[float]) -> Column:
+    """0..len(bounds) level index: how many bounds the value exceeds —
+    a branchless rank against broadcast percentile literals (NULLs
+    rank 0, keeping them clustered rather than scattered)."""
+    c = col.cast("double")
+    code = F.lit(0)
+    for b in bounds:
+        code = code + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return code
+
+
+def zorder_value(codes: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` bits of each rank code (MSB-first across
+    columns) into one long — the Morton index."""
+    z = F.lit(0)
+    for level in range(bits - 1, -1, -1):
+        for code in codes:
+            z = F.shiftleft(z, 1) + F.shiftright(code, level).bitwiseAND(1)
+    return z
+
+
+def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
+                  n_files: int = 8) -> DataFrame:
+    """Return ``df`` redistributed and sorted along the Z-curve of
+    ``cols`` — write the result with a plain ``.write.parquet`` and the
+    footer stats do the pruning. One percentile job per call (all
+    columns in one aggregation), then ONE repartitionByRange + local
+    sort on the z-value; no extra shuffle beyond the one any clustering
+    rewrite needs. 2^bits levels per column: 16 levels (bits=4) is
+    plenty to separate n_files in the low hundreds — deeper bits only
+    matter when file counts approach 2^(bits*len(cols)).
+    """
+    if not cols or bits < 1 or n_files < 1:
+        raise ValueError(f"need cols, bits>=1, n_files>=1; got "
+                         f"{cols}, {bits}, {n_files}")
+    qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    row = df.agg(*[F.percentile_approx(F.col(c).cast("double"),
+                                       qs, 10_000).alias(c)
+                   for c in cols]).collect()[0]
+    codes = [_rank_code(F.col(c), [float(x) for x in row[c]])
+             for c in cols]
+    z = zorder_value(codes, bits)
+    return (df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z"))
