@@ -58,6 +58,20 @@ def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
     if not cols or bits < 1 or n_files < 1:
         raise ValueError(f"need cols, bits>=1, n_files>=1; got "
                          f"{cols}, {bits}, {n_files}")
+    # numeric/temporal only: a string column silently casts to NULL,
+    # every row ranks 0, and the "clustered" layout is a no-op that
+    # still costs a shuffle — fail loudly instead
+    numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "date", "timestamp", "timestamp_ntz")
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols
+           if not dtypes.get(c, "?").startswith(numeric)
+           and not dtypes.get(c, "?").startswith("decimal")]
+    if bad:
+        raise ValueError(
+            f"zorder columns must be numeric/temporal, got "
+            f"{[(c, dtypes.get(c)) for c in bad]}; hash or dictionary-"
+            f"encode strings first (locality is meaningless on a hash)")
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     row = df.agg(*[F.percentile_approx(F.col(c).cast("double"),
                                        qs, 10_000).alias(c)

@@ -60,3 +60,11 @@ def test_zorder_value_interleaves_bits(spark):
         zorder_value([F.lit(0b10), F.lit(0b01)], bits=2).alias("z"))
     # MSB-first interleave of (10, 01) -> 1 0 0 1 = 9
     assert df.collect()[0].z == 9
+
+
+def test_zorder_rejects_string_columns(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        zorder_layout(docs, ["text"])
