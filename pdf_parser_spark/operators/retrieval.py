@@ -246,3 +246,37 @@ def conversation_history(df: DataFrame, key_col: str, order_cols: list[str],
         *[F.desc(c) for c in order_cols])
     return (df.withColumn("recency_rank", F.row_number().over(w))
             .where(F.col("recency_rank") <= n))
+
+
+def rrf_fuse(rankings: list[DataFrame], *, id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60,
+             top_k: int = 10) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: given N ranked lists (e.g. BM25
+    lexical + embedding-cosine semantic), score(d) = sum over lists of
+    1 / (k + rank_d), items absent from a list contributing nothing.
+    Rank-based, so the lists' score scales never need calibrating —
+    why RRF is the default fusion in production hybrid search.
+
+    Returns (id_col, rrf_score, n_lists, rank) for the fused top_k,
+    ties broken by id. Scale shape: each input is already a top-k list
+    (tiny); the fusion is a union + one groupBy + TakeOrderedAndProject
+    — driver-scale work no matter the corpus behind the lists.
+    """
+    if not rankings:
+        raise ValueError("rankings must name at least one ranked list")
+    parts = [r.select(F.col(id_col).alias("id"),
+                      (1.0 / (k + F.col(rank_col))).alias("s"))
+             for r in rankings]
+    allparts = parts[0]
+    for p in parts[1:]:
+        allparts = allparts.unionByName(p)
+    fused = (allparts.groupBy("id")
+             .agg(F.round(F.sum("s"), 6).alias("rrf_score"),
+                  F.count("*").cast("int").alias("n_lists")))
+    order = [F.desc("rrf_score"), F.asc("id")]
+    topk = fused.orderBy(*order).limit(top_k)
+    return (topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+        .select(F.col("id").alias(id_col), "rrf_score", "n_lists",
+                "rank"))

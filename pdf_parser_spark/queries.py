@@ -3221,6 +3221,95 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def docs_hybrid_rrf(spark, sf):
+    # hybrid retrieval: BM25 lexical top-20 + embedding-cosine semantic
+    # top-20 (documents and embeddings share the 0..N-1 id space),
+    # fused by reciprocal-rank fusion — rank-based, so the two score
+    # scales never need calibrating. Both input lists and the fusion
+    # are fully recomputed by the oracle.
+    from pdf_parser_spark.operators.retrieval import rrf_fuse
+    from pdf_parser_spark.operators.textstats import bm25_topk
+    lex = bm25_topk(_t_wide(spark, sf, "documents"), _BM25_TERMS, k=20)
+    emb = _t_wide(spark, sf, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    qc = F.array(*[F.lit(x) for x in q])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(e, qc, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(qc, F.lit(0.0), lambda acc, v: acc + v * v))
+    sim = F.when(na * nb > 0, dot / (na * nb)).otherwise(0.0)
+    sem_order = [F.desc("similarity"), F.asc("doc_id")]
+    sem = (emb.select(F.col("vec_id").alias("doc_id"),
+                      F.round(sim, 6).alias("similarity"))
+           .orderBy(*sem_order).limit(20)
+           .withColumn("rank",
+                       F.row_number().over(Window.orderBy(*sem_order))
+                        .cast("int")))
+    return rrf_fuse([lex, sem], k=60, top_k=10)
+
+
+DOCS_HYBRID_RRF_SQL = r"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+'),
+                         x -> length(x) > 0)) AS dl
+  FROM documents
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
+), toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                 AS t
+        FROM documents)
+  WHERE t IN ('join', 'hash', 'vector', 'lineage')
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), bm AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               6) AS bm25
+  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), st
+  GROUP BY doc_id
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cs AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS similarity
+  FROM embeddings, q
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
+  FROM cs ORDER BY similarity DESC, doc_id ASC LIMIT 20
+), uni AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS s FROM lex
+  UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM sem
+), fused AS (
+  SELECT doc_id, round(sum(s), 6) AS rrf_score,
+         CAST(count(*) AS INTEGER) AS n_lists
+  FROM uni GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3301,6 +3390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": events_cube,
     "events_unpivot": events_unpivot,
     "orders_salted_join": orders_salted_join,
+    "docs_hybrid_rrf": docs_hybrid_rrf,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3432,6 +3522,7 @@ ORACLES: dict[str, str] = {
     "events_cube": EVENTS_CUBE_SQL,
     "events_unpivot": EVENTS_UNPIVOT_SQL,
     "orders_salted_join": ORDERS_SALTED_SQL,
+    "docs_hybrid_rrf": DOCS_HYBRID_RRF_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,

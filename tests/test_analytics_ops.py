@@ -2017,3 +2017,16 @@ def test_salted_join_equals_plain_join(spark):
                  .alias("s"))
          .distinct().count())
     assert n > 1
+
+
+def test_rrf_fuse_hand_example(spark):
+    from pdf_parser_spark.operators.retrieval import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id int, rank int")
+    got = {r.doc_id: (r.rrf_score, r.n_lists, r.rank)
+           for r in rrf_fuse([a, b], k=60, top_k=10).collect()}
+    # doc 2 appears in both lists (ranks 2 and 1) and must fuse on top
+    assert got[2] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+    assert got[1] == (round(1 / 61, 6), 1, 2)  # rank tie vs doc 3...
+    assert got[3] == (round(1 / 62, 6), 1, 3)  # ...broken by score then id
+    assert [got[k][2] for k in (2, 1, 3)] == [1, 2, 3]
