@@ -665,3 +665,51 @@ def assign_cells_broadcast(df: DataFrame, centroids: list[list[float]], *,
     return best.select("id", "e",
                        F.col("__best")["cell"].cast("int").alias("cell"),
                        F.col("__best")["sim"].alias("csim"), "enorm")
+
+
+def mmr_rerank(candidates: DataFrame, query_vec: list[float],
+               top_k: int = 10, *, lam: float = 0.7,
+               id_col: str = "vec_id",
+               emb_col: str = "embedding") -> list:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    greedily pick the candidate maximizing
+    lam * sim(q, d) - (1 - lam) * max over selected of sim(d, s) —
+    relevance traded against redundancy, the standard diversification
+    pass over an over-fetched retrieval list.
+
+    ``candidates`` is an already-retrieved top-C list (ANN/BM25/hybrid
+    output joined back to its vectors) — C is tens-to-hundreds, so the
+    greedy loop runs on the DRIVER over collected rows (the deliberate
+    tiny-set materialization, retrieval.py:165 precedent); the corpus-
+    scale work happened in the retrieval stage. Returns
+    [(id, score, rank)] — deterministic: ties break to the lower id.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    import math
+
+    rows = candidates.select(id_col, emb_col).collect()
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos(a: list[float], b: list[float], bn: float) -> float:
+        an = math.sqrt(sum(x * x for x in a)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (an * bn)
+
+    cand = {r[id_col]: [float(x) for x in r[emb_col]] for r in rows}
+    rel = {i: cos(v, query_vec, qn) for i, v in cand.items()}
+    selected: list[tuple] = []
+    while cand and len(selected) < top_k:
+        best = None
+        for i, v in cand.items():
+            red = max((cos(v, cand_s, math.sqrt(
+                sum(x * x for x in cand_s)) or 1.0)
+                for _, _, cand_s in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * red
+            if best is None or score > best[1] + 1e-12 or \
+                    (abs(score - best[1]) <= 1e-12 and i < best[0]):
+                best = (i, score)
+        i, score = best
+        selected.append((i, round(score, 6), cand[i]))
+        del cand[i]
+    return [(i, s, rank + 1)
+            for rank, (i, s, _) in enumerate(selected)]

@@ -51,13 +51,21 @@ def _read_manifest(store_path: str) -> dict:
         return json.load(fh)
 
 
-def read_token_counts(spark: SparkSession, store_path: str) -> DataFrame:
-    """Current (term, c) snapshot; empty frame at version 0."""
+def read_token_counts(spark: SparkSession, store_path: str,
+                      version: int | None = None) -> DataFrame:
+    """(term, c) snapshot — the current version by default, or any
+    retained older ``version`` (time travel, the Iceberg snapshot-read
+    analog: every committed version stays on disk until a caller
+    vacuums, so yesterday's LM is reproducible for audits and A/Bs).
+    Version 0 is the empty store."""
     m = _read_manifest(store_path)
-    if m["version"] == 0:
+    v = m["version"] if version is None else version
+    if v == 0:
         return spark.createDataFrame([], "term string, c long")
-    return (spark.read.parquet(
-                os.path.join(store_path, f"v={m['version']}"))
+    if not 0 < v <= m["version"]:
+        raise ValueError(f"version {v} not in store (current: "
+                         f"{m['version']})")
+    return (spark.read.parquet(os.path.join(store_path, f"v={v}"))
             .select("term", "c"))
 
 

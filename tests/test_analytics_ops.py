@@ -2030,3 +2030,25 @@ def test_rrf_fuse_hand_example(spark):
     assert got[1] == (round(1 / 61, 6), 1, 2)  # rank tie vs doc 3...
     assert got[3] == (round(1 / 62, 6), 1, 3)  # ...broken by score then id
     assert [got[k][2] for k in (2, 1, 3)] == [1, 2, 3]
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR must demote a near-duplicate of an already-selected item in
+    favor of a diverse one, and collapse to pure relevance at lam=1."""
+    from pdf_parser_spark.operators.similarity import mmr_rerank
+    # q deliberately NOT parallel to doc 1 (if it were, every
+    # candidate's redundancy-to-1 would equal its relevance and MMR
+    # degenerates to scaled relevance)
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.2]),     # most relevant (cos to q ~.981)
+         (2, [1.0, 0.21]),    # near-duplicate of 1 (cos(1,2) ~.99995)
+         (3, [1.0, -0.5])],   # diverse (cos(1,3) ~.789), rel ~.894
+        "vec_id int, embedding array<double>")
+    q = [1.0, 0.0]
+    # diversity on: 1 first, then the DIVERSE 3 beats the duplicate 2
+    got = mmr_rerank(cands, q, top_k=3, lam=0.5)
+    assert [i for i, _, _ in got] == [1, 3, 2]
+    assert [r for _, _, r in got] == [1, 2, 3]
+    # lam=1: pure relevance order
+    got_rel = mmr_rerank(cands, q, top_k=3, lam=1.0)
+    assert [i for i, _, _ in got_rel] == [1, 2, 3]

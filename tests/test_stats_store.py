@@ -105,3 +105,20 @@ def test_dsir_from_store_counts(spark, tmp_path):
     assert a == b and len(a) == 4
     release_owned_storage(via_store)
     release_owned_storage(full_scan)
+
+
+def test_time_travel_reads_older_versions(spark, tmp_path):
+    """Every committed version stays readable — yesterday's LM is
+    reproducible (the Iceberg snapshot-read analog)."""
+    import pytest
+    store = tmp_path / "store"
+    store.mkdir()
+    merge_token_counts(spark, _df(spark, B1), str(store), batch_id=0)
+    merge_token_counts(spark, _df(spark, B2), str(store), batch_id=1)
+    v1 = {r.term: r.c
+          for r in read_token_counts(spark, str(store),
+                                     version=1).collect()}
+    assert v1 == {"alpha": 2, "beta": 2, "gamma": 1}
+    assert _counts(spark, store) == FULL_COUNTS  # current unchanged
+    with pytest.raises(ValueError, match="version 9 not in store"):
+        read_token_counts(spark, str(store), version=9)
