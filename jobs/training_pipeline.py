@@ -472,6 +472,10 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
     # curated feeds BOTH the funnel aggregation and the write; persist it
     # so the flag joins + text-statistics UDFs execute once, not twice
     curriculum_bands = curate_kwargs.pop("curriculum_bands", None)
+    output_format = curate_kwargs.pop("output_format", "parquet")
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(
+            f"output_format must be parquet|jsonl, got {output_format!r}")
     curated = curate(chunks, **curate_kwargs) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -489,8 +493,12 @@ def run_training_pipeline(spark: SparkSession, input_path: str,
             out = (curriculum_order(out, bands=curriculum_bands,
                                     id_col="id")
                    .sortWithinPartitions("band", "position"))
-        (out.write.partitionBy("split").mode("overwrite")
-         .parquet(f"{output_dir}/corpus"))
+        writer = out.write.partitionBy("split").mode("overwrite")
+        if output_format == "jsonl":
+            writer.option("compression", "gzip") \
+                  .json(f"{output_dir}/corpus")
+        else:
+            writer.parquet(f"{output_dir}/corpus")
     finally:
         # the dedup tiers' + base chunks' pinned storage rides on
         # `curated`; a driver looping over corpora must not accumulate it
@@ -596,6 +604,10 @@ def main() -> int:
                     help="cap the output corpus at B tokens via the "
                          "deterministic seed-keyed budget draw (always "
                          "the last funnel stage)")
+    ap.add_argument("--output-format", default="parquet",
+                    choices=("parquet", "jsonl"),
+                    help="corpus sink format; jsonl (gzip) is the "
+                         "trainer-facing export")
     ap.add_argument("--curriculum-bands", type=int, default=None,
                     metavar="N",
                     help="order the output corpus easy-to-hard: N "
@@ -640,6 +652,7 @@ def main() -> int:
             blocked_domains=_read_blocklist(a.blocklist_file),
             token_budget=a.token_budget, budget_seed=a.budget_seed,
             curriculum_bands=a.curriculum_bands,
+            output_format=a.output_format,
             **extract_kw)
         print(json.dumps(funnel))
     finally:

@@ -166,3 +166,20 @@ def write_to_vector_store(flat: DataFrame, client_factory,
 
     flat.foreachPartition(write_partition)
     return {"rows": rows_acc.value, "batches": batches_acc.value}
+
+
+def write_jsonl(df, path: str) -> None:
+    """Write the corpus as JSONL (one JSON object per line) — the
+    format trainers ingest. Spark's json sink IS jsonl (one object per
+    line per part file); gzip keeps the text corpus ~4-8x smaller on
+    the wire, splittable-enough at one part per task. Unicode survives
+    round-trip (Spark writes UTF-8, not \\u escapes, for non-ASCII).
+    """
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_jsonl(spark, path: str, schema: str):
+    """Schema-pinned JSONL reader (never infer on a 100 TB corpus: the
+    inference pass is a full extra scan, and a single corrupt line can
+    silently widen a column to string)."""
+    return spark.read.schema(schema).json(path)

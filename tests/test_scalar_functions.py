@@ -81,3 +81,19 @@ def test_distance_to_similarity_pins_reference_formula(spark):
              .collect()]
     for g, d in zip(got, dists):
         assert abs(g - 1.0 / (1.0 + d)) < 1e-12
+
+
+def test_jsonl_round_trip_preserves_unicode_and_types(spark, tmp_path):
+    from pdf_parser_spark.operators.export import read_jsonl, write_jsonl
+    df = spark.createDataFrame(
+        [(1, "数据 dedup\nline2", [1, 2]), (2, None, [])],
+        "id int, text string, xs array<int>")
+    p = str(tmp_path / "out.jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "id int, text string, xs array<int>")
+    a = sorted((r.id, r.text, list(r.xs)) for r in df.collect())
+    b = sorted((r.id, r.text, list(r.xs) if r.xs is not None else None)
+               for r in back.collect())
+    # json has no [] vs NULL distinction for absent fields: Spark writes
+    # [] and reads [] -> equality holds for our corpus shapes
+    assert a == b

@@ -538,3 +538,15 @@ def test_curriculum_stage_matches_standalone_operator(spark, tmp_path):
     # schedule is a permutation of 1..n and band 1 exists
     assert sorted(p for _, p in a.values()) == list(range(1, len(a) + 1))
     assert min(band for band, _ in a.values()) == 1
+
+
+def test_jsonl_output_format(spark, tmp_path):
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=20, seed=13)
+    out = str(tmp_path / "out")
+    run_training_pipeline(spark, src, out, cleaning=True,
+                          langs=("en", "und"), quality_floor=0.2,
+                          min_chars=40, max_chars=2000,
+                          output_format="jsonl")
+    back = spark.read.json(f"{out}/corpus")
+    assert back.count() > 0 and "text" in back.columns
