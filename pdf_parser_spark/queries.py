@@ -3310,6 +3310,71 @@ FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
 
 
+def docs_corpus_card(spark, sf):
+    # the corpus datasheet ("data card") in one aggregation: per
+    # (source, lang) — documents, chars, tokens, mean quality, exact-dup
+    # rate, PII-bearing fraction. Every release of a training corpus
+    # ships one of these; here it is ONE map-side-combined groupBy over
+    # pure expressions (the dup rate via a distinct-hash count, the only
+    # two-level part).
+    from pdf_parser_spark.operators.dedup import content_key
+    from pdf_parser_spark.operators.textstats import (quality_features,
+                                                      token_count)
+    d = quality_features(_t(spark, sf, "documents"))
+    email = F.regexp_count(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+    return (d.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length(F.coalesce("text", F.lit("")))
+                       .cast("long")).alias("n_chars"),
+                 F.sum(token_count(F.col("text")).cast("long"))
+                  .alias("n_tokens"),
+                 F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+                 (F.count("*")
+                  - F.countDistinct(content_key(F.col("text"))))
+                  .alias("n_exact_dups"),
+                 F.round(F.avg((email > 0).cast("double")), 6)
+                  .alias("pii_email_frac")))
+
+
+DOCS_CORPUS_CARD_SQL = r"""
+WITH base AS (
+  SELECT source, lang, coalesce(text, '') AS c,
+         md5(coalesce(text, '')) AS h,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS n_tokens,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+           AS alnum,
+         length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\s]', '', 'g'))
+           AS punct
+  FROM documents
+), feat AS (
+  SELECT source, lang, h, n_chars, n_tokens,
+         round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+               + 0.4 * round(alnum::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+               + 0.2 * (1.0 - least(round(punct::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+                   * 4, 1.0)), 6) AS quality_score,
+         (len(regexp_extract_all(c,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0)
+           AS has_email
+  FROM base
+)
+SELECT source, lang, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(avg(quality_score), 6) AS mean_quality,
+       count(*) - count(DISTINCT h) AS n_exact_dups,
+       round(avg(CASE WHEN has_email THEN 1.0 ELSE 0.0 END), 6)
+         AS pii_email_frac
+FROM feat GROUP BY source, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3391,6 +3456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_unpivot": events_unpivot,
     "orders_salted_join": orders_salted_join,
     "docs_hybrid_rrf": docs_hybrid_rrf,
+    "docs_corpus_card": docs_corpus_card,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_quantized_topk": emb_quantized_topk,
     "emb_l2_similarity": emb_l2_similarity,
@@ -3523,6 +3589,7 @@ ORACLES: dict[str, str] = {
     "events_unpivot": EVENTS_UNPIVOT_SQL,
     "orders_salted_join": ORDERS_SALTED_SQL,
     "docs_hybrid_rrf": DOCS_HYBRID_RRF_SQL,
+    "docs_corpus_card": DOCS_CORPUS_CARD_SQL,
     "emb_cosine_dup_pairs": EMB_DUP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_quantized_topk": EMB_QUANTIZED_SQL,
