@@ -3330,7 +3330,15 @@ def docs_corpus_card(spark, sf):
                        .cast("long")).alias("n_chars"),
                  F.sum(token_count(F.col("text")).cast("long"))
                   .alias("n_tokens"),
-                 F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+                 # mean over micro-units: per-row scores are 6-dp
+                 # rounded, so sum exact BIGINT micro-units and divide
+                 # ONCE — float summation order (which differs between
+                 # engines) can no longer flip the last rounded digit
+                 # (observed at sf0.1: 0.745085 vs 0.745084)
+                 F.round(F.sum(F.round(F.col("quality_score") * 1e6)
+                               .cast("long"))
+                         / (F.count("*") * F.lit(1e6)), 6)
+                  .alias("mean_quality"),
                  (F.count("*")
                   - F.countDistinct(content_key(F.col("text"))))
                   .alias("n_exact_dups"),
@@ -3367,7 +3375,8 @@ WITH base AS (
 SELECT source, lang, count(*) AS n_docs,
        sum(n_chars)::BIGINT AS n_chars,
        sum(n_tokens)::BIGINT AS n_tokens,
-       round(avg(quality_score), 6) AS mean_quality,
+       round(sum(CAST(round(quality_score * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS mean_quality,
        count(*) - count(DISTINCT h) AS n_exact_dups,
        round(avg(CASE WHEN has_email THEN 1.0 ELSE 0.0 END), 6)
          AS pii_email_frac
