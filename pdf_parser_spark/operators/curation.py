@@ -735,29 +735,125 @@ def gumbel_topk_sample(df: DataFrame, k: int, weight_col: str, *,
 def curriculum_order(df: DataFrame, bands: int = 10, *,
                      quality_col: str = "quality_score",
                      id_col: str = "doc_id",
-                     salt: str = "curriculum") -> DataFrame:
+                     salt: str = "curriculum",
+                     strategy: str = "decomposed",
+                     n_cuts: int = 256,
+                     prefix_len: int = 2) -> DataFrame:
     """Easy-to-hard curriculum schedule: ntile ``bands`` over the
     quality score (descending — band 1 is the highest-quality decile),
     then a deterministic seed-keyed shuffle WITHIN each band so the
     schedule carries no within-band ordering bias. Appends (band,
     position); position is the global training order.
 
-    The two global windows pin the SEMANTICS; the trillion-row rendition
-    replaces ntile with percentile cuts against broadcast quantile
-    bounds and position with the 256-group prefix-sum decomposition
-    ``global_shuffle``/``pack_sequences`` already use — banding becomes
-    a pure expression once the bounds are known.
+    ``strategy="decomposed"`` (the default, and the one the pipeline's
+    --curriculum-bands stage ships) never sorts the corpus on one task:
+
+    1. **Rank.** Quality is range-bucketed against broadcast
+       ``percentile_approx`` cut points (``n_cuts`` buckets). Bucket
+       boundaries only move LOAD, never answers: within each bucket a
+       partitioned window ranks by (quality DESC, id ASC) exactly, and
+       a broadcast running offset of the per-bucket counts (an
+       n_cuts-row table) lifts local ranks to the exact global rank.
+    2. **Band.** ntile is a pure function of (rank, total, bands) —
+       the first ``total % bands`` tiles get ``total div bands + 1``
+       rows, the rest ``total div bands`` — so banding becomes one
+       codegen CASE expression against the broadcast total.
+    3. **Position.** row_number over (band, md5 shuffle key) factors
+       by the key's hex prefix exactly as ``_with_global_order``:
+       per-(band, prefix) windows + a broadcast offset table of
+       ``bands * 16^prefix_len`` rows.
+
+    Every unpartitioned window in the plan runs over an aggregated
+    offsets table (asserted by plancheck.unpartitioned_corpus_windows
+    in tests). ``strategy="window"`` keeps the two-global-window
+    rendition that pins the semantics; the two are equality-pinned in
+    test_curation_ops. Ties on quality are exact in both forms (the
+    in-bucket window carries the id tiebreak); heavily-tied scores only
+    skew bucket LOAD, bounded by the worst single value's frequency.
+
+    NULL quality orders last (both Spark's DESC and DuckDB's default),
+    implemented as bucket -1 in the decomposed form.
     """
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
     from pyspark.sql.window import Window
 
-    band = F.ntile(bands).over(
-        Window.orderBy(F.desc(quality_col), F.asc(id_col)))
     key = F.md5(F.concat(F.lit(f"{salt}:"),
                          F.col(id_col).cast("string")))
-    pos = F.row_number().over(Window.orderBy("band", "__ck"))
-    return (df.withColumn("band", band)
-            .withColumn("__ck", key)
-            .withColumn("position", pos.cast("int"))
-            .drop("__ck"))
+    if strategy == "window":
+        band = F.ntile(bands).over(
+            Window.orderBy(F.desc(quality_col), F.asc(id_col)))
+        pos = F.row_number().over(Window.orderBy("band", "__ck"))
+        return (df.withColumn("band", band)
+                .withColumn("__ck", key)
+                .withColumn("position", pos.cast("int"))
+                .drop("__ck"))
+    if strategy != "decomposed":
+        raise ValueError(f"strategy must be 'window' or 'decomposed', "
+                         f"got {strategy!r}")
+    if n_cuts < 1:
+        raise ValueError(f"n_cuts must be >= 1, got {n_cuts}")
+
+    out_cols = list(df.columns)
+
+    # -- 1. exact global rank under (quality DESC, id ASC) ---------------
+    probs = [i / n_cuts for i in range(1, n_cuts)]
+    cuts = []
+    if probs:
+        row = df.agg(F.percentile_approx(
+            F.col(quality_col), probs, 10_000).alias("b")).collect()[0]["b"]
+        # percentile_approx over an all-NULL / empty column yields NULL
+        cuts = sorted({float(b) for b in (row or []) if b is not None})
+    # ascending-quality bucket id; exactness never depends on the cuts
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        qb = F.size(F.filter(cut_arr,
+                             lambda c: F.col(quality_col) > c))
+    else:
+        qb = F.lit(0)
+    qb = F.when(F.col(quality_col).isNull(), F.lit(-1)).otherwise(qb)
+
+    base = (df.withColumn("__ck", key)
+            .withColumn("__qb", qb.cast("int")))
+    w_in = (Window.partitionBy("__qb")
+            .orderBy(F.desc(quality_col), F.asc(id_col)))
+    base = base.withColumn("__rl", F.row_number().over(w_in))
+
+    per_qb = base.groupBy("__qb").agg(F.count("*").alias("__n"))
+    # offsets in DESC bucket order (highest quality first); the
+    # unpartitioned window runs over <= n_cuts+1 aggregated rows
+    w_off = (Window.orderBy(F.desc("__qb"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = per_qb.select(
+        "__qb", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
+    total = per_qb.agg(F.sum("__n").cast("long").alias("__tot"))
+    base = (base.join(F.broadcast(offs), "__qb")
+            .crossJoin(F.broadcast(total))
+            .withColumn("__rk", (F.col("__off") + F.col("__rl"))
+                        .cast("long")))
+
+    # -- 2. band = ntile(bands) as a pure function of (__rk, __tot) ------
+    b = int(bands)
+    band = F.expr(
+        f"CASE WHEN __rk <= (__tot % {b}) * ((__tot div {b}) + 1) "
+        f"THEN (__rk - 1) div ((__tot div {b}) + 1) + 1 "
+        f"ELSE (__tot % {b}) "
+        f"  + (__rk - (__tot % {b}) * ((__tot div {b}) + 1) - 1) "
+        f"    div (__tot div {b}) + 1 END").cast("int")
+    base = base.withColumn("band", band)
+
+    # -- 3. position = row_number over (band, __ck), prefix-decomposed ---
+    base = base.withColumn("__pg", F.substring("__ck", 1, prefix_len))
+    w_pos = (Window.partitionBy("band", "__pg")
+             .orderBy("__ck", id_col))
+    base = base.withColumn("__pl", F.row_number().over(w_pos))
+    per_pg = base.groupBy("band", "__pg").agg(F.count("*").alias("__pn"))
+    w_poff = (Window.orderBy("band", "__pg")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    poffs = per_pg.select(
+        "band", "__pg",
+        F.coalesce(F.sum("__pn").over(w_poff), F.lit(0)).alias("__poff"))
+    base = base.join(F.broadcast(poffs), ["band", "__pg"])
+    return (base.withColumn("position",
+                            (F.col("__poff") + F.col("__pl")).cast("int"))
+            .select(*out_cols, "band", "position"))

@@ -419,3 +419,74 @@ def test_gumbel_topk_deterministic_and_salted(spark):
         gumbel_topk_sample(df, 0, "w")
     with pytest.raises(ValueError, match="temperature"):
         gumbel_topk_sample(df, 3, "w", temperature=0.0)
+
+
+# --- curriculum_order: decomposed (scale-safe) vs window (semantics) -------
+
+
+def _curriculum_pairs(df, **kw):
+    from pdf_parser_spark.operators.curation import curriculum_order
+    return {r.doc_id: (r.band, r.position)
+            for r in curriculum_order(df, **kw).collect()}
+
+
+def test_curriculum_decomposed_equals_window(spark):
+    # n = 103 not divisible by bands -> exercises the uneven-tile split;
+    # quality from a hash so cut points fall between real values
+    import hashlib
+    rows = [(i, int(hashlib.md5(f"q{i}".encode()).hexdigest()[:4], 16)
+             / 65535.0) for i in range(103)]
+    df = spark.createDataFrame(rows, "doc_id int, quality_score double")
+    for bands in (1, 7, 10):
+        dec = _curriculum_pairs(df, bands=bands)
+        win = _curriculum_pairs(df, bands=bands, strategy="window")
+        assert dec == win
+    # decomposition parameters move only load, never answers
+    assert _curriculum_pairs(df, n_cuts=1) \
+        == _curriculum_pairs(df, n_cuts=64, prefix_len=1) \
+        == _curriculum_pairs(df, n_cuts=1024, prefix_len=3)
+
+
+def test_curriculum_decomposed_handles_ties_and_nulls(spark):
+    # heavy ties (3 distinct scores over 60 rows) + NULLs: NULL quality
+    # orders last in both the window form (Spark DESC = NULLS LAST) and
+    # the decomposed form (bucket -1)
+    rows = [(i, float(i % 3)) for i in range(60)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id int, quality_score double")
+    dec = _curriculum_pairs(df, bands=5)
+    win = _curriculum_pairs(df, bands=5, strategy="window")
+    assert dec == win
+    assert dec[100][0] == 5 and dec[101][0] == 5   # nulls in the last band
+
+
+def test_curriculum_fewer_rows_than_bands(spark):
+    # n < bands: ntile gives each row its own band 1..n
+    df = spark.createDataFrame([(1, 0.9), (2, 0.5), (3, 0.1)],
+                               "doc_id int, quality_score double")
+    dec = _curriculum_pairs(df, bands=10)
+    win = _curriculum_pairs(df, bands=10, strategy="window")
+    assert dec == win
+    assert sorted(b for b, _ in dec.values()) == [1, 2, 3]
+
+
+def test_curriculum_decomposed_plan_has_no_corpus_global_window(spark):
+    from pdf_parser_spark.operators.curation import curriculum_order
+    from pdf_parser_spark.plancheck import unpartitioned_corpus_windows
+    rows = [(i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, quality_score double")
+    dec = curriculum_order(df)
+    assert unpartitioned_corpus_windows(dec) == []
+    # sanity: the checker DOES flag the window rendition's global sorts
+    win = curriculum_order(df, strategy="window")
+    assert unpartitioned_corpus_windows(win) != []
+
+
+def test_curriculum_rejects_bad_params(spark):
+    from pdf_parser_spark.operators.curation import curriculum_order
+    df = spark.createDataFrame([(1, 0.5)], "doc_id int, quality_score double")
+    with pytest.raises(ValueError, match="bands"):
+        curriculum_order(df, bands=0)
+    with pytest.raises(ValueError, match="strategy"):
+        curriculum_order(df, strategy="nope")
+    with pytest.raises(ValueError, match="n_cuts"):
+        curriculum_order(df, n_cuts=0)
