@@ -656,9 +656,15 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
     tgt_lm = bucket_counts(target).withColumnRenamed("c", "ct")
     raw_tot = F.sum("cr").over(Window.partitionBy())
     tgt_tot = F.sum("ct").over(Window.partitionBy())
-    # full outer on bucket id: a bucket seen only in one LM still has a
-    # defined smoothed probability in both
-    ratio = (raw_lm.join(tgt_lm, "b", "full")
+    # the ratio table spans the FULL bucket range 0..n_buckets-1, not
+    # just buckets seen in raw_lm/tgt_lm: smoothing defines a
+    # probability for every bucket, and a batch scored against a
+    # precomputed raw_counts LM may contain buckets neither LM has seen
+    # — those must get the smoothed floor, not be silently dropped from
+    # the score (which under-reported n_tokens and skewed importance)
+    buckets = (df.sparkSession.range(int(n_buckets))
+               .select(F.col("id").cast("long").alias("b")))
+    ratio = (buckets.join(raw_lm, "b", "left").join(tgt_lm, "b", "left")
              .withColumn("cr", F.coalesce("cr", F.lit(0)))
              .withColumn("ct", F.coalesce("ct", F.lit(0)))
              .withColumn("lr",

@@ -118,6 +118,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, *,
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # only join modes where an unmatched SMALL-side row never surfaces:
+    # the small side is replicated n_salts times, so right/full outer
+    # would emit n_salts duplicates per unmatched small row, silently
+    # breaking the "row-for-row equal to the plain join" contract
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "leftsemi", "left_semi", "leftanti", "left_anti"}
+    if str(how).lower().replace("_", "") not in {
+            a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: "
+            f"replicating the small side makes right/full-outer emit "
+            f"{n_salts} copies of each unmatched small-side row")
     # salt on the FULL row content, not the key: hashing the key alone
     # would send a hot key's rows all to one salt (no spread at all);
     # monotonically_increasing_id would spread but isn't retry-stable

@@ -304,7 +304,8 @@ def tf_idf_top_terms(df: DataFrame, id_col: str = "doc_id",
 
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    counts: DataFrame | None = None) -> DataFrame:
+                    counts: DataFrame | None = None,
+                    unseen_count: float = 1.0) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM — the oracle-checkable degenerate of the CCNet/KenLM
     perplexity quality filter (Wenzek et al. 2020): docs whose tokens
@@ -332,9 +333,14 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     # counts: a precomputed corpus (term, c) relation — the
     # incrementally-maintained store (sources/stats_store.py), so
     # scoring a new batch costs O(batch + vocabulary), not a corpus
-    # rescan. Must COVER the scored documents' corpus (the store is
-    # maintained over the same stream); by default the LM is derived
-    # from df itself, exactly as before.
+    # rescan. A new batch may carry vocabulary the store hasn't merged
+    # yet; LEFT join + the ``unseen_count`` floor keeps those tokens in
+    # the score (an inner join silently dropped them, under-reporting
+    # n_tokens and averaging over a subset). By default the LM is
+    # derived from df itself — every batch term present, floor unused.
+    if unseen_count <= 0:
+        raise ValueError(f"unseen_count must be > 0 (ln(0) is "
+                         f"undefined), got {unseen_count}")
     vocab = (counts.select("term", F.col("c").cast("long").alias("c"))
              if counts is not None
              else tf.groupBy("term").agg(F.sum("tf").alias("c")))
@@ -343,12 +349,13 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
         base = df.select(F.col(id_col).alias("id"))
         return base.select("id", F.lit(0).cast("long").alias("n_tokens"),
                            F.lit(None).cast("double").alias("avg_logprob"))
-    scored = (tf.join(vocab, "term")
+    c_eff = F.coalesce(F.col("c").cast("double"),
+                       F.lit(float(unseen_count)))
+    scored = (tf.join(vocab, "term", "left")
               .groupBy("id")
               .agg(F.sum("tf").alias("n_tokens"),
                    F.round(F.sum(F.col("tf")
-                                 * F.log(F.col("c").cast("double")
-                                         / F.lit(float(total))))
+                                 * F.log(c_eff / F.lit(float(total))))
                            / F.sum("tf"), 6).alias("avg_logprob")))
     base = df.select(F.col(id_col).alias("id"))
     return (base.join(scored, "id", "left")
@@ -428,17 +435,24 @@ def url_domains(df: DataFrame, id_col: str = "doc_id",
 
 def domain_blocklist_filter(df: DataFrame, blocked_domains, *,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            max_inline: int = 1000) -> DataFrame:
     """UT1-style domain blocklist pass: per document, count URLs and
     blocked-domain hits and flag survivors.
 
     (id, n_urls, n_blocked, blocked) — blocked is TRUE when any URL's
     domain (or a parent registrable suffix of it) is on the list, i.e.
-    ``ads.example.com`` is blocked by ``example.com``. The list is a
-    driver-side set (UT1 is ~4M lines ≈ tens of MB — a broadcast-sized
-    literal); membership is one isin over the exploded suffix chain, so
-    the whole pass is codegen expressions on one scan + one per-doc
-    aggregate. Documents with no URLs survive with zeros.
+    ``ads.example.com`` is blocked by ``example.com``. Documents with
+    no URLs survive with zeros.
+
+    Two physical paths, identical answers (equality-pinned in tests):
+    up to ``max_inline`` domains the membership test is one isin over
+    the exploded suffix chain — pure codegen on one scan. Beyond that
+    (UT1 is ~4M lines), an isin literal of millions of values blows up
+    plan construction and codegen long before data moves, so the list
+    becomes a broadcast DataFrame instead: distinct (id, domain) pairs
+    explode their suffix chains and LEFT SEMI join the broadcast list —
+    still one scan of the corpus, one broadcast, one per-doc aggregate.
     """
     blocked = sorted({d.lower() for d in blocked_domains})
     if not blocked:
@@ -450,11 +464,30 @@ def domain_blocklist_filter(df: DataFrame, blocked_domains, *,
     suffixes = F.transform(
         F.sequence(F.lit(1), F.size(parts)),
         lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."))
-    hit = F.exists(suffixes, lambda s: s.isin(*blocked))
-    per_doc = (urls.withColumn("__hit", hit)
-               .groupBy("id")
-               .agg(F.count("*").alias("n_urls"),
-                    F.sum(F.col("__hit").cast("int")).alias("n_blocked")))
+    if len(blocked) <= max_inline:
+        hit = F.exists(suffixes, lambda s: s.isin(*blocked))
+        per_doc = (urls.withColumn("__hit", hit)
+                   .groupBy("id")
+                   .agg(F.count("*").alias("n_urls"),
+                        F.sum(F.col("__hit").cast("int")).alias("n_blocked")))
+    else:
+        # hit-ness depends only on the domain, so collapse occurrences
+        # first: the explode+join runs over distinct (id, domain), not
+        # every URL occurrence
+        dom = urls.groupBy("id", "domain").agg(F.count("*").alias("__occ"))
+        bl = urls.sparkSession.createDataFrame(
+            [(d,) for d in blocked], "__bd string")
+        hit_dom = (dom.select("id", "domain",
+                              F.explode(suffixes).alias("__s"))
+                   .join(F.broadcast(bl), F.col("__s") == F.col("__bd"),
+                         "left_semi")
+                   .select("id", "domain").distinct()
+                   .withColumn("__hit", F.lit(1)))
+        per_doc = (dom.join(hit_dom, ["id", "domain"], "left")
+                   .groupBy("id")
+                   .agg(F.sum("__occ").alias("n_urls"),
+                        F.sum(F.when(F.col("__hit") == 1, F.col("__occ"))
+                              .otherwise(0)).alias("n_blocked")))
     base = df.select(F.col(id_col).alias("id"))
     return (base.join(per_doc, "id", "left")
             .select("id",

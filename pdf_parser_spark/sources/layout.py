@@ -10,11 +10,16 @@ predicates prune most files no matter which column they hit.
 
 Implementation is pure JVM expressions: each column is rank-coded to
 ``bits`` levels via percentile bounds (collected once — 2^bits - 1
-doubles per column, the k-centroid kind of collect), the codes'
-bits are interleaved arithmetically, and one range-repartition + sort
-on the z-value lays files out along the curve. Effectiveness is
-MEASURED, not assumed: tests read the written parquet footers and
-assert the per-file min-max widths shrink vs the unsorted layout.
+doubles per column, the k-centroid kind of collect), the codes' bits
+are interleaved arithmetically, and the rows are cut into ``n_files``
+files at exact percentile bounds OF THE Z-VALUE — not via
+``repartitionByRange``'s reservoir sampling, whose bounds drift with
+session state (input split sizes, AQE coalescing) and made the footer-
+stats gate flaky. The file id is deterministic given (data, bits,
+n_files) alone, so the written layout — and the measured pruning — is
+reproducible run to run. Effectiveness is MEASURED, not assumed: tests
+read the written parquet footers and assert the per-file min-max widths
+shrink vs the unsorted layout.
 """
 
 from __future__ import annotations
@@ -36,24 +41,63 @@ def _rank_code(col: Column, bounds: list[float]) -> Column:
 
 def zorder_value(codes: list[Column], bits: int) -> Column:
     """Interleave ``bits`` bits of each rank code (MSB-first across
-    columns) into one long — the Morton index."""
-    z = F.lit(0)
+    columns) into one long — the Morton index. Accumulates in a LONG:
+    ``bits * len(codes)`` is the index width, validated <= 63 so the
+    shift chain can never overflow into the sign bit and scramble the
+    curve order."""
+    if bits * len(codes) > 63:
+        raise ValueError(
+            f"z-value needs bits*len(cols) <= 63 bits of long, got "
+            f"{bits} * {len(codes)} = {bits * len(codes)}; lower bits "
+            f"or z-order fewer columns")
+    z = F.lit(0).cast("long")
     for level in range(bits - 1, -1, -1):
         for code in codes:
             z = F.shiftleft(z, 1) + F.shiftright(code, level).bitwiseAND(1)
     return z
 
 
+def _partition_remap(df: DataFrame, n_parts: int) -> dict[int, int]:
+    """int values v_0..v_{n-1} with pmod(murmur3(v_i), n_parts) == i.
+
+    ``repartition(n, col)`` places a row in partition
+    pmod(hash(col), n); remapping file id i to v_i pins file i to
+    partition i EXACTLY — no sampling, no collisions, no empty files.
+    One tiny probe job (F.hash IS the partitioner's Murmur3, same seed);
+    the probe range grows until every partition has a representative
+    (coupon-collector: a few·n rows almost always suffice).
+    """
+    spark = df.sparkSession
+    remap: dict[int, int] = {}
+    lo, step = 0, max(64, 8 * n_parts)
+    while len(remap) < n_parts:
+        probe = (spark.range(lo, lo + step)
+                 .select(F.col("id").cast("int").alias("v"),
+                         F.pmod(F.hash(F.col("id").cast("int")),
+                                F.lit(n_parts)).alias("p")))
+        for r in probe.groupBy("p").agg(F.min("v").alias("v")).collect():
+            remap.setdefault(int(r.p), int(r.v))
+        lo += step
+        if lo > 1_000_000:   # pragma: no cover — pmod(hash) is uniform
+            raise RuntimeError(f"could not find {n_parts} hash "
+                               f"representatives in 1e6 probes")
+    return remap
+
+
 def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
                   n_files: int = 8) -> DataFrame:
     """Return ``df`` redistributed and sorted along the Z-curve of
     ``cols`` — write the result with a plain ``.write.parquet`` and the
-    footer stats do the pruning. One percentile job per call (all
-    columns in one aggregation), then ONE repartitionByRange + local
-    sort on the z-value; no extra shuffle beyond the one any clustering
-    rewrite needs. 2^bits levels per column: 16 levels (bits=4) is
-    plenty to separate n_files in the low hundreds — deeper bits only
-    matter when file counts approach 2^(bits*len(cols)).
+    footer stats do the pruning.
+
+    Two aggregation passes (per-column percentile bounds, then z-value
+    percentile cuts — both single collected rows) and ONE shuffle: file
+    id = rank of z against its exact percentile cuts, hash-remapped so
+    ``repartition(n_files, ...)`` lands file i in partition i
+    deterministically, then a local sort on z. 2^bits levels per
+    column: 16 levels (bits=4) is plenty to separate n_files in the low
+    hundreds — deeper bits only matter when file counts approach
+    2^(bits*len(cols)).
     """
     if not cols or bits < 1 or n_files < 1:
         raise ValueError(f"need cols, bits>=1, n_files>=1; got "
@@ -72,14 +116,38 @@ def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
             f"zorder columns must be numeric/temporal, got "
             f"{[(c, dtypes.get(c)) for c in bad]}; hash or dictionary-"
             f"encode strings first (locality is meaningless on a hash)")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"z-value needs bits*len(cols) <= 63 bits of long, got "
+            f"{bits} * {len(cols)} = {bits * len(cols)}; lower bits "
+            f"or z-order fewer columns")
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     row = df.agg(*[F.percentile_approx(F.col(c).cast("double"),
                                        qs, 10_000).alias(c)
                    for c in cols]).collect()[0]
+    null_cols = [c for c in cols if row[c] is None]
+    if null_cols:
+        raise ValueError(
+            f"zorder columns {null_cols} are entirely NULL (or the "
+            f"input is empty): no percentile bounds exist to cluster on")
     codes = [_rank_code(F.col(c), [float(x) for x in row[c]])
              for c in cols]
     z = zorder_value(codes, bits)
-    return (df.withColumn("__z", z)
-            .repartitionByRange(n_files, "__z")
+
+    # exact z-percentile file cuts: deterministic given the data alone
+    with_z = df.withColumn("__z", z)
+    fid_expr = F.lit(0)
+    if n_files > 1:
+        zq = [i / n_files for i in range(1, n_files)]
+        zrow = with_z.agg(F.percentile_approx(
+            F.col("__z").cast("double"), zq, 10_000).alias("b")).collect()[0]
+        zcuts = [float(x) for x in (zrow["b"] or [])]
+        fid_expr = _rank_code(F.col("__z"), zcuts)
+    remap = _partition_remap(df, n_files)
+    pmap = F.create_map(*[F.lit(x) for kv in sorted(remap.items())
+                          for x in kv])
+    return (with_z
+            .withColumn("__p", F.element_at(pmap, fid_expr.cast("int")))
+            .repartition(n_files, "__p")
             .sortWithinPartitions("__z")
-            .drop("__z"))
+            .drop("__z", "__p"))

@@ -2052,3 +2052,49 @@ def test_mmr_rerank_diversifies(spark):
     # lam=1: pure relevance order
     got_rel = mmr_rerank(cands, q, top_k=3, lam=1.0)
     assert [i for i, _, _ in got_rel] == [1, 2, 3]
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would emit n_salts copies of each unmatched
+    small-side row (the small side is replicated); refuse loudly."""
+    import pytest
+
+    from pdf_parser_spark.operators.joins import salted_join
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("a", 2)], "k string, w int")
+    for how in ("right", "full", "outer", "full_outer", "rightouter",
+                "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+    # allowed modes still work (left keeps the orphan with NULLs)
+    big2 = spark.createDataFrame([("a", 1), ("x", 9)], "k string, v int")
+    left = {(r.k, r.v, r.w) for r in
+            salted_join(big2, small, "k", how="left").collect()}
+    assert left == {("a", 1, 2), ("x", 9, None)}
+    anti = {r.k for r in
+            salted_join(big2, small, "k", how="left_anti").collect()}
+    assert anti == {"x"}
+
+
+def test_blocklist_join_path_equals_inline_path(spark):
+    """Beyond max_inline the blocklist becomes a broadcast semi-join;
+    both physical paths must answer identically, occurrence counts
+    included (the same URL twice in one doc counts twice)."""
+    from pdf_parser_spark.operators.textstats import domain_blocklist_filter
+    rows = [
+        (0, "see https://ads.example.com/x https://ads.example.com/y"),
+        (1, "https://safe.org http://example.com"),
+        (2, "no urls"),
+        (3, None),
+        (4, "https://deep.sub.tracker.net/a https://ok.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    blocked = ["example.com", "tracker.net"]
+    cols = ["id", "n_urls", "n_blocked", "blocked"]
+    inline = {tuple(r[c] for c in cols)
+              for r in domain_blocklist_filter(df, blocked).collect()}
+    joined = {tuple(r[c] for c in cols)
+              for r in domain_blocklist_filter(df, blocked,
+                                               max_inline=0).collect()}
+    assert inline == joined
+    assert (0, 2, 2, True) in inline and (4, 2, 1, True) in inline

@@ -122,3 +122,70 @@ def test_time_travel_reads_older_versions(spark, tmp_path):
     assert _counts(spark, store) == FULL_COUNTS  # current unchanged
     with pytest.raises(ValueError, match="version 9 not in store"):
         read_token_counts(spark, str(store), version=9)
+
+
+def test_unigram_logprob_novel_batch_terms_get_floor(spark, tmp_path):
+    """A new batch scored against a stale store keeps its NOVEL terms:
+    n_tokens counts every token and unseen terms contribute
+    ln(unseen_count / total) instead of being silently dropped."""
+    import math
+
+    from pdf_parser_spark.operators.textstats import unigram_logprob
+    store = tmp_path / "store"
+    store.mkdir()
+    old = _df(spark, [(0, "alpha beta"), (1, "alpha alpha")])
+    merge_token_counts(spark, old, str(store), batch_id=0)
+    # total = 4: alpha x3, beta x1
+    new_batch = spark.createDataFrame(
+        [(9, "alpha zzz-novel")], "doc_id long, text string")
+    got = unigram_logprob(
+        new_batch, counts=read_token_counts(spark, str(store))).collect()[0]
+    assert got.n_tokens == 2                      # the novel token counts
+    want = round((math.log(3 / 4) + math.log(1.0 / 4)) / 2, 6)
+    assert got.avg_logprob == want
+    import pytest
+    with pytest.raises(ValueError, match="unseen_count"):
+        unigram_logprob(new_batch, unseen_count=0.0)
+
+
+def test_dsir_novel_batch_buckets_get_smoothed_floor(spark, tmp_path):
+    """DSIR against a precomputed raw LM scores buckets neither LM has
+    seen at the smoothed floor (ratio table spans the full bucket
+    range); previously those buckets were dropped from the mean."""
+    from pdf_parser_spark.operators.curation import dsir_importance
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+    from pdf_parser_spark.sources.stats_store import \
+        bucket_counts_from_store
+    store = tmp_path / "store"
+    store.mkdir()
+    old = _df(spark, [(0, "alpha beta"), (1, "alpha alpha")])
+    target = spark.createDataFrame([("alpha",)], "text string")
+    merge_token_counts(spark, old, str(store), batch_id=0)
+    bc = bucket_counts_from_store(
+        read_token_counts(spark, str(store)), n_buckets=8)
+    batch = spark.createDataFrame(
+        [(9, "qqq-novel www-novel")], "doc_id long, text string")
+    got_df = dsir_importance(batch, target, n_buckets=8, raw_counts=bc)
+    got = got_df.collect()[0]
+    # pure-python replay with bucket-level smoothing over the FULL
+    # range: novel-bucket tokens score at the floor, not dropped
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    raw = {}
+    for t in ["alpha", "beta", "alpha", "alpha"]:
+        raw[bucket(t)] = raw.get(bucket(t), 0) + 1
+    tgt = {bucket("alpha"): 1}
+    rt, tt = sum(raw.values()), sum(tgt.values())
+
+    def lr(b):
+        return (math.log(tgt.get(b, 0) + 1) - math.log(tt + 8)) \
+            - (math.log(raw.get(b, 0) + 1) - math.log(rt + 8))
+
+    want = round((lr(bucket("qqq-novel")) + lr(bucket("www-novel"))) / 2, 6)
+    assert got.n_tokens == 2
+    assert got.importance == want
+    release_owned_storage(got_df)

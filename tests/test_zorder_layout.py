@@ -68,3 +68,50 @@ def test_zorder_rejects_string_columns(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with pytest.raises(ValueError, match="numeric/temporal"):
         zorder_layout(docs, ["text"])
+
+
+def test_zorder_value_rejects_long_overflow(spark):
+    import pytest
+    from pdf_parser_spark.sources.layout import zorder_value
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.lit(1)] * 8, bits=8)   # 64 bits would hit the sign
+    docs = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="63"):
+        zorder_layout(docs, ["a", "b"], bits=32)
+
+
+def test_zorder_rejects_all_null_column(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b double")
+    with pytest.raises(ValueError, match="entirely NULL"):
+        zorder_layout(df, ["a", "b"])
+
+
+def test_zorder_layout_is_session_state_invariant(spark, tmp_path):
+    """The file cuts come from exact z-percentiles, not range sampling:
+    the same input must produce byte-identical per-file footer stats no
+    matter how the session is configured (the round-3 flake was
+    repartitionByRange sampling drifting with shuffle/AQE state)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "user_id", "value")
+    stats = []
+    for trial, (sp, mpb) in enumerate([("8", "128m"), ("64", "1m")]):
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        try:
+            out = str(tmp_path / f"z{trial}")
+            zorder_layout(ev, ["user_id", "value"], n_files=4) \
+                .write.parquet(out)
+            per_file = []
+            for col in ("user_id", "value"):
+                per_file.append(tuple(_file_widths(f"{out}/part-*.parquet",
+                                                   col)))
+            stats.append(tuple(per_file))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    assert stats[0] == stats[1]
