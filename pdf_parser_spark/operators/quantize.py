@@ -278,3 +278,43 @@ def pq_search(emb_df: DataFrame, codebooks: list[list[list[float]]],
     topk = scored.orderBy(*order).limit(top_k)
     return topk.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+
+
+def pq_funnel_topk(emb_df: DataFrame, codebooks: list[list[list[float]]],
+                   query_vec: list[float], top_k: int = 10, *,
+                   overfetch: int = 5, n_planes: int = 8,
+                   n_probe: int = 16, n_tables: int = 3, seed: int = 42,
+                   emb_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """The full modern retrieval funnel in one plan, three stages each
+    cheaper per row than the last is wide:
+
+    1. **Prune** — margin-guided multi-probe LSH
+       (similarity.multiprobe_candidates, Lv et al. VLDB 2007) keeps
+       only rows in the query's probed buckets: at scale, partition
+       pruning on a bucket-partitioned table — most rows are never read
+       at all.
+    2. **ADC** — the survivors are scored over their m-byte PQ codes
+       (Jegou et al. 2011): the scan reads m bytes/row instead of
+       dim*4, a ~dim*4/m cut of candidate-stage scan bytes.
+    3. **Rerank** — exact L2 over the full vectors of the
+       overfetch*top_k ADC winners only (a broadcast semi-join touching
+       a constant number of rows).
+
+    Returns (id_col, l2_dist, rank) — exact distances, ascending; same
+    contract as :func:`pq_search`. Production stores the bucket columns
+    AND the code column on the table; here both are computed in-plan
+    (the convention every ANN entry in this repo follows). Recall and
+    the scanned-bytes budget vs plain multi-probe are gated in
+    tests/test_analytics_ops.py and recorded in BASELINE.md.
+    """
+    from pdf_parser_spark.operators.similarity import multiprobe_candidates
+
+    pruned = multiprobe_candidates(emb_df, query_vec, emb_col=emb_col,
+                                   n_planes=n_planes, n_probe=n_probe,
+                                   n_tables=n_tables, seed=seed)
+    codes = pq_encode(pruned, codebooks, emb_col=emb_col) \
+        .select(id_col, "pq_codes")
+    return pq_search(emb_df, codebooks, query_vec, top_k,
+                     overfetch=overfetch, emb_col=emb_col, id_col=id_col,
+                     codes_df=codes)

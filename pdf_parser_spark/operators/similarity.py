@@ -162,32 +162,46 @@ def ann_topk_multiprobe(df: DataFrame, query_vec: list[float], k: int = 10,
     whose neighborhood is spread thin without paying the expanded budget
     on every query.
     """
-    dim = len(query_vec)
     qf = [float(x) for x in query_vec]
-
-    def build_pred(budget: int):
-        pred = None
-        bucketed = df
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed + t)
-            qb = _py_bucket(qf, planes)
-            margins = [sum(x * y for x, y in zip(qf, p)) for p in planes]
-            probes = [qb ^ m for m in _probe_masks(n_planes, margins,
-                                                   budget)]
-            col = f"__lsh_{t}"
-            bucketed = bucketed.withColumn(
-                col, sign_lsh_bucket(F.col(emb_col), planes))
-            term = F.col(col).isin(probes)
-            pred = term if pred is None else (pred | term)
-        return bucketed.where(pred)
-
     budget = n_probe
-    cand = build_pred(budget)
+    cand = multiprobe_candidates(df, qf, emb_col=emb_col,
+                                 n_planes=n_planes, n_probe=budget,
+                                 n_tables=n_tables, seed=seed)
     if min_candidates is not None:
         while cand.count() < min_candidates and budget < (1 << n_planes):
             budget = min(budget * 2, 1 << n_planes)
-            cand = build_pred(budget)
+            cand = multiprobe_candidates(df, qf, emb_col=emb_col,
+                                         n_planes=n_planes, n_probe=budget,
+                                         n_tables=n_tables, seed=seed)
     return brute_force_topk(cand, qf, k, emb_col, id_col)
+
+
+def multiprobe_candidates(df: DataFrame, query_vec: list[float], *,
+                          emb_col: str = "embedding", n_planes: int = 8,
+                          n_probe: int = 16, n_tables: int = 3,
+                          seed: int = 42) -> DataFrame:
+    """The pruning stage of margin-guided multi-probe LSH, alone: rows of
+    ``df`` whose bucket (in any of ``n_tables`` tables) is among the
+    query's ``n_probe`` margin-ordered probes. This is the candidate
+    feed both the exact rerank (:func:`ann_topk_multiprobe`) and the
+    PQ-ADC funnel (quantize.pq_funnel_topk) share; at scale the bucket
+    columns are stored and the isin predicate is partition pruning."""
+    dim = len(query_vec)
+    qf = [float(x) for x in query_vec]
+    pred = None
+    bucketed = df
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        qb = _py_bucket(qf, planes)
+        margins = [sum(x * y for x, y in zip(qf, p)) for p in planes]
+        probes = [qb ^ m for m in _probe_masks(n_planes, margins, n_probe)]
+        col = f"__lsh_{t}"
+        bucketed = bucketed.withColumn(
+            col, sign_lsh_bucket(F.col(emb_col), planes))
+        term = F.col(col).isin(probes)
+        pred = term if pred is None else (pred | term)
+    return bucketed.where(pred).drop(
+        *[f"__lsh_{t}" for t in range(n_tables)])
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------

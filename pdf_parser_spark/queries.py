@@ -3134,6 +3134,20 @@ def emb_pq_topk(spark, sf):
     return pq_search(emb, cb, q, top_k=10, overfetch=5)
 
 
+def emb_funnel_topk(spark, sf):
+    # the full modern retrieval funnel: multi-probe LSH bucket pruning
+    # (partition pruning at scale) -> PQ-ADC scoring of survivors at
+    # m bytes/row -> exact L2 rerank of overfetch*k winners; recall and
+    # scanned-bytes budget gated in test_pq_funnel_gates
+    from pdf_parser_spark.operators.quantize import pq_funnel_topk, pq_train
+    emb = _t_wide(spark, sf, "embeddings")
+    cb = pq_train(emb, m=8, k=32, iters=1)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return pq_funnel_topk(emb, cb, q, top_k=10, overfetch=5,
+                          n_planes=8, n_probe=32, n_tables=3)
+
+
 def events_cube(spark, sf):
     # CUBE completes the grouping-sets family (rollup = hierarchy, cube
     # = every dimension subset): (type x weekday-class) totals with both
@@ -3461,6 +3475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cardinality_profile": events_cardinality_profile,
     "docs_curriculum_order": docs_curriculum_order,
     "emb_pq_topk": emb_pq_topk,
+    "emb_funnel_topk": emb_funnel_topk,
     "events_cube": events_cube,
     "events_unpivot": events_unpivot,
     "orders_salted_join": orders_salted_join,
@@ -3519,6 +3534,11 @@ ROWS_ONLY: dict[str, str] = {
                    "rerank); recall + determinism gated in "
                    "test_pq_search_recall_and_rerank_gates, exact-top-1 "
                    "containment pinned",
+    "emb_funnel_topk": "approximate by design (multi-probe LSH pruning "
+                       "-> PQ-ADC -> exact rerank); recall vs exact L2, "
+                       "full-scan-ADC recall parity, scanned-bytes "
+                       "budget and exact-top-1 containment gated in "
+                       "test_pq_funnel_gates",
 }
 
 ORACLES: dict[str, str] = {

@@ -2098,3 +2098,58 @@ def test_blocklist_join_path_equals_inline_path(spark):
                                                max_inline=0).collect()}
     assert inline == joined
     assert (0, 2, 2, True) in inline and (4, 2, 1, True) in inline
+
+
+def test_pq_funnel_gates(spark):
+    """The three-stage retrieval funnel (multi-probe LSH pruning ->
+    PQ-ADC over m-byte codes -> exact rerank). Gates, all on the fixed
+    sf0.001 embeddings (measured values in BASELINE.md):
+
+    (a) recall@10 vs exact L2 averages >= 0.6 (measured 0.70 over 8
+        queries) — the pq_search bar — with min >= 0.3;
+    (b) recall parity with FULL-SCAN ADC at the same overfetch (within
+        0.1 avg; measured exactly equal): pruning to ~35% of rows costs
+        nothing the codes hadn't already lost;
+    (c) the candidate-stage scanned-bytes budget is <3% of the
+        multi-probe exact row's (frac*m bytes vs frac_mp*dim*4; measured
+        0.345*8 = 2.8 B/row vs 0.49*256 = 125 B/row, i.e. 2.2%);
+    (d) exact top-1 containment: the query's own vector survives all
+        three stages and ranks first at distance 0 (its bucket is probe
+        mask 0, always probed).
+    """
+    from pdf_parser_spark.operators.quantize import (pq_encode,
+                                                     pq_funnel_topk,
+                                                     pq_search, pq_train)
+    from pdf_parser_spark.operators.similarity import multiprobe_candidates
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    total = emb.count()
+    dim = len(emb.first().embedding)
+    cb = pq_train(emb, m=8, k=32, iters=2)
+    codes_full = pq_encode(emb, cb).select("vec_id", "pq_codes").cache()
+    qids = [0, 3, 7, 11, 19, 100, 250, 499]
+    qs = {r.vec_id: [float(x) for x in r.embedding]
+          for r in emb.where(F.col("vec_id").isin(qids)).collect()}
+    kw = dict(n_planes=8, n_probe=32, n_tables=3)
+    funnel_rs, full_rs, fracs = [], [], []
+    for qid, q in qs.items():
+        gt = set(_exact_l2_topk(emb, q))
+        got = pq_funnel_topk(emb, cb, q, top_k=10, overfetch=5,
+                             **kw).collect()
+        assert got[0].vec_id == qid and got[0].l2_dist == 0.0  # (d)
+        funnel_rs.append(len({r.vec_id for r in got} & gt) / 10)
+        full = pq_search(emb, cb, q, top_k=10, overfetch=5,
+                         codes_df=codes_full).collect()
+        full_rs.append(len({r.vec_id for r in full} & gt) / 10)
+        fracs.append(multiprobe_candidates(emb, q, **kw).count() / total)
+    avg = sum(funnel_rs) / len(funnel_rs)
+    assert avg >= 0.6 and min(funnel_rs) >= 0.3, funnel_rs          # (a)
+    assert avg >= sum(full_rs) / len(full_rs) - 0.1, (funnel_rs,
+                                                      full_rs)      # (b)
+    frac = sum(fracs) / len(fracs)
+    funnel_bytes = frac * 8                    # m=8 one-byte codes
+    multiprobe_bytes = 0.49 * dim * 4          # the BASELINE.md row
+    assert funnel_bytes < 0.03 * multiprobe_bytes, (frac, dim)      # (c)
+    codes_full.unpersist()
+    emb.unpersist()

@@ -10,7 +10,12 @@ DNS resolution — the sandbox has no outbound network (``curl`` exit 6,
 ``pip download`` likewise) — and no local jar exists anywhere on the
 image (``find / -name '*iceberg*'``). The gate therefore stays; the
 parquet dynamic-overwrite twin (tests/test_resume.py) remains the
-executable evidence for the commit semantics."""
+executable evidence for the commit semantics.
+
+Re-attempted round 4 (2026-08-18): still no DNS for repo1.maven.org or
+the pip index (``pip download sentence-transformers`` → name resolution
+failure), so the Iceberg jar, the real encoder, and PIL all remain
+environment-gated this round too."""
 
 from __future__ import annotations
 
