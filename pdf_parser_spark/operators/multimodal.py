@@ -13,13 +13,14 @@ Spark-first:
 - compute over payloads runs in ``mapInPandas`` over Arrow record batches:
   payload bytes stream executor-side in columnar batches, nothing ever
   collects to the driver.
-- the image/audio codec libraries are NOT in this container, so the
-  *decode* step is stubbed: ``decode_image`` raises ``NotImplementedError``
-  unless PIL is importable, while ``payload_features`` computes real,
-  deterministic byte-level features (size, digest, entropy, a fake
-  width/height parsed from the deterministic synthetic header) so the full
-  Spark plumbing — schema, batching, partitioning, UDF signatures — is
-  exercised end-to-end by tests.
+- the image/audio codec LIBRARIES are not in this container, but PNG
+  needs none: ``decode_image``'s default path decodes PNG with the
+  stdlib codec (functions/png.py, zlib + the five scanline filters) and
+  runs end-to-end here; non-PNG formats route to PIL, whose absence
+  becomes a per-row ok=false error row (honestly gated, never a task
+  failure). ``payload_features`` computes real, deterministic byte-level
+  features (size, digest, entropy, a fake width/height parsed from the
+  deterministic synthetic header) with no codec at all.
 - ``frame_sample_plan`` (video) is pure column expressions over metadata:
   planning which frames to sample needs no pixels at all.
 
@@ -118,6 +119,28 @@ def synth_media(spark: SparkSession, n_rows: int = 60, seed: int = 42,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_png_media(spark: SparkSession, n_rows: int = 12, seed: int = 7,
+                    ) -> DataFrame:
+    """Deterministic REAL PNG payloads (spec-valid, stdlib-encoded) —
+    the media table the default decode path is tested on. Pixel values
+    are a seeded affine pattern so every (data, seed) pair is
+    bit-reproducible with no external images."""
+    from pdf_parser_spark.functions.png import encode_png
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        w = rng.choice([3, 17, 64, 120])
+        h = max((w * 3) // 4, 1)
+        rgb = bytes((x * 7 + y * 13 + i * 29 + c * 97) % 256
+                    for y in range(h) for x in range(w) for c in range(3))
+        payload = encode_png(w, h, rgb)
+        rows.append((f"png{i:04d}", f"conv_png_{i % 5:04d}", i % 11,
+                     "image", payload,
+                     ("image/png", w, h, 0, 0, len(payload))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _entropy(b: bytes) -> float:
     if not b:
         return 0.0
@@ -169,8 +192,8 @@ THUMBNAIL_SCHEMA = StructType([
 
 
 def _pil_decoder(payload: bytes):
-    """Default decoder: PIL (gated — pillow absent in this container;
-    vendoring attempted round 3: no outbound network, see
+    """PIL decoder for non-PNG formats (gated — pillow absent in this
+    container; vendoring attempted rounds 3-4: no outbound network, see
     tests/test_iceberg_gate.py docstring). Returns an object with the
     ``.size`` / ``.convert`` / ``.resize`` / ``.tobytes`` protocol the
     thumbnail pipeline below drives."""
@@ -178,6 +201,26 @@ def _pil_decoder(payload: bytes):
 
     from PIL import Image
     return Image.open(io.BytesIO(payload))
+
+
+def _default_decoder(payload: bytes):
+    """The DEFAULT codec: PNG decodes via the stdlib codec
+    (functions/png.py — zlib inflate + the five scanline filters, no
+    external library), everything else goes to PIL. Where PIL is absent
+    (this container), a non-PNG payload raises ``NotImplementedError``
+    — which the per-row error accounting in :func:`decode_image` turns
+    into an ok=false row, so a mixed PNG/JPEG table still decodes every
+    PNG instead of failing the stage."""
+    from pdf_parser_spark.functions.png import PNG_SIG, PngImage
+    if payload[:8] == PNG_SIG:
+        return PngImage.open(payload)
+    try:
+        return _pil_decoder(payload)
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-PNG image decode requires pillow, which is not installed "
+            "in this container and cannot be vendored (no network); PNG "
+            "payloads decode via the stdlib codec") from e
 
 
 def decode_image(media: DataFrame, max_side: int = 256,
@@ -191,20 +234,15 @@ def decode_image(media: DataFrame, max_side: int = 256,
     never a task failure — one bad image in 10^9 must not kill a stage).
     Only the codec itself is injected: ``decoder(payload)`` must return a
     PIL-Image-like object (``.size``, ``.convert('RGB')``,
-    ``.resize((w, h))``, ``.tobytes()``). Default is PIL, which raises
-    ``NotImplementedError`` here (pillow absent, no network to vendor it);
-    tests drive the identical plumbing with a deterministic fake decoder
-    over the synthetic PPSM payloads.
+    ``.resize((w, h))``, ``.tobytes()``). The DEFAULT decoder handles PNG
+    via the stdlib codec (functions/png.py) — executable in this
+    container end-to-end, test-pinned on spec-valid synthetic PNGs — and
+    routes every other format to PIL, whose absence becomes a per-row
+    ok=false error row (the JPEG path stays honestly gated: there is no
+    stdlib DCT decoder worth hand-rolling).
     """
     if decoder is None:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "image decode requires pillow, which is not installed in "
-                "this container and cannot be vendored (no network); pass "
-                "decoder= explicitly or use payload_features()") from e
-        decoder = _pil_decoder
+        decoder = _default_decoder
 
     cols = [f.name for f in THUMBNAIL_SCHEMA.fields]
 

@@ -1830,6 +1830,20 @@ def media_payload_features(spark, sf):
     return payload_features(synth_media(spark, n_rows=120, seed=42))
 
 
+def media_png_thumbnails(spark, sf):
+    # the DEFAULT image decode path, executable with no codec library:
+    # stdlib PNG decode (functions/png.py) + aspect-bound thumbnail over
+    # the deterministic synthetic PNG table; pixels md5-digested so the
+    # golden digest pins the decoded bytes themselves
+    from pdf_parser_spark.operators.multimodal import (decode_image,
+                                                       synth_png_media)
+    t = decode_image(synth_png_media(spark, n_rows=24, seed=7),
+                     max_side=32)
+    return t.select("media_id", "src_width", "src_height", "thumb_width",
+                    "thumb_height", F.md5("pixels").alias("pixels_md5"),
+                    "ok", "error")
+
+
 # a fixed 13-token gram planted into the eval slice AND a subset of the
 # training docs so contamination actually occurs in the word-soup corpus
 # (without it the oracle is trivially 0-row green at every sf) — the
@@ -3502,6 +3516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_multiprobe_topk": emb_ann_multiprobe_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "media_payload_features": media_payload_features,
+    "media_png_thumbnails": media_png_thumbnails,
 }
 
 # Every QUERIES entry without a DuckDB oracle, with the reason it cannot
@@ -3521,6 +3536,9 @@ ROWS_ONLY: dict[str, str] = {
                               "digest",
     "media_payload_features": "synthesized binary media payloads; pytest "
                               "+ golden digest",
+    "media_png_thumbnails": "synthesized PNG payloads decoded by the "
+                            "stdlib default codec; pytest "
+                            "(test_png_codec.py) + golden digest",
     "emb_ann_topk": "approximate by design (sign-LSH); recall measured "
                     "and gated in test_ann_recall_gates, exact-top-1 "
                     "containment pinned",

@@ -53,6 +53,8 @@ GOLDEN = {
     "extract_synth_cleaned": (169824789434257729557, 286),
     "chunks_semantic_search": (3248705052294677657, 5),
     "media_payload_features": (68839625954811966076, 120),
+    # pinned 2026-08-18 (round 4): default stdlib-PNG decode path
+    "media_png_thumbnails": (15542541634295717865, 24),
 }
 
 
@@ -86,6 +88,12 @@ def test_ann_multiprobe_contains_exact_hit(spark):
 
 def test_pq_topk_contains_exact_hit(spark):
     top = QUERIES["emb_pq_topk"](spark, SF_DIR).collect()
+    assert top[0].vec_id == 0
+    assert top[0].l2_dist == 0.0
+
+
+def test_pq_funnel_contains_exact_hit(spark):
+    top = QUERIES["emb_funnel_topk"](spark, SF_DIR).collect()
     assert top[0].vec_id == 0
     assert top[0].l2_dist == 0.0
 

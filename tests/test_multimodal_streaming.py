@@ -88,9 +88,14 @@ def test_media_dedup_exact(media, spark):
 
 
 def test_decode_image_gated(media):
-    # default codec is PIL, absent here (and unvendorable: no network)
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    # non-PNG decode still requires PIL (absent here, unvendorable: no
+    # network) — the gate is PER ROW now: PPSM payloads come back
+    # ok=false naming the missing codec instead of failing the plan,
+    # while the stdlib PNG default path runs end-to-end
+    # (test_png_codec.py::test_default_decode_image_runs_end_to_end_on_png)
+    rows = decode_image(media).collect()
+    assert rows and all(not r.ok and "NotImplementedError" in r.error
+                        and "pillow" in r.error for r in rows)
 
 
 def _make_fake_decoder():
