@@ -279,6 +279,90 @@ def extract_chunks_bucketed(transcripts: DataFrame,
             .mapInPandas(map_fn, CHUNK_SCHEMA))
 
 
+def choose_extraction_route(transcripts: DataFrame, *,
+                            n_partitions: int | None = None,
+                            max_share: float = 0.2) -> str:
+    """'bucketed' or 'windowed', from ONE cheap skew pre-scan.
+
+    The bucketed path is the fastest shape (pure map, zero shuffle) but
+    pays conversation-granularity imbalance: a conversation is never
+    split across tasks, so its worst case is the heaviest conversation's
+    share of a fair per-task slice — measured ~9 % throughput loss at
+    256x conversation-length skew (BASELINE.md). The windowed path
+    spreads every conversation's turns across input splits (turns
+    tokenize independently; only the chunk-index window sees
+    conversation boundaries) and measured zero loss under the same skew.
+
+    Decision: let ``share = max_conv_chars * n_partitions /
+    total_chars`` — how many fair task-slices the heaviest single
+    conversation fills. Above ``max_share`` a straggler task is already
+    20 % longer than fair before any other imbalance stacks on it →
+    windowed; otherwise bucketed. The pre-scan is one map-side-combined
+    aggregation over (conv_id, char lengths) — column-pruned, no text
+    moves — and its result can be reused from a previous run's lineage
+    (wall shares) instead; this function is the cold-start rendition.
+    """
+    spark = transcripts.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    cost = (F.length(F.coalesce(F.col("text"), F.lit("")))
+            + F.length(F.coalesce(F.col("tool"), F.lit(""))))
+    row = (transcripts.groupBy("conv_id")
+           .agg(F.sum(cost).alias("chars"))
+           .agg(F.max("chars").alias("mx"),
+                F.sum("chars").alias("tot")).collect()[0])
+    if not row.tot:
+        return "bucketed"
+    return "windowed" if row.mx * n / row.tot > max_share else "bucketed"
+
+
+def extract_chunks_auto(transcripts: DataFrame,
+                        cfg: ExtractionConfig = ExtractionConfig(), *,
+                        conversation_complete: bool = False,
+                        n_partitions: int | None = None,
+                        max_share: float = 0.2,
+                        route: str | None = None) -> DataFrame:
+    """Skew-routed extraction: measure, then take the layout the data
+    deserves (VERDICT r3 #9 — a router instead of a flag). Output is
+    identical on every route (equality pinned in test_spark_equality);
+    the chosen route is recorded on the result as ``extraction_route``.
+
+    Routing policy, from measurement (BASELINE.md r4):
+
+    - **generic input** (``conversation_complete=False``): always
+      windowed. The bucketed path would first have to cluster the RAW
+      text by conv_id (:func:`cluster_by_conversation`) — a full-input
+      shuffle — while the windowed path's only exchange moves the
+      fused-map CHUNK rows, strictly fewer bytes. Measured on the 591k-
+      turn bench corpus: windowed 3.4 s vs cluster-then-bucketed 3.9 s.
+    - **conversation-complete input** (an Iceberg table bucketed by
+      conv_id and written sorted — the production layout): bucketed
+      (pure map, zero shuffle, the fastest shape) unless the skew
+      pre-scan finds a conversation heavier than ``max_share`` of a
+      fair per-task slice, where conversation-granularity imbalance
+      costs more than the windowed path's one narrow exchange
+      (measured ~9 % at 256x skew) → windowed.
+    """
+    spark = transcripts.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    if route is None:
+        if not conversation_complete:
+            route = "windowed"
+        else:
+            route = choose_extraction_route(
+                transcripts, n_partitions=n, max_share=max_share)
+    if route == "windowed":
+        out = extract_chunks(transcripts, cfg)
+    elif route == "bucketed":
+        out = extract_chunks_bucketed(
+            transcripts if conversation_complete
+            else cluster_by_conversation(transcripts, n), cfg)
+    else:
+        raise ValueError(f"unknown route {route!r} "
+                         f"(expected 'windowed' or 'bucketed')")
+    out.extraction_route = route
+    return out
+
+
 def extract_chunks_grouped(transcripts: DataFrame,
                            cfg: ExtractionConfig = ExtractionConfig()) -> DataFrame:
     """Faithful-orchestration path: whole conversation per task.

@@ -247,3 +247,66 @@ def test_bucketed_guard_rejects_split_conversations(spark):
     df = spark.createDataFrame(rows, ddl).coalesce(1)
     with pytest.raises(Exception, match="conversation-complete contract"):
         extract_chunks_bucketed(df, DEFAULT_CONFIG).collect()
+
+
+def test_auto_route_picks_by_skew_and_matches(spark):
+    """The skew router (VERDICT r3 #9). Policy pinned:
+
+    - generic input always routes WINDOWED (re-clustering raw text
+      costs more than the windowed path's chunk-row exchange);
+    - conversation-complete input routes BUCKETED (pure map) unless a
+      heavy-tail pre-scan finds a whale conversation, where the
+      conversation-granularity imbalance makes WINDOWED the right call.
+    Every route produces identical chunk rows."""
+    from pdf_parser_spark.operators.merge import (choose_extraction_route,
+                                                  cluster_by_conversation,
+                                                  extract_chunks,
+                                                  extract_chunks_auto)
+    cfg = DEFAULT_CONFIG
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+              r["ts"]) for r in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+
+    uniform = generate_transcripts(200, seed=9, max_turns=2)
+    heavy = generate_transcripts(12, seed=9, max_turns=4)
+    giant = [r for r in generate_transcripts(1, seed=77, max_turns=64)]
+    for r in giant:
+        r["conv_id"] = "conv_giant"
+        r["text"] = (r["text"] or "x") * 40          # one whale conversation
+    u_df, h_df = df_of(uniform), df_of(heavy + giant)
+    want_u = _norm_rows(extract_chunks(u_df, cfg).collect())
+    want_h = _norm_rows(extract_chunks(h_df, cfg).collect())
+
+    assert choose_extraction_route(u_df, n_partitions=8) == "bucketed"
+    assert choose_extraction_route(h_df, n_partitions=8) == "windowed"
+
+    # generic layout: windowed regardless of skew
+    got = extract_chunks_auto(u_df, cfg, n_partitions=8)
+    assert got.extraction_route == "windowed"
+    assert _norm_rows(got.collect()) == want_u
+
+    # conversation-complete layout: bucketed on uniform...
+    u_cc = cluster_by_conversation(u_df, 8)
+    got = extract_chunks_auto(u_cc, cfg, conversation_complete=True,
+                              n_partitions=8)
+    assert got.extraction_route == "bucketed"
+    assert _norm_rows(got.collect()) == want_u
+
+    # ...windowed on the whale corpus (the measured ~9% skew loss case)
+    h_cc = cluster_by_conversation(h_df, 8)
+    got = extract_chunks_auto(h_cc, cfg, conversation_complete=True,
+                              n_partitions=8)
+    assert got.extraction_route == "windowed"
+    assert _norm_rows(got.collect()) == want_h
+
+    # explicit override + bad route rejected
+    forced = extract_chunks_auto(u_df, cfg, n_partitions=8,
+                                 route="bucketed")
+    assert forced.extraction_route == "bucketed"
+    assert _norm_rows(forced.collect()) == want_u
+    with pytest.raises(ValueError, match="unknown route"):
+        extract_chunks_auto(u_df, cfg, route="zigzag")
