@@ -691,6 +691,49 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
                 *getattr(losers, "owned_storage", ()))
 
 
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
+                          id_col: str = "doc_id",
+                          quality_col: str = "quality_score") -> DataFrame:
+    """Quality-aware canonical selection: one survivor per near-dup
+    cluster, chosen by QUALITY rather than min id.
+
+    The min-id survivor rule (:func:`dedup_by_components`) is arbitrary
+    about WHICH copy a corpus keeps; when near-dups differ (same article
+    with/without boilerplate, truncated vs full mirror), keeping the
+    highest-quality member is the curation-correct choice (the RefinedWeb
+    /FineWeb "best rendition" refinement of cluster dedup). Returns one
+    row per cluster — ``(component, survivor id, survivor quality,
+    n_members)`` — covering every input row: singletons are their own
+    one-member cluster.
+
+    Deterministic tie policy, identical in the DuckDB oracle: NULL
+    quality orders last, equal quality breaks to the smaller id (one
+    min(struct(null_flag, -quality, id)) aggregate — map-side combined,
+    no window, no second pass). The component labeling's checkpoint
+    blocks ride along as ``owned_storage``.
+    """
+    comps = connected_components(pairs)
+    q = F.col(quality_col).cast("double")
+    joined = df.select(F.col(id_col), q.alias("__q")) \
+               .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+    comp = F.coalesce(F.col("component"), F.col(id_col).cast("string")) \
+        if dict(joined.dtypes)["component"] == "string" \
+        else F.coalesce(F.col("component"), F.col(id_col))
+    best = (joined.groupBy(comp.alias("component"))
+            .agg(F.min(F.struct(
+                     F.when(F.col("__q").isNull(), 1).otherwise(0)
+                      .alias("nullq"),
+                     (-F.coalesce(F.col("__q"), F.lit(0.0))).alias("nq"),
+                     F.col(id_col).alias("sid"),
+                     F.col("__q").alias("sq"))).alias("b"),
+                 F.count("*").alias("n_members"))
+            .select("component",
+                    F.col("b.sid").alias(id_col),
+                    F.col("b.sq").alias(quality_col),
+                    "n_members"))
+    return _own(best, *getattr(comps, "owned_storage", ()))
+
+
 # --- cross-document exact substring spans ----------------------------------
 
 

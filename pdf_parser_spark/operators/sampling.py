@@ -110,3 +110,35 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     default_b = F.lit(int(round(default_fraction * SPLIT_BUCKETS)))
     bound = default_b if bound is None else bound.otherwise(default_b)
     return df.where(bucket < bound)
+
+
+def leak_safe_split(df: DataFrame, pairs: DataFrame, *,
+                    id_col: str = "doc_id",
+                    weights: list[tuple[str, float]] | None = None,
+                    salt: str = "split") -> DataFrame:
+    """Train/val/test split keyed on the NEAR-DUP CLUSTER, not the row.
+
+    A per-document hash split leaks through near-duplicates: two
+    renditions of one article hash independently, one lands in train and
+    one in test, and the eval set silently overlaps the training data
+    (the duplication-driven contamination Lee et al. 2022 measure).
+    Keying the split hash on each document's connected-component label
+    puts every member of a cluster in the SAME split by construction;
+    documents in no pair key on their own id, so on a dup-free corpus
+    this degenerates to :func:`deterministic_split` exactly.
+
+    Output: ``(id_col, component, split)`` — one row per input row. One
+    key-partitioned left join against the (small) component labeling +
+    the same codegen hash expression every sampler here uses; the
+    labeling's checkpoint blocks ride along as ``owned_storage``.
+    """
+    from pdf_parser_spark.operators.dedup import _own, connected_components
+    comps = connected_components(pairs)
+    joined = df.select(F.col(id_col)) \
+               .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+    comp = F.coalesce(F.col("component"), F.col(id_col).cast("string")) \
+        if dict(joined.dtypes)["component"] == "string" \
+        else F.coalesce(F.col("component"), F.col(id_col))
+    keyed = joined.select(F.col(id_col), comp.alias("component"))
+    out = deterministic_split(keyed, "component", weights, salt)
+    return _own(out, *getattr(comps, "owned_storage", ()))

@@ -1732,6 +1732,92 @@ FROM reach GROUP BY a
 """
 
 
+def docs_keep_best_per_cluster(spark, sf):
+    # quality-aware canonical selection (r4): per simhash near-dup
+    # cluster keep the HIGHEST-quality member (NULL last, tie -> min id)
+    # instead of the arbitrary min-id survivor — the RefinedWeb/FineWeb
+    # "best rendition" refinement. One min(struct) aggregate, no window.
+    from pdf_parser_spark.operators.dedup import (keep_best_per_cluster,
+                                                  simhash_dup_pairs)
+    from pdf_parser_spark.operators.textstats import quality_features
+    d = _t_wide(spark, sf, "documents")
+    pairs = simhash_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    scored = quality_features(d).select("doc_id", "quality_score")
+    return keep_best_per_cluster(scored, pairs)
+
+
+DOCS_KEEP_BEST_SQL = _SIMHASH_CLOSURE_SQL + r"""
+, comp AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+), qbase AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+         END AS n_tokens,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+           AS alnum,
+         length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\s]', '', 'g'))
+           AS punct
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+               + 0.4 * round(alnum::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+               + 0.2 * (1.0 - least(round(punct::DOUBLE
+                   / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6)
+                   * 4, 1.0)), 6) AS quality_score
+  FROM qbase
+), labeled AS (
+  SELECT f.doc_id, f.quality_score,
+         coalesce(c.component, f.doc_id) AS component
+  FROM feat f LEFT JOIN comp c ON f.doc_id = c.id
+), ranked AS (
+  SELECT component, doc_id, quality_score,
+         count(*) OVER (PARTITION BY component) AS n_members,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY (quality_score IS NULL),
+                                     quality_score DESC, doc_id ASC) AS rn
+  FROM labeled
+)
+SELECT component, doc_id, quality_score, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+def docs_leak_safe_split(spark, sf):
+    # leakage-safe train/val/test split (r4): the split hash keys on
+    # the near-dup COMPONENT, so two renditions of one article can
+    # never straddle train and eval (Lee et al. 2022's contamination
+    # path); singletons key on their own id, degenerating to the plain
+    # hash split on a dup-free corpus.
+    from pdf_parser_spark.operators.dedup import simhash_dup_pairs
+    from pdf_parser_spark.operators.sampling import leak_safe_split
+    d = _t_wide(spark, sf, "documents")
+    pairs = simhash_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return leak_safe_split(d, pairs)
+
+
+DOCS_LEAK_SAFE_SPLIT_SQL = _SIMHASH_CLOSURE_SQL + """
+, comp AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+), keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, component,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, component,
+             CAST(concat('0x',
+                  substring(md5('split:' || CAST(component AS VARCHAR)),
+                            1, 15)) AS BIGINT) % 10000 AS bucket
+      FROM keyed)
+"""
+
+
 # first-micro-batch streaming near-dedup == min-id survivor per cluster
 # of the same exhaustive closure (defined AFTER its dependencies:
 # module-level SQL strings compose top-to-bottom)
@@ -3463,6 +3549,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
+    "docs_keep_best_per_cluster": docs_keep_best_per_cluster,
+    "docs_leak_safe_split": docs_leak_safe_split,
     "docs_stream_near_dedup_admitted": docs_stream_near_dedup_admitted,
     "docs_decontamination": docs_decontamination,
     "docs_repetition_filter": docs_repetition_filter,
@@ -3607,6 +3695,8 @@ ORACLES: dict[str, str] = {
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,
+    "docs_keep_best_per_cluster": DOCS_KEEP_BEST_SQL,
+    "docs_leak_safe_split": DOCS_LEAK_SAFE_SPLIT_SQL,
     "docs_stream_near_dedup_admitted": DOCS_STREAM_NEARDEDUP_SQL,
     "docs_decontamination": DOCS_DECONTAM_SQL,
     "docs_repetition_filter": DOCS_REPETITION_SQL,

@@ -2153,3 +2153,56 @@ def test_pq_funnel_gates(spark):
     assert funnel_bytes < 0.03 * multiprobe_bytes, (frac, dim)      # (c)
     codes_full.unpersist()
     emb.unpersist()
+
+
+def test_keep_best_per_cluster_policy(spark):
+    """Quality-aware survivor: highest quality wins, NULL orders last,
+    ties break to the smaller id; singletons are their own cluster;
+    checkpoint storage is released cleanly."""
+    from pdf_parser_spark.operators.dedup import (keep_best_per_cluster,
+                                                  release_owned_storage)
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, None), (5, 0.1),
+         (6, None), (7, None), (8, 0.7)],
+        "doc_id long, quality_score double")
+    # clusters: {1,2,3} (transitive), {4,5}, {6,7} (all-null), 8 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long")
+    out = keep_best_per_cluster(docs, pairs)
+    got = {r.component: (r.doc_id, r.quality_score, r.n_members)
+           for r in out.collect()}
+    assert got == {
+        1: (2, 0.9, 3),     # 0.9 tie between 2 and 3 -> min id 2
+        4: (5, 0.1, 2),     # NULL (4) orders below 0.1 (5)
+        6: (6, None, 2),    # all-NULL cluster -> min id, quality NULL
+        8: (8, 0.7, 1),     # singleton covers itself
+    }
+    release_owned_storage(out)
+
+
+def test_leak_safe_split_groups_near_dups(spark):
+    """Every member of a near-dup cluster lands in the SAME split, and
+    on a pair-free corpus the assignment equals deterministic_split."""
+    from pdf_parser_spark.operators.dedup import release_owned_storage
+    from pdf_parser_spark.operators.sampling import (deterministic_split,
+                                                     leak_safe_split)
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long")
+    out = leak_safe_split(docs, pairs)
+    rows = {r.doc_id: (r.component, r.split) for r in out.collect()}
+    assert len(rows) == 40
+    for cluster in ([0, 1, 2], [10, 11], [20, 21]):
+        assert len({rows[i][1] for i in cluster}) == 1   # one split each
+        assert {rows[i][0] for i in cluster} == {cluster[0]}
+    release_owned_storage(out)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out2 = leak_safe_split(docs, empty)
+    plain = {r.doc_id: r.split for r in
+             deterministic_split(
+                 docs.withColumn("component", F.col("doc_id")),
+                 "component").collect()}
+    got2 = {r.doc_id: r.split for r in out2.collect()}
+    assert got2 == plain and len(set(got2.values())) > 1
+    release_owned_storage(out2)
