@@ -78,6 +78,10 @@ def main() -> int:
     ap.add_argument("--only", default=None,
                     help="comma-separated entry names to check")
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--json-out", default=None,
+                    help="also write the FULL per-entry summary (not just "
+                         "the roll-up line) to this path — the per-round "
+                         "ORACLE_SELF_r{N}.json evidence artifact")
     args = ap.parse_args()
 
     import duckdb
@@ -139,14 +143,18 @@ def main() -> int:
               flush=True)
 
     n_oracle = sum(1 for v in summary.values() if v["mode"] == "oracle")
-    print(json.dumps({
+    rollup = {
         "sf_dir": args.sf_dir, "entries": len(summary),
         "oracle_checked": n_oracle,
         "green": sum(1 for v in summary.values()
                      if v["mode"] == "oracle" and v["ok"]),
         "rows_only": sum(1 for v in summary.values()
                          if v["mode"] == "rows_only"),
-        "failed": failed}))
+        "failed": failed}
+    print(json.dumps(rollup))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({**rollup, "per_entry": summary}, f, indent=1)
     spark.stop()
     return 1 if failed else 0
 
