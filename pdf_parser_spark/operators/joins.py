@@ -123,7 +123,8 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, *,
     # would emit n_salts duplicates per unmatched small row, silently
     # breaking the "row-for-row equal to the plain join" contract
     allowed = {"inner", "left", "leftouter", "left_outer",
-               "leftsemi", "left_semi", "leftanti", "left_anti"}
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
     if str(how).lower().replace("_", "") not in {
             a.replace("_", "") for a in allowed}:
         raise ValueError(

@@ -324,7 +324,13 @@ def extract_chunks_auto(transcripts: DataFrame,
     """Skew-routed extraction: measure, then take the layout the data
     deserves (VERDICT r3 #9 — a router instead of a flag). Output is
     identical on every route (equality pinned in test_spark_equality);
-    the chosen route is recorded on the result as ``extraction_route``.
+    the chosen route is recorded on the RETURNED HANDLE as
+    ``extraction_route`` — a plain Python attribute (the owned_storage
+    convention), which does NOT survive further transformations
+    (``out.where(...).extraction_route`` raises). Callers that need the
+    route downstream should read it off this handle immediately, or call
+    :func:`choose_extraction_route` themselves — it is public precisely
+    for that.
 
     Routing policy, from measurement (BASELINE.md r4):
 

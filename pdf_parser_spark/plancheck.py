@@ -9,10 +9,15 @@ decompositions build are <= tens of thousands of rows by construction)
 and catastrophic over the corpus itself.
 
 ``unpartitioned_corpus_windows`` walks the optimized logical plan and
-returns every unpartitioned Window node whose subtree does NOT contain
-an Aggregate — i.e. every global window that sorts raw (non-collapsed)
-data on one task. Tests assert the list is empty for operators that
-claim the decomposed shape.
+returns every unpartitioned Window node whose INPUT is not provably
+row-bounded — i.e. every global window that sorts raw (non-collapsed)
+data on one task. Bounded means every data path feeding the window
+passes through an Aggregate / limit / literal relation: a join with
+even one unbounded branch is unbounded (the round-4 review found the
+earlier "an Aggregate anywhere in the subtree" test exempted exactly
+the corpus-join-with-broadcast-offsets shape the decomposed operators
+build — the one regression this guard exists to catch). Tests assert
+the list is empty for operators that claim the decomposed shape.
 """
 
 from __future__ import annotations
@@ -33,17 +38,34 @@ def _iter_nodes(jnode):
         stack.extend(_children(n))
 
 
-def _subtree_has_aggregate(jnode) -> bool:
-    return any(n.nodeName() == "Aggregate" for n in _iter_nodes(jnode))
+# nodes that bound their OWN output row count regardless of input
+_BOUNDING = ("Aggregate", "GlobalLimit", "LocalLimit", "LocalRelation",
+             "OneRowRelation")
+
+
+def _bounded(jnode) -> bool:
+    """True when every data path into this node passes through a
+    row-bounding operator. Unary nodes inherit their child; a Join (or
+    Union) is bounded only if ALL branches are — one corpus-sized branch
+    makes the join output corpus-sized no matter how small the other
+    side is. Leaves (relation scans) are unbounded by definition."""
+    if jnode.nodeName() in _BOUNDING:
+        return True
+    kids = _children(jnode)
+    if not kids:
+        return False
+    return all(_bounded(k) for k in kids)
 
 
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     """Unpartitioned Window nodes over un-aggregated (corpus-sized) input.
 
     Returns one ``simpleString`` per offending node; empty list = the
-    plan has no single-task global sort of raw data. Windows above an
-    Aggregate (offsets tables, per-group count rollups) are exempt: an
-    aggregation bounds their input to its group count.
+    plan has no single-task global sort of raw data. A window is exempt
+    only when its input is row-bounded along EVERY branch (offsets
+    tables, per-group count rollups, post-limit rankings) — an Aggregate
+    sitting on a broadcast side of a corpus join does NOT exempt the
+    window over that join.
     """
     plan = df._jdf.queryExecution().optimizedPlan()
     bad = []
@@ -52,7 +74,7 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
             continue
         if not node.partitionSpec().isEmpty():
             continue
-        if _subtree_has_aggregate(node):
+        if all(_bounded(k) for k in _children(node)):
             continue
         bad.append(node.simpleString(100))
     return bad

@@ -12,12 +12,14 @@ Implementation is pure JVM expressions: each column is rank-coded to
 ``bits`` levels via percentile bounds (collected once — 2^bits - 1
 doubles per column, the k-centroid kind of collect), the codes' bits
 are interleaved arithmetically, and the rows are cut into ``n_files``
-files at exact percentile bounds OF THE Z-VALUE — not via
+files at EXACT rank cuts of the z-value (from an exact z histogram —
+z's cardinality is bounded by construction) — not via
 ``repartitionByRange``'s reservoir sampling, whose bounds drift with
 session state (input split sizes, AQE coalescing) and made the footer-
-stats gate flaky. The file id is deterministic given (data, bits,
-n_files) alone, so the written layout — and the measured pruning — is
-reproducible run to run. Effectiveness is MEASURED, not assumed: tests
+stats gate flaky, nor via a percentile sketch, whose merge order
+follows partition layout at scale. The file id is deterministic given
+(data, bits, n_files) alone, so the written layout — and the measured
+pruning — is reproducible run to run at any input size. Effectiveness is MEASURED, not assumed: tests
 read the written parquet footers and assert the per-file min-max widths
 shrink vs the unsorted layout.
 """
@@ -90,10 +92,11 @@ def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
     ``cols`` — write the result with a plain ``.write.parquet`` and the
     footer stats do the pruning.
 
-    Two aggregation passes (per-column percentile bounds, then z-value
-    percentile cuts — both single collected rows) and ONE shuffle: file
-    id = rank of z against its exact percentile cuts, hash-remapped so
-    ``repartition(n_files, ...)`` lands file i in partition i
+    Two aggregation passes (per-column percentile bounds, then an EXACT
+    z-value histogram — z has <= 2^(bits*cols) distinct values by
+    construction, so the full distribution collects exactly) and ONE
+    shuffle: file id = rank of z against exact rank cuts, hash-remapped
+    so ``repartition(n_files, ...)`` lands file i in partition i
     deterministically, then a local sort on z. 2^bits levels per
     column: 16 levels (bits=4) is plenty to separate n_files in the low
     hundreds — deeper bits only matter when file counts approach
@@ -134,14 +137,40 @@ def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
              for c in cols]
     z = zorder_value(codes, bits)
 
-    # exact z-percentile file cuts: deterministic given the data alone
+    # EXACT z-value file cuts: z takes at most 2^(bits*len(cols))
+    # distinct values BY CONSTRUCTION, so one map-side-combined groupBy
+    # collects the full distribution exactly (<= 2^20 rows at the
+    # validated widths below) and the cuts are a pure function of the
+    # data — no sketch, no merge-order dependence at ANY scale. (The
+    # first rendition used percentile_approx over z; its QuantileSummaries
+    # compress on large inputs and the merge order follows partition
+    # layout, so the "deterministic given the data" claim would have
+    # silently broken exactly where it matters — r4 review finding. The
+    # per-COLUMN bounds above stay approximate: their drift moves
+    # clustering quality/load only, never the output rows, and exact
+    # per-column quantiles over unbounded-cardinality doubles have no
+    # bounded-state form.)
     with_z = df.withColumn("__z", z)
     fid_expr = F.lit(0)
     if n_files > 1:
-        zq = [i / n_files for i in range(1, n_files)]
-        zrow = with_z.agg(F.percentile_approx(
-            F.col("__z").cast("double"), zq, 10_000).alias("b")).collect()[0]
-        zcuts = [float(x) for x in (zrow["b"] or [])]
+        if bits * len(cols) > 20:
+            raise ValueError(
+                f"bits*len(cols) = {bits * len(cols)} > 20: the exact "
+                f"z-histogram would exceed 2^20 cells; lower bits — 16 "
+                f"levels/column separates file counts into the hundreds")
+        hist = sorted(
+            (int(r["__z"]), int(r["n"])) for r in
+            with_z.groupBy("__z").agg(F.count("*").alias("n")).collect())
+        total = sum(n for _, n in hist)
+        zcuts, cum, want = [], 0, 1
+        for zv, n in hist:
+            cum += n
+            # cut AFTER the z value that first reaches rank want*total/n:
+            # rows of one z value never split across files (they are
+            # equal on the curve), matching _rank_code's strict >
+            while want < n_files and cum * n_files >= want * total:
+                zcuts.append(float(zv))
+                want += 1
         fid_expr = _rank_code(F.col("__z"), zcuts)
     remap = _partition_remap(df, n_files)
     pmap = F.create_map(*[F.lit(x) for kv in sorted(remap.items())

@@ -481,6 +481,31 @@ def test_curriculum_decomposed_plan_has_no_corpus_global_window(spark):
     assert unpartitioned_corpus_windows(win) != []
 
 
+def test_plancheck_bounded_is_per_branch(spark):
+    """r4 review finding pinned: 'an Aggregate ANYWHERE in the subtree'
+    exempted the corpus-join-broadcast-offsets shape — exactly what the
+    decomposed operators build. The guard must flag a global window over
+    a corpus join even when one branch is aggregated, while keeping the
+    legitimate exemptions (windows over aggregates, post-limit ranks)."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.plancheck import unpartitioned_corpus_windows
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    off = df.groupBy("g").count()
+    joined = df.join(F.broadcast(off), "g")
+    w = Window.orderBy("id")
+    assert unpartitioned_corpus_windows(
+        joined.withColumn("rk", F.row_number().over(w))) != []
+    assert unpartitioned_corpus_windows(
+        df.withColumn("rk", F.row_number().over(w))) != []
+    wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    assert unpartitioned_corpus_windows(
+        off.withColumn("off", F.sum("count").over(wg))) == []
+    assert unpartitioned_corpus_windows(
+        df.orderBy("id").limit(10)
+          .withColumn("rk", F.row_number().over(w))) == []
+
+
 def test_curriculum_rejects_bad_params(spark):
     from pdf_parser_spark.operators.curation import curriculum_order
     df = spark.createDataFrame([(1, 0.5)], "doc_id int, quality_score double")
