@@ -78,7 +78,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            dsir_buckets: int = 4096,
            blocked_domains=None,
            token_budget: int | None = None,
-           budget_seed: int = 0) -> DataFrame:
+           budget_seed: int = 0,
+           leak_safe_split: bool = False) -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash.
@@ -134,6 +135,15 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       seed-keyed budget draw (curation.token_budget_select) over the
       rows passing every other stage; ``f_budget`` marks the drawn set
       and becomes the final ``selected``. Always the LAST stage.
+    - ``leak_safe_split``: key the train/val/test hash on the near-dup
+      COMPONENT instead of the chunk id (sampling.leak_safe_split's
+      policy, r4) — members of one near-dup cluster land in the same
+      split, so a dropped near-duplicate can never place its surviving
+      rendition's content across the train/eval boundary. Exact
+      duplicates already share the survivor's content hash and are
+      deselected; near-dup components reuse the SAME closure the
+      dedup flag computes (no second labeling pass). Rows in no pair
+      key on their own id — identical to the plain split for them.
     """
     from pyspark import StorageLevel
 
@@ -177,7 +187,18 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     exact_side = flagged.where(F.col("f_exact_unique")).select("id", "text")
     pairs = simhash_dup_pairs(exact_side, "id", "text",
                               max_hamming=max_hamming)
-    loser_ids = near_dup_losers(pairs)  # owns the components checkpoint
+    comps = None
+    if leak_safe_split:
+        # one labeling serves BOTH the loser flag and the split key —
+        # near_dup_losers would compute the identical closure internally
+        from pdf_parser_spark.operators.dedup import (_own,
+                                                      connected_components)
+        comps = connected_components(pairs)
+        loser_ids = _own(
+            comps.where(F.col("id") != F.col("component")).select("id"),
+            *getattr(comps, "owned_storage", ()))
+    else:
+        loser_ids = near_dup_losers(pairs)  # owns the components checkpoint
     losers = loser_ids.withColumn("__loser", F.lit(True))
     flagged = (flagged.join(losers, "id", "left")
                .withColumn("f_near_unique",
@@ -366,7 +387,19 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                    .withColumn("selected", F.col("f_budget"))
                    .drop("__in_budget"))
 
-    out = deterministic_split(flagged, "id", split_weights)
+    if comps is not None:
+        # leak-safe: the split hash keys on the near-dup component
+        # (sampling.leak_safe_split's policy); rows in no pair key on
+        # their own id — bit-identical to the plain split for them
+        out = (deterministic_split(
+                   flagged.join(comps, "id", "left")
+                          .withColumn("__splitkey",
+                                      F.coalesce("component", F.col("id")))
+                          .drop("component"),
+                   "__splitkey", split_weights)
+               .drop("__splitkey"))
+    else:
+        out = deterministic_split(flagged, "id", split_weights)
     # the dedup tiers pinned executor storage (simhash signatures, the
     # component labeling) — re-attach those handles to the final result
     # so run_training_pipeline (or any caller) can release them; without
@@ -615,6 +648,11 @@ def main() -> int:
                          "within-band shuffle (band/position columns)")
     ap.add_argument("--budget-seed", type=int, default=0,
                     help="seed of the token-budget shuffle order")
+    ap.add_argument("--leak-safe-split", action="store_true",
+                    help="key the train/val/test hash on the near-dup "
+                         "component instead of the chunk id, so near-"
+                         "duplicate renditions never straddle train and "
+                         "eval (reuses the dedup stage's own closure)")
     a = ap.parse_args()
     if (a.dsir_target is None) != (a.dsir_min_importance is None):
         ap.error("--dsir-target and --dsir-min-importance go together")
@@ -651,6 +689,7 @@ def main() -> int:
             dsir_min_importance=a.dsir_min_importance,
             blocked_domains=_read_blocklist(a.blocklist_file),
             token_budget=a.token_budget, budget_seed=a.budget_seed,
+            leak_safe_split=a.leak_safe_split,
             curriculum_bands=a.curriculum_bands,
             output_format=a.output_format,
             **extract_kw)

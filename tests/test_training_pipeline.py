@@ -550,3 +550,55 @@ def test_jsonl_output_format(spark, tmp_path):
                           output_format="jsonl")
     back = spark.read.json(f"{out}/corpus")
     assert back.count() > 0 and "text" in back.columns
+
+
+def test_pipeline_leak_safe_split_stage(spark, tmp_path):
+    """--leak-safe-split: every near-dup pair shares a split; rows in no
+    pair keep EXACTLY the plain split assignment; all flags (and so the
+    funnel) are untouched — the option changes split keying only."""
+    from pdf_parser_spark.config import CLEANING_CONFIG
+    from pdf_parser_spark.operators.dedup import (release_owned_storage,
+                                                  simhash_dup_pairs)
+    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+    from pdf_parser_spark.pipeline import read_transcripts
+
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=25, seed=21)
+    chunks = extract_chunks(read_transcripts(spark, src), CLEANING_CONFIG) \
+        .where(F.col("chunk_type") == "text").drop("table_cells")
+    # plant near-dups: one-token perturbations of the longest chunks
+    # (long text -> few simhash bit flips -> within the hamming radius)
+    near = (chunks.orderBy(F.desc("char_count"), "conv_id", "chunk_idx")
+            .limit(6)
+            .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_nd")))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    chunks = chunks.union(near)
+    kw = dict(langs=("en", "und"), quality_floor=0.2,
+              min_chars=40, max_chars=2000)
+    plain = curate(chunks, **kw)
+    safe = curate(chunks, leak_safe_split=True, **kw)
+    p = {r.id: r for r in plain.collect()}
+    s = {r.id: r for r in safe.collect()}
+    assert set(p) == set(s)
+    flag_cols = [c for c in plain.columns if c.startswith("f_")] \
+        + ["selected"]
+    for i in p:
+        assert all(p[i][c] == s[i][c] for c in flag_cols)
+
+    # pairs over the exact-unique tier — exactly what curate() clusters
+    base = with_chunk_id(chunks)
+    exact_ids = {i for i, r in p.items() if r.f_exact_unique}
+    pairs = simhash_dup_pairs(
+        base.where(F.col("id").isin(list(exact_ids))).select("id", "text"),
+        "id", "text", max_hamming=3).collect()
+    assert pairs, "fixture must contain near-dups for this test to bite"
+    paired = set()
+    for pr in pairs:
+        assert s[pr.id_a].split == s[pr.id_b].split
+        paired |= {pr.id_a, pr.id_b}
+    # un-paired rows: identical to the plain assignment (coalesce -> id)
+    changed = [i for i in set(p) - paired if p[i].split != s[i].split]
+    assert changed == []
+    release_owned_storage(plain)
+    release_owned_storage(safe)
