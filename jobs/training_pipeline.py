@@ -79,7 +79,8 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
            blocked_domains=None,
            token_budget: int | None = None,
            budget_seed: int = 0,
-           leak_safe_split: bool = False) -> DataFrame:
+           leak_safe_split: bool = False,
+           dedup_keep: str = "min_id") -> DataFrame:
     """Chunk rows -> the same rows + per-stage boolean flags, a fused
     ``selected`` flag, and a ``split`` label. Text chunks only pass the
     quality tiers; the dedup tiers key on the engine-wide content hash.
@@ -144,6 +145,13 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
       deselected; near-dup components reuse the SAME closure the
       dedup flag computes (no second labeling pass). Rows in no pair
       key on their own id — identical to the plain split for them.
+    - ``dedup_keep``: the near-dup SURVIVOR rule — ``'min_id'`` (the
+      default, the arbitrary-but-stable convention) or ``'quality'``
+      (keep_best_per_cluster's policy: the highest-quality member
+      survives, NULL last, ties to min id — the RefinedWeb/FineWeb
+      "best rendition" choice). Same survivor COUNT either way (one per
+      cluster), so the funnel numbers are unchanged; only which rows
+      carry ``f_near_unique`` moves.
     """
     from pyspark import StorageLevel
 
@@ -187,16 +195,43 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
     exact_side = flagged.where(F.col("f_exact_unique")).select("id", "text")
     pairs = simhash_dup_pairs(exact_side, "id", "text",
                               max_hamming=max_hamming)
+    if dedup_keep not in ("min_id", "quality"):
+        raise ValueError(f"dedup_keep must be 'min_id' or 'quality', "
+                         f"got {dedup_keep!r}")
     comps = None
-    if leak_safe_split:
-        # one labeling serves BOTH the loser flag and the split key —
-        # near_dup_losers would compute the identical closure internally
+    if leak_safe_split or dedup_keep == "quality":
+        # one labeling serves the loser flag, the quality-survivor pick
+        # AND the split key — near_dup_losers would compute the
+        # identical closure internally
         from pdf_parser_spark.operators.dedup import (_own,
                                                       connected_components)
         comps = connected_components(pairs)
-        loser_ids = _own(
-            comps.where(F.col("id") != F.col("component")).select("id"),
-            *getattr(comps, "owned_storage", ()))
+        if dedup_keep == "quality":
+            # keep_best_per_cluster's policy inlined over the SHARED
+            # closure (equality with the standalone operator pinned in
+            # test_pipeline_quality_survivor_stage): highest quality
+            # survives, NULL last, tie -> min id
+            from pdf_parser_spark.operators.textstats import quality_features
+            scored = (quality_features(exact_side)
+                      .select("id", F.col("quality_score").cast("double")
+                              .alias("__q")))
+            best = (scored.join(comps, "id")
+                    .groupBy("component")
+                    .agg(F.min(F.struct(
+                        F.when(F.col("__q").isNull(), 1).otherwise(0)
+                         .alias("nullq"),
+                        (-F.coalesce(F.col("__q"), F.lit(0.0)))
+                        .alias("nq"),
+                        F.col("id").alias("sid"))).alias("b"))
+                    .select(F.col("b.sid").alias("__winner")))
+            loser_ids = _own(
+                comps.select("id").join(
+                    best, F.col("id") == F.col("__winner"), "left_anti"),
+                *getattr(comps, "owned_storage", ()))
+        else:
+            loser_ids = _own(
+                comps.where(F.col("id") != F.col("component")).select("id"),
+                *getattr(comps, "owned_storage", ()))
     else:
         loser_ids = near_dup_losers(pairs)  # owns the components checkpoint
     losers = loser_ids.withColumn("__loser", F.lit(True))
@@ -648,6 +683,11 @@ def main() -> int:
                          "within-band shuffle (band/position columns)")
     ap.add_argument("--budget-seed", type=int, default=0,
                     help="seed of the token-budget shuffle order")
+    ap.add_argument("--dedup-keep", default="min_id",
+                    choices=("min_id", "quality"),
+                    help="near-dup survivor rule: stable min-id, or the "
+                         "highest-quality cluster member "
+                         "(keep_best_per_cluster's policy)")
     ap.add_argument("--leak-safe-split", action="store_true",
                     help="key the train/val/test hash on the near-dup "
                          "component instead of the chunk id, so near-"
@@ -690,6 +730,7 @@ def main() -> int:
             blocked_domains=_read_blocklist(a.blocklist_file),
             token_budget=a.token_budget, budget_seed=a.budget_seed,
             leak_safe_split=a.leak_safe_split,
+            dedup_keep=a.dedup_keep,
             curriculum_bands=a.curriculum_bands,
             output_format=a.output_format,
             **extract_kw)

@@ -602,3 +602,63 @@ def test_pipeline_leak_safe_split_stage(spark, tmp_path):
     assert changed == []
     release_owned_storage(plain)
     release_owned_storage(safe)
+
+
+def test_pipeline_quality_survivor_stage(spark, tmp_path):
+    """--dedup-keep quality: the near-dup survivor is the highest-
+    quality cluster member, EQUAL to the standalone
+    keep_best_per_cluster operator on the same clusters; survivor count
+    (and so the whole funnel) matches the min-id run."""
+    from pdf_parser_spark.config import CLEANING_CONFIG
+    from pdf_parser_spark.operators.dedup import (keep_best_per_cluster,
+                                                  release_owned_storage,
+                                                  simhash_dup_pairs)
+    from pdf_parser_spark.operators.merge import extract_chunks
+    from pdf_parser_spark.operators.retrieval import with_chunk_id
+    from pdf_parser_spark.operators.textstats import quality_features
+    from pdf_parser_spark.pipeline import read_transcripts
+
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, n_convs=25, seed=21)
+    chunks = extract_chunks(read_transcripts(spark, src), CLEANING_CONFIG) \
+        .where(F.col("chunk_type") == "text").drop("table_cells")
+    # plant near-dups: a tiny alnum suffix stays inside the simhash
+    # hamming radius but nudges token count + alnum ratio, so the
+    # perturbed copy's quality_score differs from the original's and
+    # the quality rule must pick differently from min-id (the original
+    # id sorts first: '#' < '_')
+    near = (chunks.orderBy(F.desc("char_count"), "conv_id", "chunk_idx")
+            .limit(6)
+            .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_nd")))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    chunks = chunks.union(near)
+    kw = dict(langs=("en", "und"), quality_floor=0.2,
+              min_chars=40, max_chars=2000)
+    minid = curate(chunks, **kw)
+    qual = curate(chunks, dedup_keep="quality", **kw)
+    m = {r.id: r for r in minid.collect()}
+    q = {r.id: r for r in qual.collect()}
+
+    from jobs.training_pipeline import funnel_metrics
+    assert funnel_metrics(minid) == funnel_metrics(qual)  # same counts
+
+    # equality with the standalone operator over the same clusters
+    base = with_chunk_id(chunks)
+    exact_ids = [i for i, r in m.items() if r.f_exact_unique]
+    ex = base.where(F.col("id").isin(exact_ids)).select("id", "text")
+    pairs = simhash_dup_pairs(ex, "id", "text", max_hamming=3)
+    assert pairs.count() > 0
+    scored = quality_features(ex).select("id", "quality_score")
+    best = keep_best_per_cluster(scored, pairs, id_col="id")
+    want = {r.id for r in best.collect()}
+    got = {i for i, r in q.items() if r.f_near_unique}
+    assert got == want
+    # and the rule genuinely differs from min-id on this fixture
+    assert got != {i for i, r in m.items() if r.f_near_unique}
+    release_owned_storage(best)
+    release_owned_storage(minid)
+    release_owned_storage(qual)
+
+    import pytest
+    with pytest.raises(ValueError, match="dedup_keep"):
+        curate(chunks, dedup_keep="newest", **kw)
