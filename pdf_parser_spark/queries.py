@@ -3498,6 +3498,80 @@ FROM feat GROUP BY source, lang
 """
 
 
+def _cow_merged_dir(spark, sf):
+    """Build (fresh each call — deterministic) a copy-on-write table from
+    ``documents`` and apply ONE CDC batch through the manifest/merge
+    machinery (sources/cowtable.py): delete doc_id%13==3, rewrite text
+    for doc_id%7==0 survivors, insert a +10M-keyed 'cdc' twin of
+    doc_id%11==5 rows. The oracle recomputes the same merge as pure SQL
+    set algebra, so the WHOLE mutation path — footer-stats pruning,
+    affected-file rewrite, by-name file carry, manifest commit — is
+    value-hash-checked, not just pytest-gated."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import create_table, merge_into
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "pdf_parser_spark_cow_"
+                     + hashlib.md5(sf.encode()).hexdigest()[:8])
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source",
+                                             "text")
+    create_table(spark, docs.repartitionByRange(8, "doc_id"), d, "doc_id")
+    k = F.col("doc_id")
+    dels = docs.where(k % 13 == 3).withColumn("op", F.lit("delete"))
+    upds = (docs.where((k % 7 == 0) & (k % 13 != 3))
+            .withColumn("text", F.concat(F.lit("U:"), "text"))
+            .withColumn("op", F.lit("upsert")))
+    ins = (docs.where(k % 11 == 5)
+           .withColumn("doc_id", k + 10_000_000)
+           .withColumn("source", F.lit("cdc"))
+           .withColumn("text", F.concat(F.lit("N:"), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, d, dels.unionByName(upds).unionByName(ins),
+               batch_id=1)
+    return d
+
+
+def docs_cow_merge(spark, sf):
+    # copy-on-write MERGE INTO (Iceberg v2 shape on plain parquet): the
+    # post-merge snapshot, read through the manifest
+    from pdf_parser_spark.sources.cowtable import read_table
+    return read_table(spark, _cow_merged_dir(spark, sf)) \
+        .select("doc_id", "lang", "source", "text")
+
+
+DOCS_COW_MERGE_SQL = """
+WITH d AS (SELECT doc_id, lang, source, text FROM documents)
+SELECT doc_id, lang, source, text FROM d
+WHERE doc_id % 13 <> 3 AND doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, lang, source, 'U:' || text FROM d
+WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, lang, 'cdc' AS source,
+       'N:' || text AS text FROM d
+WHERE doc_id % 11 = 5
+"""
+
+
+def docs_cow_time_travel(spark, sf):
+    # snapshot isolation: AFTER the merge, version 1 still reads as the
+    # pristine input — the Iceberg time-travel contract on plain parquet
+    from pdf_parser_spark.sources.cowtable import read_table
+    return read_table(spark, _cow_merged_dir(spark, sf), version=1) \
+        .select("doc_id", "lang", "source", "text")
+
+
+DOCS_COW_TIME_TRAVEL_SQL = """
+SELECT doc_id, lang, source, text FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3594,6 +3668,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents_store": extract_documents_store,
     "extract_documents_metrics": extract_documents_metrics,
     "docs_text_statistics_full": docs_text_statistics_full,
+    "docs_cow_merge": docs_cow_merge,
+    "docs_cow_time_travel": docs_cow_time_travel,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
     # recall gates)
@@ -3682,6 +3758,8 @@ ORACLES: dict[str, str] = {
     "docs_bpe_tokens": DOCS_BPE_SQL,
     "docs_quality_features": DOCS_QUALITY_SQL,
     "docs_text_statistics_full": DOCS_TEXTSTATS_SQL,
+    "docs_cow_merge": DOCS_COW_MERGE_SQL,
+    "docs_cow_time_travel": DOCS_COW_TIME_TRAVEL_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

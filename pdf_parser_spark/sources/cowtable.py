@@ -1,0 +1,313 @@
+"""Copy-on-write parquet table: snapshots, MERGE/upsert, file pruning.
+
+The one Iceberg capability the rest of the repo still assumed rather
+than owned: MUTATING a huge table cheaply. `sources/stats_store.py`
+rewrites its whole (small) table per version — right for a vocabulary,
+wrong for data: applying a 0.1 % CDC batch to a 100 TB corpus must not
+rewrite 100 TB. This module is the Iceberg v2 copy-on-write shape
+rebuilt on plain parquet:
+
+- a table is an immutable set of data files named by a ``manifest.json``
+  (version -> file list + applied-batch ledger); readers load exactly
+  the listed files, so writers never race them;
+- ``merge_into`` applies an (op, key, row) change batch by REWRITING
+  ONLY AFFECTED FILES: per-file key min/max footer statistics are read
+  DISTRIBUTED (pyarrow over a parallelized file list — at 100 TB that is
+  ~10^6 footers, a metadata-only map job), range-matched against the
+  batch's key bounds per file, and only intersecting files are re-read;
+  survivors of those files anti-join the batch keys, upserts append —
+  every untouched file is carried into the new snapshot BY NAME, zero
+  bytes moved;
+- commit is manifest-last (tmp file + ``os.replace``), so a crash
+  mid-write leaves the previous snapshot intact and fully readable; an
+  already-applied ``batch_id`` is a no-op (exactly-once under
+  foreachBatch retries, same ledger contract as the stats store);
+- every committed version stays on disk until ``vacuum`` — time-travel
+  reads (``read_table(..., version=K)``) are free;
+- ``compact_table`` folds small files into ~target_mb files as a NEW
+  snapshot (rows unchanged) — the safe rendition of
+  ``sources/compact.py``'s dir-swap discipline.
+
+Reference analog: none (the reference mutates an in-process dict,
+pdf_parser.py keeps everything in memory); this is the operate-at-scale
+tier the 10^12-turn target implies, and the honest stand-in for the
+environment-blocked `iceberg-spark-runtime` jar (tests/test_iceberg_gate
+documents the attempt) — same contracts, measured locally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "manifest.json"
+OPS = ("upsert", "delete")
+
+
+# --- manifest ---------------------------------------------------------------
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST)
+
+
+def read_manifest(table_dir: str) -> dict:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        raise ValueError(f"{table_dir} holds no cow table (no {_MANIFEST})")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _commit(table_dir: str, manifest: dict) -> None:
+    """Manifest-last atomic commit: data files are fully written before
+    this runs; ``os.replace`` is atomic on POSIX, so readers see the old
+    complete manifest or the new complete one, never a torn write."""
+    tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_dir))
+
+
+def _write_data_files(df: DataFrame, table_dir: str, tag: str) -> list[str]:
+    """Write ``df`` as immutable data files under data/, uniquely named
+    (snapshots share the directory, so names must never collide), and
+    return their table-relative paths."""
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    rels = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        new = f"{tag}-{uuid.uuid4().hex}-{name}"
+        os.replace(os.path.join(staging, name),
+                   os.path.join(data_dir, new))
+        rels.append(f"data/{new}")
+    shutil.rmtree(staging)
+    return rels
+
+
+# --- create / read ----------------------------------------------------------
+
+def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
+                 key_col: str) -> dict:
+    """Snapshot v1 from ``df``. ``key_col`` is the merge key; rows with
+    NULL keys are rejected up front (a NULL merge key can never match
+    and would silently survive every delete)."""
+    if os.path.exists(_manifest_path(table_dir)):
+        raise ValueError(f"{table_dir} already holds a cow table")
+    if df.where(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"NULL {key_col} rows cannot be merge targets")
+    os.makedirs(table_dir, exist_ok=True)
+    files = _write_data_files(df, table_dir, "v1")
+    manifest = {"key_col": key_col, "version": 1, "applied": [],
+                "snapshots": {"1": {"files": files}}}
+    _commit(table_dir, manifest)
+    return manifest
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               version: int | None = None) -> DataFrame:
+    """The named snapshot (current by default) — exactly the manifest's
+    file list, so concurrent writers/compactions never tear a read."""
+    m = read_manifest(table_dir)
+    v = m["version"] if version is None else version
+    snap = m["snapshots"].get(str(v))
+    if snap is None:
+        raise ValueError(f"version {v} not in table (have: "
+                         f"{sorted(m['snapshots'])})")
+    if not snap["files"]:
+        schema = spark.read.parquet(
+            os.path.join(table_dir, m["snapshots"]["1"]["files"][0])).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in snap["files"]])
+
+
+# --- file pruning -----------------------------------------------------------
+
+def file_key_bounds(spark: SparkSession, table_dir: str,
+                    files: list[str], key_col: str) -> list[dict]:
+    """Per-file (file, kmin, kmax, rows) from parquet FOOTERS only — a
+    distributed metadata pass (pyarrow in mapPartitions over the file
+    list; no data pages are read), the scale twin of Iceberg's manifest
+    column stats. NULL bounds (stats missing) mark the file
+    un-prunable."""
+    paths = [(f, os.path.join(table_dir, f)) for f in files]
+    files_df = spark.createDataFrame(paths, "rel string, path string") \
+                    .repartition(min(len(paths), 64))
+
+    def stats(rows):
+        import pyarrow.parquet as pq
+        for r in rows:
+            md = pq.ParquetFile(r.path).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}[key_col]
+            lo = hi = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            yield {"file": r.rel,
+                   "kmin": lo if ok else None,
+                   "kmax": hi if ok else None,
+                   "rows": md.num_rows}
+
+    return list(files_df.rdd.mapPartitions(stats).collect())
+
+
+def _affected_files(bounds: list[dict], keys: list) -> list[str]:
+    """Files whose [kmin, kmax] intersects any batch key. The batch key
+    list is collected (a CDC batch is driver-sized by definition; the
+    TABLE never is). Un-prunable files (no stats) are always affected —
+    correctness over pruning."""
+    ks = sorted(keys)
+    out = []
+    import bisect
+    for b in bounds:
+        if b["kmin"] is None:
+            out.append(b["file"])
+            continue
+        i = bisect.bisect_left(ks, b["kmin"])
+        if i < len(ks) and ks[i] <= b["kmax"]:
+            out.append(b["file"])
+    return out
+
+
+# --- merge ------------------------------------------------------------------
+
+def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
+               *, op_col: str = "op", batch_id: int | None = None) -> dict:
+    """Apply a CDC batch: rows with ``op='upsert'`` replace (by key) or
+    insert; ``op='delete'`` removes the key. Returns the merge stats
+    dict (also recorded in the manifest): files rewritten vs carried,
+    rows in/out.
+
+    The batch must carry every table column plus ``op_col``; duplicate
+    keys in one batch are rejected (last-wins needs an ordering the
+    caller should make explicit by pre-collapsing the batch).
+
+    Scale shape: one footer-stats metadata job over the file list + one
+    scan of ONLY the affected files (anti-join on key against the
+    broadcast batch) + the batch append. Untouched files move by name.
+    """
+    m = read_manifest(table_dir)
+    key_col = m["key_col"]
+    if batch_id is not None and batch_id in m["applied"]:
+        return {"skipped": True, "batch_id": batch_id,
+                "version": m["version"]}
+
+    bad = changes.where(~F.col(op_col).isin(*OPS)).limit(1).collect()
+    if bad:
+        raise ValueError(f"unknown {op_col} {bad[0][op_col]!r} "
+                         f"(allowed: {OPS})")
+    if changes.where(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"NULL {key_col} in change batch")
+    dup = (changes.groupBy(key_col).count()
+           .where(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(f"duplicate key {dup[0][key_col]!r} in one "
+                         "batch — pre-collapse to last-wins first")
+
+    cur = m["snapshots"][str(m["version"])]["files"]
+    keys = [r[0] for r in changes.select(key_col).collect()]
+    bounds = file_key_bounds(spark, table_dir, cur, key_col) if cur else []
+    affected = set(_affected_files(bounds, keys))
+    carried = [f for f in cur if f not in affected]
+
+    upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    new_files: list[str] = []
+    rows_out = 0
+    tag = f"v{m['version'] + 1}"
+    if affected:
+        tgt = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in sorted(affected)])
+        keep = tgt.join(F.broadcast(changes.select(key_col)),
+                        on=key_col, how="left_anti")
+        merged = keep.unionByName(upserts.select(*tgt.columns))
+        rows_out = merged.count()
+        if rows_out:
+            new_files = _write_data_files(merged, table_dir, tag)
+    else:
+        ins = upserts
+        rows_out = ins.count()
+        if rows_out:
+            new_files = _write_data_files(
+                ins.select(*read_table(spark, table_dir).columns),
+                table_dir, tag)
+
+    v = m["version"] + 1
+    stats = {"version": v, "batch_id": batch_id,
+             "files_rewritten": len(affected),
+             "files_carried": len(carried),
+             "files_added": len(new_files),
+             "batch_rows": len(keys), "rows_written": rows_out}
+    m["snapshots"][str(v)] = {"files": carried + new_files,
+                              "merge": stats}
+    m["version"] = v
+    if batch_id is not None:
+        m["applied"].append(batch_id)
+    _commit(table_dir, m)
+    return stats
+
+
+# --- maintenance ------------------------------------------------------------
+
+def compact_table(spark: SparkSession, table_dir: str,
+                  target_mb: int = 128) -> dict:
+    """Fold the current snapshot's files into ~target_mb files as a new
+    snapshot (rows unchanged; old versions stay readable until vacuum).
+    File count comes from measured bytes, same math as
+    sources/compact.plan_n_files."""
+    from pdf_parser_spark.sources.compact import plan_n_files
+    m = read_manifest(table_dir)
+    cur = m["snapshots"][str(m["version"])]["files"]
+    total = sum(os.path.getsize(os.path.join(table_dir, f)) for f in cur)
+    n_out = plan_n_files(total, target_mb)
+    df = read_table(spark, table_dir)
+    tag = f"v{m['version'] + 1}"
+    files = _write_data_files(df.repartition(n_out), table_dir, tag)
+    v = m["version"] + 1
+    m["snapshots"][str(v)] = {"files": files,
+                              "compaction": {"in_files": len(cur),
+                                             "out_files": len(files)}}
+    m["version"] = v
+    _commit(table_dir, m)
+    return {"version": v, "in_files": len(cur), "out_files": len(files)}
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> dict:
+    """Drop snapshots older than the newest ``keep_last`` and delete
+    data files no retained snapshot references. Time travel reaches only
+    retained versions afterwards."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    m = read_manifest(table_dir)
+    versions = sorted(int(v) for v in m["snapshots"])
+    keep = set(versions[-keep_last:])
+    live: set[str] = set()
+    for v in keep:
+        live.update(m["snapshots"][str(v)]["files"])
+    dropped_files = 0
+    for v in versions:
+        if v in keep:
+            continue
+        for f in m["snapshots"][str(v)]["files"]:
+            p = os.path.join(table_dir, f)
+            if f not in live and os.path.exists(p):
+                os.remove(p)
+                dropped_files += 1
+        del m["snapshots"][str(v)]
+    _commit(table_dir, m)
+    return {"kept_versions": sorted(keep),
+            "dropped_files": dropped_files}
