@@ -207,26 +207,25 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                                                       connected_components)
         comps = connected_components(pairs)
         if dedup_keep == "quality":
-            # keep_best_per_cluster's policy inlined over the SHARED
-            # closure (equality with the standalone operator pinned in
-            # test_pipeline_quality_survivor_stage): highest quality
-            # survives, NULL last, tie -> min id
+            # keep_best_per_cluster over the SHARED closure (components=
+            # passes ownership through; equality with the standalone
+            # operator pinned in test_pipeline_quality_survivor_stage).
+            # Survivor choice only matters INSIDE a cluster, so only the
+            # clustered rows (the near-dup fraction of the corpus) pay
+            # the quality regexp pass — not the whole exact-unique tier.
+            from pdf_parser_spark.operators.dedup import \
+                keep_best_per_cluster
             from pdf_parser_spark.operators.textstats import quality_features
-            scored = (quality_features(exact_side)
+            clustered = exact_side.join(comps.select("id"), "id")
+            scored = (quality_features(clustered)
                       .select("id", F.col("quality_score").cast("double")
-                              .alias("__q")))
-            best = (scored.join(comps, "id")
-                    .groupBy("component")
-                    .agg(F.min(F.struct(
-                        F.when(F.col("__q").isNull(), 1).otherwise(0)
-                         .alias("nullq"),
-                        (-F.coalesce(F.col("__q"), F.lit(0.0)))
-                        .alias("nq"),
-                        F.col("id").alias("sid"))).alias("b"))
-                    .select(F.col("b.sid").alias("__winner")))
+                              .alias("quality_score")))
+            best = keep_best_per_cluster(scored, pairs, id_col="id",
+                                         components=comps)
             loser_ids = _own(
                 comps.select("id").join(
-                    best, F.col("id") == F.col("__winner"), "left_anti"),
+                    best.select(F.col("id").alias("__winner")),
+                    F.col("id") == F.col("__winner"), "left_anti"),
                 *getattr(comps, "owned_storage", ()))
         else:
             loser_ids = _own(
@@ -422,10 +421,13 @@ def curate(chunks: DataFrame, langs: tuple[str, ...] = ("en",),
                    .withColumn("selected", F.col("f_budget"))
                    .drop("__in_budget"))
 
-    if comps is not None:
+    if leak_safe_split:
         # leak-safe: the split hash keys on the near-dup component
         # (sampling.leak_safe_split's policy); rows in no pair key on
-        # their own id — bit-identical to the plain split for them
+        # their own id — bit-identical to the plain split for them.
+        # Gated on the FLAG, not on comps existing: dedup_keep='quality'
+        # alone also labels components, but must not silently change
+        # which split a row lands in.
         out = (deterministic_split(
                    flagged.join(comps, "id", "left")
                           .withColumn("__splitkey",

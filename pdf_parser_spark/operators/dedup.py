@@ -693,7 +693,8 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
                           id_col: str = "doc_id",
-                          quality_col: str = "quality_score") -> DataFrame:
+                          quality_col: str = "quality_score",
+                          components: DataFrame | None = None) -> DataFrame:
     """Quality-aware canonical selection: one survivor per near-dup
     cluster, chosen by QUALITY rather than min id.
 
@@ -711,8 +712,14 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
     min(struct(null_flag, -quality, id)) aggregate — map-side combined,
     no window, no second pass). The component labeling's checkpoint
     blocks ride along as ``owned_storage``.
+
+    ``components``: pass a precomputed :func:`connected_components`
+    labeling (over the same pairs) to reuse it across stages — the
+    caller keeps ownership of its checkpoint storage then; ``pairs`` is
+    ignored.
     """
-    comps = connected_components(pairs)
+    caller_owns = components is not None
+    comps = components if caller_owns else connected_components(pairs)
     q = F.col(quality_col).cast("double")
     joined = df.select(F.col(id_col), q.alias("__q")) \
                .join(comps.withColumnRenamed("id", id_col), id_col, "left")
@@ -731,6 +738,8 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, *,
                     F.col("b.sid").alias(id_col),
                     F.col("b.sq").alias(quality_col),
                     "n_members"))
+    if caller_owns:
+        return best
     return _own(best, *getattr(comps, "owned_storage", ()))
 
 

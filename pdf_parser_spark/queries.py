@@ -3509,15 +3509,27 @@ def _cow_merged_dir(spark, sf):
     value-hash-checked, not just pytest-gated."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
     from pdf_parser_spark.sources.cowtable import create_table, merge_into
 
+    # Process-private dir, built at most once per process: a shared path
+    # would let a concurrent run (pytest vs oracle_check) rmtree a table
+    # the other is mid-merge on, and an in-process rebuild would strand
+    # lazy DataFrames pointing at the previous build's uuid-named files.
     d = os.path.join(tempfile.gettempdir(),
                      "pdf_parser_spark_cow_"
-                     + hashlib.md5(sf.encode()).hexdigest()[:8])
+                     + hashlib.md5(sf.encode()).hexdigest()[:8]
+                     + f"_{os.getpid()}")
     if os.path.exists(d):
+        import json
+        try:  # complete iff the one CDC batch committed (version 2)
+            with open(os.path.join(d, "manifest.json")) as fh:
+                if json.load(fh)["version"] >= 2:
+                    return d
+        except (OSError, KeyError, ValueError):
+            pass
+        import shutil
         shutil.rmtree(d)
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "source",
                                              "text")
@@ -3570,6 +3582,7 @@ def docs_cow_time_travel(spark, sf):
 DOCS_COW_TIME_TRAVEL_SQL = """
 SELECT doc_id, lang, source, text FROM documents
 """
+
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,7 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
     os.makedirs(table_dir, exist_ok=True)
     files = _write_data_files(df, table_dir, "v1")
     manifest = {"key_col": key_col, "version": 1, "applied": [],
+                "schema": df.schema.json(),
                 "snapshots": {"1": {"files": files}}}
     _commit(table_dir, manifest)
     return manifest
@@ -123,8 +124,21 @@ def read_table(spark: SparkSession, table_dir: str,
         raise ValueError(f"version {v} not in table (have: "
                          f"{sorted(m['snapshots'])})")
     if not snap["files"]:
-        schema = spark.read.parquet(
-            os.path.join(table_dir, m["snapshots"]["1"]["files"][0])).schema
+        # An empty snapshot is legitimate (a merge can delete every row);
+        # the schema comes from the manifest, never from some other
+        # snapshot's files (they may have been vacuumed).
+        from pyspark.sql.types import StructType
+        if "schema" in m:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+        else:  # pre-schema manifests: any still-listed file will do
+            for other in m["snapshots"].values():
+                if other["files"]:
+                    schema = spark.read.parquet(
+                        os.path.join(table_dir, other["files"][0])).schema
+                    break
+            else:
+                raise ValueError(
+                    "empty snapshot and no schema recorded in manifest")
         return spark.createDataFrame([], schema)
     return spark.read.parquet(
         *[os.path.join(table_dir, f) for f in snap["files"]])
@@ -207,44 +221,60 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
         return {"skipped": True, "batch_id": batch_id,
                 "version": m["version"]}
 
-    bad = changes.where(~F.col(op_col).isin(*OPS)).limit(1).collect()
-    if bad:
-        raise ValueError(f"unknown {op_col} {bad[0][op_col]!r} "
-                         f"(allowed: {OPS})")
-    if changes.where(F.col(key_col).isNull()).limit(1).count():
-        raise ValueError(f"NULL {key_col} in change batch")
-    dup = (changes.groupBy(key_col).count()
-           .where(F.col("count") > 1).limit(1).collect())
-    if dup:
-        raise ValueError(f"duplicate key {dup[0][key_col]!r} in one "
-                         "batch — pre-collapse to last-wins first")
+    # One cached pass validates the whole batch. NULL ops must be caught
+    # explicitly: `~isin` is NULL (not true) for them under three-valued
+    # logic, so a where() test would silently let them through — and a
+    # NULL-op row's key would then be deleted without an upsert.
+    changes = changes.cache()
+    bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin(*OPS)
+    probe = changes.agg(
+        F.count(F.when(bad_op, True)).alias("bad_ops"),
+        F.min(F.when(bad_op, F.col(op_col))).alias("bad_op_val"),
+        F.count(F.when(F.col(key_col).isNull(), True)).alias("null_keys"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key_col).alias("n_keys")).collect()[0]
+    try:
+        if probe["bad_ops"]:
+            raise ValueError(f"unknown {op_col} {probe['bad_op_val']!r} "
+                             f"(allowed: {OPS}; NULL rejected)")
+        if probe["null_keys"]:
+            raise ValueError(f"NULL {key_col} in change batch")
+        if probe["n_keys"] < probe["n"]:
+            raise ValueError("duplicate keys in one batch — pre-collapse "
+                             "to last-wins first")
 
-    cur = m["snapshots"][str(m["version"])]["files"]
-    keys = [r[0] for r in changes.select(key_col).collect()]
-    bounds = file_key_bounds(spark, table_dir, cur, key_col) if cur else []
-    affected = set(_affected_files(bounds, keys))
-    carried = [f for f in cur if f not in affected]
+        cur = m["snapshots"][str(m["version"])]["files"]
+        keys = [r[0] for r in changes.select(key_col).collect()]
+        bounds = (file_key_bounds(spark, table_dir, cur, key_col)
+                  if cur else [])
+        affected = set(_affected_files(bounds, keys))
+        carried = [f for f in cur if f not in affected]
 
-    upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
-    new_files: list[str] = []
-    rows_out = 0
-    tag = f"v{m['version'] + 1}"
-    if affected:
-        tgt = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in sorted(affected)])
-        keep = tgt.join(F.broadcast(changes.select(key_col)),
-                        on=key_col, how="left_anti")
-        merged = keep.unionByName(upserts.select(*tgt.columns))
-        rows_out = merged.count()
-        if rows_out:
-            new_files = _write_data_files(merged, table_dir, tag)
-    else:
-        ins = upserts
-        rows_out = ins.count()
-        if rows_out:
-            new_files = _write_data_files(
-                ins.select(*read_table(spark, table_dir).columns),
-                table_dir, tag)
+        upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
+        cols = [f for f in read_table(spark, table_dir).columns]
+        tag = f"v{m['version'] + 1}"
+        if affected:
+            tgt = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in sorted(affected)])
+            keep = tgt.join(F.broadcast(changes.select(key_col)),
+                            on=key_col, how="left_anti")
+            merged = keep.unionByName(upserts.select(*cols))
+        else:
+            merged = upserts.select(*cols)
+        # Write once; row count comes from the new files' footers (local
+        # metadata), not a second full scan of the affected files.
+        new_files = _write_data_files(merged, table_dir, tag)
+        rows_out = 0
+        import pyarrow.parquet as pq
+        for f in list(new_files):
+            p = os.path.join(table_dir, f)
+            n = pq.ParquetFile(p).metadata.num_rows
+            if n == 0:
+                os.remove(p)
+                new_files.remove(f)
+            rows_out += n
+    finally:
+        changes.unpersist()
 
     v = m["version"] + 1
     stats = {"version": v, "batch_id": batch_id,
@@ -298,16 +328,22 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     live: set[str] = set()
     for v in keep:
         live.update(m["snapshots"][str(v)]["files"])
-    dropped_files = 0
+    doomed: list[str] = []
     for v in versions:
         if v in keep:
             continue
-        for f in m["snapshots"][str(v)]["files"]:
-            p = os.path.join(table_dir, f)
-            if f not in live and os.path.exists(p):
-                os.remove(p)
-                dropped_files += 1
+        doomed.extend(f for f in m["snapshots"][str(v)]["files"]
+                      if f not in live)
         del m["snapshots"][str(v)]
+    # Manifest-first, deletion-after (Iceberg's expire order): a crash
+    # between the two leaves unreferenced files on disk (harmless
+    # orphans), never a committed manifest pointing at deleted files.
     _commit(table_dir, m)
+    dropped_files = 0
+    for f in doomed:
+        p = os.path.join(table_dir, f)
+        if os.path.exists(p):
+            os.remove(p)
+            dropped_files += 1
     return {"kept_versions": sorted(keep),
             "dropped_files": dropped_files}

@@ -119,11 +119,10 @@ def zorder_layout(df: DataFrame, cols: list[str], *, bits: int = 4,
             f"zorder columns must be numeric/temporal, got "
             f"{[(c, dtypes.get(c)) for c in bad]}; hash or dictionary-"
             f"encode strings first (locality is meaningless on a hash)")
-    if bits * len(cols) > 63:
-        raise ValueError(
-            f"z-value needs bits*len(cols) <= 63 bits of long, got "
-            f"{bits} * {len(cols)} = {bits * len(cols)}; lower bits "
-            f"or z-order fewer columns")
+    # single source of truth for the 63-bit width bound lives in
+    # zorder_value; probe it with dummy codes BEFORE paying the
+    # percentile aggregation job
+    zorder_value([F.lit(0)] * len(cols), bits)
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     row = df.agg(*[F.percentile_approx(F.col(c).cast("double"),
                                        qs, 10_000).alias(c)

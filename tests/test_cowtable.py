@@ -134,3 +134,57 @@ def test_compact_table_and_vacuum(spark, docs, table):
     assert _digest(read_table(spark, table)) == d_before   # current survives
     with pytest.raises(ValueError, match="version 1 not in table"):
         read_table(spark, table, version=1)
+
+
+def test_null_op_rejected_loudly(spark, docs, table):
+    """A NULL op must raise, not silently delete the key: `~isin` is NULL
+    (not true) for NULL under three-valued logic, so an unguarded filter
+    would let the row mark its file affected without contributing an
+    upsert."""
+    ch = spark.createDataFrame(
+        [(5, "en", "cdc", "x", None)],
+        "doc_id long, lang string, source string, text string, op string")
+    before = _digest(read_table(spark, table))
+    with pytest.raises(ValueError, match="NULL rejected"):
+        merge_into(spark, table, ch)
+    assert _digest(read_table(spark, table)) == before
+
+
+def test_empty_snapshot_reads_after_vacuum(spark, docs, table):
+    """Delete every row, vacuum away the only non-empty snapshot: the
+    empty current snapshot must still read (schema from the manifest,
+    not from some other snapshot's vacuumed files)."""
+    ch = docs.select("doc_id").withColumn("lang", F.lit(None).cast("string")) \
+             .withColumn("source", F.lit(None).cast("string")) \
+             .withColumn("text", F.lit(None).cast("string")) \
+             .withColumn("op", F.lit("delete"))
+    merge_into(spark, table, ch)
+    vacuum(table, keep_last=1)
+    out = read_table(spark, table)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "source", "text"]
+
+
+def test_vacuum_commits_manifest_before_deleting(spark, docs, table, monkeypatch):
+    """Crash-safety order: if deletion dies mid-way, the committed
+    manifest must already exclude the dropped snapshots, so every listed
+    file still exists."""
+    import os
+
+    import pdf_parser_spark.sources.cowtable as cow
+    merge_into(spark, table, _changes(spark, docs, 0, 40))
+
+    real_remove = os.remove
+    def boom(path):
+        raise OSError("disk pulled")
+    monkeypatch.setattr(cow.os, "remove", boom)
+    with pytest.raises(OSError):
+        vacuum(table, keep_last=1)
+    monkeypatch.setattr(cow.os, "remove", real_remove)
+
+    m = read_manifest(table)
+    assert sorted(m["snapshots"]) == ["2"]
+    for f in m["snapshots"]["2"]["files"]:
+        assert os.path.exists(os.path.join(table, f))
+    # current snapshot fully readable despite the failed deletion
+    assert read_table(spark, table).count() > 0

@@ -655,6 +655,10 @@ def test_pipeline_quality_survivor_stage(spark, tmp_path):
     assert got == want
     # and the rule genuinely differs from min-id on this fixture
     assert got != {i for i, r in m.items() if r.f_near_unique}
+    # the survivor rule must move ONLY f_near_unique: split membership is
+    # id-keyed in both runs (component keying is leak_safe_split's job)
+    assert {i: r.split for i, r in q.items()} == \
+           {i: r.split for i, r in m.items()}
     release_owned_storage(best)
     release_owned_storage(minid)
     release_owned_storage(qual)
