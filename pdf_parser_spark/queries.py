@@ -3584,6 +3584,34 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def docs_cow_changes(spark, sf):
+    # changelog read (Delta CDF shape) of the v1 -> v2 CDC commit: every
+    # deleted old row and inserted new row, reconstructed by diffing
+    # ONLY the files the two snapshots do not share by name
+    # (sources/cowtable.table_changes); an update is delete + insert
+    from pdf_parser_spark.sources.cowtable import table_changes
+    return table_changes(spark, _cow_merged_dir(spark, sf), 1, 2) \
+        .select("doc_id", "lang", "source", "text", "change_type",
+                "commit_version")
+
+
+DOCS_COW_CHANGES_SQL = """
+WITH d AS (SELECT doc_id, lang, source, text FROM documents)
+SELECT doc_id, lang, source, text,
+       'delete' AS change_type, 2 AS commit_version
+FROM d WHERE doc_id % 13 = 3
+UNION ALL
+SELECT doc_id, lang, source, text, 'delete', 2
+FROM d WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+UNION ALL
+SELECT doc_id, lang, source, 'U:' || text, 'insert', 2
+FROM d WHERE doc_id % 7 = 0 AND doc_id % 13 <> 3
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, lang, 'cdc' AS source,
+       'N:' || text AS text, 'insert', 2
+FROM d WHERE doc_id % 11 = 5
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -3683,6 +3711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_text_statistics_full": docs_text_statistics_full,
     "docs_cow_merge": docs_cow_merge,
     "docs_cow_time_travel": docs_cow_time_travel,
+    "docs_cow_changes": docs_cow_changes,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
     # recall gates)
@@ -3773,6 +3802,7 @@ ORACLES: dict[str, str] = {
     "docs_text_statistics_full": DOCS_TEXTSTATS_SQL,
     "docs_cow_merge": DOCS_COW_MERGE_SQL,
     "docs_cow_time_travel": DOCS_COW_TIME_TRAVEL_SQL,
+    "docs_cow_changes": DOCS_COW_CHANGES_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

@@ -347,3 +347,62 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
             dropped_files += 1
     return {"kept_versions": sorted(keep),
             "dropped_files": dropped_files}
+
+
+def table_changes(spark: SparkSession, table_dir: str,
+                  from_version: int, to_version: int) -> DataFrame:
+    """Changelog read (Delta CDF / Iceberg changelog shape): every row
+    change between two committed snapshots, as table rows plus
+    ``change_type`` ('insert' | 'delete'; an update is a delete+insert
+    pair for the key) and ``commit_version`` (the snapshot that made the
+    change).
+
+    Scale shape: per version step, ONLY the files whose names differ
+    between the two manifests are read — files carried by name are
+    byte-identical and cancel by construction, so a 0.1 % CDC commit on
+    a 100 TB table diffs ~0.1 % of it. Row diffs use ``exceptAll``
+    (bag semantics; keys are unique per snapshot, and rewritten-but-
+    unchanged rows in affected files cancel against their old copies).
+    A compaction snapshot renames every file; its diff correctly
+    evaluates to zero changes (all rows cancel) at the cost of a full
+    read — the same trade Delta's CDF makes without change files.
+    """
+    m = read_manifest(table_dir)
+    for v in (from_version, to_version):
+        if str(v) not in m["snapshots"]:
+            raise ValueError(f"version {v} not in table (have: "
+                             f"{sorted(m['snapshots'])}); vacuumed "
+                             "versions have no changelog")
+    if from_version >= to_version:
+        raise ValueError(f"need from_version < to_version, got "
+                         f"{from_version} >= {to_version}")
+
+    def _snap_df(files: list[str]) -> DataFrame:
+        if not files:
+            return read_table(spark, table_dir, version=from_version) \
+                .limit(0)
+        return spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in sorted(files)])
+
+    out: DataFrame | None = None
+    for v in range(from_version + 1, to_version + 1):
+        if str(v) not in m["snapshots"]:
+            raise ValueError(f"version {v} missing between endpoints "
+                             "(vacuumed) — changelog is broken there")
+        old = set(m["snapshots"][str(v - 1)]["files"])
+        new = set(m["snapshots"][str(v)]["files"])
+        removed, added = sorted(old - new), sorted(new - old)
+        if not removed and not added:
+            continue
+        o, n = _snap_df(removed), _snap_df(added)
+        step = (n.exceptAll(o)
+                .withColumn("change_type", F.lit("insert"))
+                .unionByName(o.exceptAll(n)
+                             .withColumn("change_type", F.lit("delete")))
+                .withColumn("commit_version", F.lit(v)))
+        out = step if out is None else out.unionByName(step)
+    if out is None:  # every step carried all files by name
+        return _snap_df([]).withColumn("change_type", F.lit("")) \
+                           .withColumn("commit_version", F.lit(0)) \
+                           .limit(0)
+    return out

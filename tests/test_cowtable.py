@@ -188,3 +188,60 @@ def test_vacuum_commits_manifest_before_deleting(spark, docs, table, monkeypatch
         assert os.path.exists(os.path.join(table, f))
     # current snapshot fully readable despite the failed deletion
     assert read_table(spark, table).count() > 0
+
+
+def test_table_changes_reconstructs_cdc(spark, docs, table):
+    """v1 -> v2 changelog equals the applied batch: deletes as old rows,
+    upserts as delete+insert (update) or bare insert (new key)."""
+    from pdf_parser_spark.sources.cowtable import table_changes
+    ch = _changes(spark, docs, 0, 40).unionByName(
+        spark.createDataFrame([(450, None, None, None, "delete")],
+                              "doc_id long, lang string, source string, "
+                              "text string, op string"))
+    merge_into(spark, table, ch)
+    log = table_changes(spark, table, 1, 2)
+    ins = {r.doc_id: r for r in log.where("change_type = 'insert'").collect()}
+    dels = {r.doc_id: r for r in log.where("change_type = 'delete'").collect()}
+    upd_keys = {r.doc_id for r in docs.where("doc_id >= 0 AND doc_id < 40")
+                .collect()}
+    # updates: delete of the old row + insert of the U: row
+    assert upd_keys <= set(dels) and upd_keys <= set(ins)
+    for k in upd_keys:
+        assert ins[k].text.startswith("U:") and not dels[k].text.startswith("U:")
+    # pure delete: old row out, nothing in
+    assert 450 in dels and 450 not in ins
+    # pure insert: new key in, nothing out
+    assert 10_000_000 in ins and 10_000_000 not in dels
+    # nothing else changed
+    assert set(dels) == upd_keys | {450}
+    assert set(ins) == upd_keys | {10_000_000}
+    assert log.where("commit_version <> 2").count() == 0
+
+
+def test_table_changes_across_compaction_is_empty(spark, docs, table):
+    """A compaction snapshot renames every file but changes no rows: its
+    changelog step contributes nothing, and a multi-step range spanning
+    it still reconstructs the real CDC commits."""
+    from pdf_parser_spark.sources.cowtable import table_changes
+    merge_into(spark, table, _changes(spark, docs, 0, 20))       # v2
+    compact_table(spark, table, target_mb=64)                    # v3
+    merge_into(                                                  # v4
+        spark, table,
+        spark.createDataFrame([(7, "en", "cdc2", "late", "upsert")],
+                              "doc_id long, lang string, source string, "
+                              "text string, op string"))
+    assert table_changes(spark, table, 2, 3).count() == 0
+    span = table_changes(spark, table, 1, 4)
+    assert span.where("commit_version = 3").count() == 0
+    v4 = span.where("commit_version = 4")
+    assert {(r.doc_id, r.change_type, r.text) for r in v4.collect()} == \
+        {(7, "insert", "late"), (7, "delete", "U:" + [
+            r.text for r in docs.where("doc_id = 7").collect()][0])}
+
+
+def test_table_changes_validates_range(spark, docs, table):
+    from pdf_parser_spark.sources.cowtable import table_changes
+    with pytest.raises(ValueError, match="from_version < to_version"):
+        table_changes(spark, table, 1, 1)
+    with pytest.raises(ValueError, match="not in table"):
+        table_changes(spark, table, 1, 9)
