@@ -258,7 +258,9 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                 *[os.path.join(table_dir, f) for f in sorted(affected)])
             keep = tgt.join(F.broadcast(changes.select(key_col)),
                             on=key_col, how="left_anti")
-            merged = keep.unionByName(upserts.select(*cols))
+            # the join moved key_col first — restore the table's column
+            # order so every snapshot's files share one physical schema
+            merged = keep.select(*cols).unionByName(upserts.select(*cols))
         else:
             merged = upserts.select(*cols)
         # Write once; row count comes from the new files' footers (local
@@ -395,6 +397,7 @@ def table_changes(spark: SparkSession, table_dir: str,
         if not removed and not added:
             continue
         o, n = _snap_df(removed), _snap_df(added)
+        n = n.select(*o.columns)  # exceptAll is positional; align by name
         step = (n.exceptAll(o)
                 .withColumn("change_type", F.lit("insert"))
                 .unionByName(o.exceptAll(n)
