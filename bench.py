@@ -465,6 +465,88 @@ def main_extract_only(cores: int, n_convs: int,
     print(json.dumps({"cores": cores, "executors": executors, **ext}))
 
 
+
+def main_maintain(cores: int, n_convs: int, cdc_convs: int = 100,
+                  n_files: int | None = None) -> None:
+    """Incremental-maintenance economics (sources/maintain.py): wall of a
+    cdc_frac CDC refresh of the extracted table vs the full rebuild, same
+    corpus, fresh tables. The number that justifies the changelog tier:
+    at 10^12 turns a full rebuild is the only alternative.
+
+    Geometry matters: production holds FILE SIZE constant (file count
+    grows with the corpus) and CDC batches are absolute-sized, so the
+    bench does the same — n_files defaults to ~400 convs/file and
+    cdc_convs is an absolute count. Then affected files <= changed convs
+    regardless of corpus size: refresh wall stays ~flat while the full
+    rebuild grows linearly, which is the whole point of the tier. (A
+    batch scattered across MORE convs than there are files legitimately
+    rewrites everything — that regime is full-rebuild-shaped by
+    construction and not what the tier is for.)"""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.pipeline import read_transcripts
+    from pdf_parser_spark.sources.cowtable import (create_table, merge_into,
+                                                   read_manifest)
+    from pdf_parser_spark.sources.maintain import (build_extracted_table,
+                                                   refresh_extracted_table)
+
+    tmp_root = os.path.join(tempfile.gettempdir(), "pdf_parser_spark_bench")
+    os.makedirs(tmp_root, exist_ok=True)
+    corpus, n_turns = _synth_corpus_path(tmp_root, n_convs)
+    if n_files is None:
+        n_files = max(64, n_convs // 400)
+    work = os.path.join(tmp_root, f"maintain-{uuid.uuid4().hex[:8]}")
+    src, dst = os.path.join(work, "src"), os.path.join(work, "dst")
+    spark = build_spark(cores, app=f"maintain-bench-{cores}")
+    try:
+        turns = read_transcripts(spark, corpus).withColumn(
+            "turn_key", F.concat_ws("#", "conv_id",
+                                    F.format_string("%06d", "turn_idx")))
+        # src laid out range-clustered on the key, ~32 files: pruning is
+        # the production shape (Iceberg sort order / zorder on conv)
+        create_table(spark,
+                     turns.repartitionByRange(n_files, "turn_key"),
+                     src, "turn_key")
+
+        t0 = time.perf_counter()
+        build_extracted_table(spark, src, dst, n_files=n_files)
+        full_sec = time.perf_counter() - t0
+
+        # CDC: rewrite every turn of ~cdc_convs conversations
+        # (hash-picked, deterministic)
+        batch = (turns.where(
+                     F.pmod(F.xxhash64("conv_id"),
+                            F.lit(max(1, n_convs // cdc_convs))) == 0)
+                 .withColumn("text", F.concat(F.lit("EDIT "), "text"))
+                 .withColumn("op", F.lit("upsert")))
+        merge_into(spark, src, batch)
+
+        t0 = time.perf_counter()
+        stats = refresh_extracted_table(spark, src, dst)
+        inc_sec = time.perf_counter() - t0
+        m = stats["merge"]
+        payload = {
+            "metric": "incremental extracted-table refresh vs full rebuild",
+            "n_convs": n_convs, "n_turns": n_turns,
+            "cdc_convs_requested": cdc_convs, "n_files": n_files,
+            "changed_convs": stats["changed_convs"],
+            "full_build_sec": round(full_sec, 3),
+            "refresh_sec": round(inc_sec, 3),
+            "speedup": round(full_sec / inc_sec, 2),
+            "files_rewritten": m["files_rewritten"],
+            "files_carried": m["files_carried"],
+            "dst_version": read_manifest(dst)["version"],
+            "cores": cores,
+        }
+        print(json.dumps(payload))
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main_scaling(n_cores: int, n4_cores: int, n_convs: int) -> None:
     """North-rule scaling evidence: identical job, fresh JVM per level.
 
@@ -604,6 +686,11 @@ if __name__ == "__main__":
                     help="N vs 4N EXECUTORS via local-cluster (separate "
                          "worker JVMs, --py-files deployment), CPU-pinned")
     ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--maintain", action="store_true",
+                    help="incremental refresh vs full rebuild economics")
+    ap.add_argument("--cdc-convs", type=int, default=100,
+                    help="absolute changed-conversation count for --maintain")
+    ap.add_argument("--maintain-files", type=int, default=None)
     ap.add_argument("--executors", type=int, default=None,
                     help="--extract-only on a local-cluster with this many "
                          "executors of --cores each (default 4/executor)")
@@ -629,6 +716,10 @@ if __name__ == "__main__":
         main_scaling(args.n_cores, n4, args.convs or SCALING_CONVS)
     elif args.scaling_cluster:
         main_scaling_cluster(1, 4, args.convs or SCALING_CONVS)
+    elif args.maintain:
+        main_maintain(args.cores if args.cores is not None else DEFAULT_CPUS,
+                      args.convs or BENCH_CONVS, args.cdc_convs,
+                      args.maintain_files)
     elif args.extract_only:
         cores = args.cores if args.cores is not None \
             else (4 if args.executors else DEFAULT_CPUS)

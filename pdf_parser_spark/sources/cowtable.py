@@ -109,6 +109,8 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
     manifest = {"key_col": key_col, "version": 1, "applied": [],
                 "schema": df.schema.json(),
                 "snapshots": {"1": {"files": files}}}
+    _record_stats(manifest,
+                  file_key_bounds(spark, table_dir, files, key_col))
     _commit(table_dir, manifest)
     return manifest
 
@@ -146,38 +148,65 @@ def read_table(spark: SparkSession, table_dir: str,
 
 # --- file pruning -----------------------------------------------------------
 
+def _footer_key_bounds(path: str, key_col: str) -> tuple:
+    """(kmin, kmax, rows) for one parquet file from its footer only;
+    (None, None, rows) when statistics are missing."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i
+           for i in range(md.num_columns)}[key_col]
+    lo = hi = None
+    ok = True
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            ok = False
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo if ok else None, hi if ok else None, md.num_rows)
+
+
+def _json_safe(v) -> bool:
+    return v is None or isinstance(v, (str, int, float, bool))
+
+
+def _record_stats(manifest: dict, bounds: list[dict]) -> None:
+    """Cache per-file key bounds in the manifest (Iceberg's manifest
+    column stats): later pruning passes become a dict lookup instead of
+    a footer-metadata job. Non-JSON key types (e.g. timestamps) are not
+    cached — lookups miss and fall back to footers."""
+    stats = manifest.setdefault("stats", {})
+    for b in bounds:
+        if _json_safe(b["kmin"]) and _json_safe(b["kmax"]) \
+                and b["kmin"] is not None:
+            stats[b["file"]] = [b["kmin"], b["kmax"], b["rows"]]
+
+
 def file_key_bounds(spark: SparkSession, table_dir: str,
-                    files: list[str], key_col: str) -> list[dict]:
-    """Per-file (file, kmin, kmax, rows) from parquet FOOTERS only — a
-    distributed metadata pass (pyarrow in mapPartitions over the file
-    list; no data pages are read), the scale twin of Iceberg's manifest
-    column stats. NULL bounds (stats missing) mark the file
-    un-prunable."""
-    paths = [(f, os.path.join(table_dir, f)) for f in files]
+                    files: list[str], key_col: str,
+                    manifest: dict | None = None) -> list[dict]:
+    """Per-file (file, kmin, kmax, rows): from the manifest's cached
+    stats when present, else from parquet FOOTERS — a distributed
+    metadata pass (pyarrow in mapPartitions over the file list; no data
+    pages are read), the scale twin of Iceberg's manifest column stats.
+    NULL bounds (stats missing) mark the file un-prunable."""
+    cached = (manifest or {}).get("stats", {})
+    out = [{"file": f, "kmin": cached[f][0], "kmax": cached[f][1],
+            "rows": cached[f][2]} for f in files if f in cached]
+    missing = [f for f in files if f not in cached]
+    if not missing:
+        return out
+    paths = [(f, os.path.join(table_dir, f)) for f in missing]
     files_df = spark.createDataFrame(paths, "rel string, path string") \
                     .repartition(min(len(paths), 64))
 
     def stats(rows):
-        import pyarrow.parquet as pq
         for r in rows:
-            md = pq.ParquetFile(r.path).metadata
-            idx = {md.schema.column(i).name: i
-                   for i in range(md.num_columns)}[key_col]
-            lo = hi = None
-            ok = True
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            yield {"file": r.rel,
-                   "kmin": lo if ok else None,
-                   "kmax": hi if ok else None,
-                   "rows": md.num_rows}
+            lo, hi, n = _footer_key_bounds(r.path, key_col)
+            yield {"file": r.rel, "kmin": lo, "kmax": hi, "rows": n}
 
-    return list(files_df.rdd.mapPartitions(stats).collect())
+    return out + list(files_df.rdd.mapPartitions(stats).collect())
 
 
 def _affected_files(bounds: list[dict], keys: list) -> list[str]:
@@ -245,13 +274,18 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
 
         cur = m["snapshots"][str(m["version"])]["files"]
         keys = [r[0] for r in changes.select(key_col).collect()]
-        bounds = (file_key_bounds(spark, table_dir, cur, key_col)
+        bounds = (file_key_bounds(spark, table_dir, cur, key_col,
+                                  manifest=m)
                   if cur else [])
         affected = set(_affected_files(bounds, keys))
         carried = [f for f in cur if f not in affected]
 
         upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
-        cols = [f for f in read_table(spark, table_dir).columns]
+        if "schema" in m:  # manifest schema avoids a file listing
+            from pyspark.sql.types import StructType
+            cols = StructType.fromJson(json.loads(m["schema"])).fieldNames()
+        else:
+            cols = read_table(spark, table_dir).columns
         tag = f"v{m['version'] + 1}"
         if affected:
             tgt = spark.read.parquet(
@@ -263,18 +297,24 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
             merged = keep.select(*cols).unionByName(upserts.select(*cols))
         else:
             merged = upserts.select(*cols)
-        # Write once; row count comes from the new files' footers (local
-        # metadata), not a second full scan of the affected files.
+        # Write once; row count AND key bounds come from the new files'
+        # footers (local metadata, one open per new file) — no second
+        # scan of the affected files, and the bounds are cached in the
+        # manifest so future merges prune without a footer job.
         new_files = _write_data_files(merged, table_dir, tag)
         rows_out = 0
-        import pyarrow.parquet as pq
+        new_bounds = []
         for f in list(new_files):
             p = os.path.join(table_dir, f)
-            n = pq.ParquetFile(p).metadata.num_rows
+            lo, hi, n = _footer_key_bounds(p, key_col)
             if n == 0:
                 os.remove(p)
                 new_files.remove(f)
+                continue
+            new_bounds.append({"file": f, "kmin": lo, "kmax": hi,
+                               "rows": n})
             rows_out += n
+        _record_stats(m, new_bounds)
     finally:
         changes.unpersist()
 
@@ -309,6 +349,8 @@ def compact_table(spark: SparkSession, table_dir: str,
     df = read_table(spark, table_dir)
     tag = f"v{m['version'] + 1}"
     files = _write_data_files(df.repartition(n_out), table_dir, tag)
+    _record_stats(m, file_key_bounds(spark, table_dir, files,
+                                     m["key_col"]))
     v = m["version"] + 1
     m["snapshots"][str(v)] = {"files": files,
                               "compaction": {"in_files": len(cur),
@@ -337,6 +379,8 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
         doomed.extend(f for f in m["snapshots"][str(v)]["files"]
                       if f not in live)
         del m["snapshots"][str(v)]
+    for f in doomed:
+        m.get("stats", {}).pop(f, None)
     # Manifest-first, deletion-after (Iceberg's expire order): a crash
     # between the two leaves unreferenced files on disk (harmless
     # orphans), never a committed manifest pointing at deleted files.

@@ -64,6 +64,48 @@ def _only_convs(df: DataFrame, convs_df: DataFrame,
     return df.join(F.broadcast(convs_df), "conv_id", "left_semi")
 
 
+def _pruned_conv_read(spark: SparkSession, table_dir: str,
+                      convs: list[str], convs_df: DataFrame) -> DataFrame:
+    """Current snapshot restricted to ``convs`` — but opening ONLY files
+    whose footer key range intersects some conversation's key-prefix
+    range (keys are ``conv_id#...``, so a conversation is the range
+    [conv#, conv#\\uffff]). One distributed footer-metadata job, then a
+    scan of O(changed) files instead of O(table); the residual filter
+    drops range false positives."""
+    import bisect
+    import os
+
+    from pdf_parser_spark.sources.cowtable import file_key_bounds
+
+    m = read_manifest(table_dir)
+    files = m["snapshots"][str(m["version"])]["files"]
+    if not files:
+        return _only_convs(read_table(spark, table_dir), convs_df, convs)
+    key_col = m["key_col"]
+    bounds = file_key_bounds(spark, table_dir, files, key_col, manifest=m)
+    starts = sorted(c + "#" for c in convs)
+    hit = []
+    for b in bounds:
+        if b["kmin"] is None:       # no stats — must read
+            hit.append(b["file"])
+            continue
+        # a conversation range [s, s+￿] intersects [kmin, kmax]
+        # iff some s <= kmax AND its range end >= kmin, i.e. there is a
+        # start s with prefix-of-kmin-or-later position: check the
+        # nearest start at/below kmax and the one covering kmin
+        i = bisect.bisect_right(starts, b["kmax"])
+        if i == 0:
+            continue
+        s = starts[i - 1]
+        if s + "￿" >= b["kmin"]:
+            hit.append(b["file"])
+    if not hit:
+        return read_table(spark, table_dir).limit(0)
+    df = spark.read.parquet(*[os.path.join(table_dir, f)
+                              for f in sorted(hit)])
+    return _only_convs(df, convs_df, convs)
+
+
 def _record_src_version(dst_dir: str, src_version: int) -> None:
     m = read_manifest(dst_dir)
     m["src_version"] = src_version
@@ -110,10 +152,9 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
         return {"skipped": True, "src_version": src_v,
                 "changed_convs": 0}
 
-    src_rows = _only_convs(read_table(spark, src_dir, version=src_v),
-                           changed, convs)
+    src_rows = _pruned_conv_read(spark, src_dir, convs, changed)
     new_chunks = _with_chunk_key(extract(src_rows, cfg))
-    old_chunks = _only_convs(read_table(spark, dst_dir), changed, convs)
+    old_chunks = _pruned_conv_read(spark, dst_dir, convs, changed)
     stale = old_chunks.join(new_chunks.select(CHUNK_KEY),
                             CHUNK_KEY, "left_anti")
     batch = (new_chunks.withColumn("op", F.lit("upsert"))
