@@ -245,3 +245,25 @@ def test_table_changes_validates_range(spark, docs, table):
         table_changes(spark, table, 1, 1)
     with pytest.raises(ValueError, match="not in table"):
         table_changes(spark, table, 1, 9)
+
+
+def test_manifest_stats_cached_and_match_footers(spark, docs, table):
+    """Writers cache per-file key bounds in the manifest; the cached
+    bounds are byte-equal to a fresh footer pass, merges extend the
+    cache for their new files, and vacuum drops dropped files' entries."""
+    m = read_manifest(table)
+    files = m["snapshots"]["1"]["files"]
+    assert set(m["stats"]) == set(files)
+    key = lambda b: b["file"]  # noqa: E731
+    cached = sorted(file_key_bounds(spark, table, files, "doc_id",
+                                    manifest=m), key=key)
+    fresh = sorted(file_key_bounds(spark, table, files, "doc_id"), key=key)
+    assert cached == fresh
+
+    merge_into(spark, table, _changes(spark, docs, 0, 40))
+    m2 = read_manifest(table)
+    assert set(m2["stats"]) >= set(m2["snapshots"]["2"]["files"])
+
+    vacuum(table, keep_last=1)
+    m3 = read_manifest(table)
+    assert set(m3["stats"]) == set(m3["snapshots"]["2"]["files"])
