@@ -1,0 +1,88 @@
+"""spark-submit entry point for incremental extracted-table maintenance.
+
+Cluster usage (same packaging contract as jobs/extract_job.py)::
+
+    python jobs/package.py                      # builds dist/pdf_parser_spark.zip
+    spark-submit --py-files dist/pdf_parser_spark.zip \
+        jobs/maintain_job.py \
+        --src  /lake/transcripts_cow \
+        --dst  /lake/extracted_cow \
+        [--build]            # first run: full extraction into dst
+        [--compact-above N]  # fold dst when its file count exceeds N
+        [--clean-boilerplate] [--tokenizer paragraphs] ...
+
+Run it after each CDC commit (or on a schedule): it reads the source cow
+table's changelog from the last reflected version, re-extracts only the
+changed conversations, and merges the chunks in — exactly-once under
+re-runs (the merge is ledgered under the source version it reflects).
+A run with nothing new to reflect prints ``{"skipped": true}`` and does
+no data work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser(
+        description="incremental transcripts-CDC -> extracted-chunks merge")
+    ap.add_argument("--src", required=True,
+                    help="transcripts cow table dir (sources/cowtable.py)")
+    ap.add_argument("--dst", required=True,
+                    help="extracted-chunks cow table dir")
+    ap.add_argument("--build", action="store_true",
+                    help="create dst with a full extraction first")
+    ap.add_argument("--n-files", type=int, default=8,
+                    help="initial dst file count for --build")
+    ap.add_argument("--compact-above", type=int, default=None,
+                    help="compact dst after refresh when its current "
+                         "snapshot exceeds this many files")
+    ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument("--clean-boilerplate", action="store_true")
+    ap.add_argument("--tokenizer", default="turn",
+                    choices=["turn", "paragraphs"])
+    ap.add_argument("--max-chars", type=int, default=800)
+    ap.add_argument("--overlap-chars", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    # imports AFTER arg parsing so --help works without the zip on sys.path
+    from pyspark.sql import SparkSession
+
+    from pdf_parser_spark.config import ExtractionConfig
+    from pdf_parser_spark.sources.cowtable import (compact_table,
+                                                   read_manifest)
+    from pdf_parser_spark.sources.maintain import (build_extracted_table,
+                                                   refresh_extracted_table)
+
+    cfg = ExtractionConfig(
+        max_chars_per_chunk=args.max_chars,
+        tokenizer_mode=args.tokenizer,
+        clean_boilerplate=args.clean_boilerplate,
+        overlap_chars=args.overlap_chars,
+    )
+    spark = SparkSession.builder.appName("pdf_parser_spark-maintain") \
+        .getOrCreate()
+    try:
+        out: dict = {}
+        if args.build:
+            out["build"] = build_extracted_table(
+                spark, args.src, args.dst, cfg, n_files=args.n_files)
+        else:
+            out["refresh"] = refresh_extracted_table(
+                spark, args.src, args.dst, cfg)
+        if args.compact_above is not None:
+            m = read_manifest(args.dst)
+            n = len(m["snapshots"][str(m["version"])]["files"])
+            if n > args.compact_above:
+                out["compaction"] = compact_table(
+                    spark, args.dst, target_mb=args.target_mb)
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

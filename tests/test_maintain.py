@@ -126,3 +126,69 @@ def test_refresh_prunes_to_changed_conversations(spark, tables):
     m = stats["merge"]
     assert m["files_carried"] > 0                 # untouched files moved by name
     assert m["files_rewritten"] < n_files_before  # pruning actually bit
+
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
+    os.path.dirname(sys.executable), "spark-submit")
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on PATH")
+def test_maintain_job_spark_submit(tmp_path, spark):
+    """jobs/maintain_job.py off the zip: --build creates the extracted
+    table, a CDC commit + plain run refreshes it, an idle run skips."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from package import build_zip
+
+    zip_path = build_zip(str(tmp_path / "dist"))
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=12, seed=33)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    from pdf_parser_spark.sources.cowtable import create_table
+    create_table(spark, turns.repartitionByRange(2, "turn_key"),
+                 src, "turn_key")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    base = [SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "maintain_job.py"),
+            "--src", src, "--dst", dst]
+
+    def run(*extra):
+        proc = subprocess.run([*base, *extra], capture_output=True,
+                              text=True, timeout=300, cwd=str(tmp_path),
+                              env=env)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out = run("--build", "--n-files", "2")
+    assert out["build"]["created"] is True
+
+    one = sorted(r[0] for r in
+                 turns.select("conv_id").distinct().collect())[0]
+    upd = (turns.where(F.col("conv_id") == one)
+           .withColumn("text", F.concat(F.lit("J "), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd)
+
+    out = run()
+    assert out["refresh"]["changed_convs"] == 1
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+
+    out = run()
+    assert out["refresh"].get("skipped") is True
