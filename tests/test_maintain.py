@@ -192,3 +192,48 @@ def test_maintain_job_spark_submit(tmp_path, spark):
 
     out = run()
     assert out["refresh"].get("skipped") is True
+
+
+def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
+    """The full round-4 composition: a CDC stream lands on the
+    transcripts cow table (streaming/cow_sink), the changelog names the
+    touched conversations, and one refresh brings the extracted table
+    digest-EQUAL to a full rebuild — no full re-extraction anywhere."""
+    from pdf_parser_spark.sources.cowtable import create_table
+    from pdf_parser_spark.streaming.cow_sink import merge_stream
+
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=12, seed=13)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    create_table(spark, turns.repartitionByRange(3, "turn_key"),
+                 src, "turn_key")
+    build_extracted_table(spark, src, dst)
+
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    edited, killed = convs[3], convs[4]
+    changes = (turns.where(F.col("conv_id") == edited)
+               .withColumn("text", F.concat(F.lit("STREAMED "), "text"))
+               .withColumn("op", F.lit("upsert"))
+               .unionByName(turns.where(F.col("conv_id") == killed)
+                            .withColumn("op", F.lit("delete")))
+               .withColumn("lsn", F.monotonically_increasing_id()))
+    stream_dir = str(tmp_path / "cdc_stream")
+    changes.write.mode("overwrite").parquet(stream_dir)
+
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", "1").parquet(stream_dir))
+    q = merge_stream(stream, src, str(tmp_path / "ckpt"), order_col="lsn")
+    q.awaitTermination(120)
+
+    assert read_manifest(src)["version"] >= 2
+    stats = refresh_extracted_table(spark, src, dst)
+    assert stats["changed_convs"] == 2
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+    out = read_table(spark, dst)
+    assert out.where(F.col("conv_id") == killed).count() == 0
+    assert out.where(F.col("text").contains("STREAMED")).count() > 0
