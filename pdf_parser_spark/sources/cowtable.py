@@ -142,8 +142,22 @@ def read_table(spark: SparkSession, table_dir: str,
                 raise ValueError(
                     "empty snapshot and no schema recorded in manifest")
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in snap["files"]])
+    return _read_files(spark, m, table_dir, snap["files"])
+
+
+def _read_files(spark: SparkSession, manifest: dict, table_dir: str,
+                files: list[str]) -> DataFrame:
+    """Read listed data files through the MANIFEST schema (Iceberg's
+    resolution): files written before an add_column lack the new column
+    and read as NULL — no file rewrite on schema evolution, no
+    mergeSchema scan."""
+    paths = [os.path.join(table_dir, f) for f in files]
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+        return spark.read.schema(
+            StructType.fromJson(json.loads(manifest["schema"]))) \
+            .parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 # --- file pruning -----------------------------------------------------------
@@ -288,8 +302,7 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
             cols = read_table(spark, table_dir).columns
         tag = f"v{m['version'] + 1}"
         if affected:
-            tgt = spark.read.parquet(
-                *[os.path.join(table_dir, f) for f in sorted(affected)])
+            tgt = _read_files(spark, m, table_dir, sorted(affected))
             keep = tgt.join(F.broadcast(changes.select(key_col)),
                             on=key_col, how="left_anti")
             # the join moved key_col first — restore the table's column
@@ -360,6 +373,27 @@ def compact_table(spark: SparkSession, table_dir: str,
     return {"version": v, "in_files": len(cur), "out_files": len(files)}
 
 
+def add_column(table_dir: str, name: str, dtype: str) -> dict:
+    """Schema evolution, Iceberg-style: a METADATA-ONLY commit. No data
+    file is touched; files written before this read the new column as
+    NULL (read_table resolves every file against the manifest schema).
+    Later merge batches must carry the column. ``dtype`` is a Spark DDL
+    type string ('string', 'double', 'array<int>', ...)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+    m = read_manifest(table_dir)
+    if "schema" not in m:
+        raise ValueError("pre-schema manifest: cannot evolve (rebuild "
+                         "the table to record a schema first)")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists")
+    schema = StructType(schema.fields
+                        + [StructField(name, _parse_datatype_string(dtype))])
+    m["schema"] = schema.json()
+    _commit(table_dir, m)
+    return {"columns": schema.fieldNames()}
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     """Drop snapshots older than the newest ``keep_last`` and delete
     data files no retained snapshot references. Time travel reaches only
@@ -427,8 +461,7 @@ def table_changes(spark: SparkSession, table_dir: str,
         if not files:
             return read_table(spark, table_dir, version=from_version) \
                 .limit(0)
-        return spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in sorted(files)])
+        return _read_files(spark, m, table_dir, sorted(files))
 
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):

@@ -101,8 +101,8 @@ def _pruned_conv_read(spark: SparkSession, table_dir: str,
             hit.append(b["file"])
     if not hit:
         return read_table(spark, table_dir).limit(0)
-    df = spark.read.parquet(*[os.path.join(table_dir, f)
-                              for f in sorted(hit)])
+    from pdf_parser_spark.sources.cowtable import _read_files
+    df = _read_files(spark, m, table_dir, sorted(hit))
     return _only_convs(df, convs_df, convs)
 
 

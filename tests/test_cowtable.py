@@ -267,3 +267,42 @@ def test_manifest_stats_cached_and_match_footers(spark, docs, table):
     vacuum(table, keep_last=1)
     m3 = read_manifest(table)
     assert set(m3["stats"]) == set(m3["snapshots"]["2"]["files"])
+
+
+def test_add_column_is_metadata_only(spark, docs, table):
+    """Iceberg-style schema evolution: add_column touches no data file;
+    old files read the new column as NULL; later merges carry it; time
+    travel across the boundary keeps working."""
+    import os
+
+    from pdf_parser_spark.sources.cowtable import add_column
+
+    files_before = {
+        f: os.path.getmtime(os.path.join(table, f))
+        for f in read_manifest(table)["snapshots"]["1"]["files"]}
+    add_column(table, "stars", "double")
+    m = read_manifest(table)
+    # metadata-only: same files, untouched on disk
+    assert m["snapshots"]["1"]["files"] == sorted(files_before) or \
+        set(m["snapshots"]["1"]["files"]) == set(files_before)
+    for f, mt in files_before.items():
+        assert os.path.getmtime(os.path.join(table, f)) == mt
+
+    out = read_table(spark, table)
+    assert out.columns[-1] == "stars"
+    assert out.where(F.col("stars").isNotNull()).count() == 0
+
+    # a merge batch now carries the column
+    ch = (read_table(spark, table).where("doc_id < 10")
+          .withColumn("stars", F.lit(4.5))
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, table, ch)
+    cur = read_table(spark, table)
+    assert cur.where("stars = 4.5").count() == 10
+    assert cur.where("doc_id >= 10 AND stars IS NOT NULL").count() == 0
+    # time travel: v1 reads with the evolved schema, all-NULL column
+    v1 = read_table(spark, table, version=1)
+    assert v1.where(F.col("stars").isNotNull()).count() == 0
+
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(table, "stars", "double")
