@@ -387,9 +387,40 @@ def add_column(table_dir: str, name: str, dtype: str) -> dict:
     schema = StructType.fromJson(json.loads(m["schema"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists")
+    if name in m.get("dropped", []):
+        # by-name parquet resolution would resurrect the dropped
+        # column's old bytes in unrewritten files (Iceberg prevents this
+        # with field IDs; without them, refusing is the only safe move)
+        raise ValueError(f"column {name!r} was dropped earlier; re-adding"
+                         " it would resurrect old file bytes — use a new"
+                         " name")
     schema = StructType(schema.fields
                         + [StructField(name, _parse_datatype_string(dtype))])
     m["schema"] = schema.json()
+    _commit(table_dir, m)
+    return {"columns": schema.fieldNames()}
+
+
+def drop_column(table_dir: str, name: str) -> dict:
+    """Metadata-only column drop: data files keep the bytes, every read
+    projects them away (manifest-schema resolution ignores file columns
+    the schema omits). The merge key cannot be dropped. RENAME is
+    deliberately absent: by-name parquet resolution cannot track renames
+    without Iceberg's field IDs, and silently re-binding a name to old
+    data would be wrong — add + backfill + drop is the honest path."""
+    from pyspark.sql.types import StructType
+    m = read_manifest(table_dir)
+    if "schema" not in m:
+        raise ValueError("pre-schema manifest: cannot evolve (rebuild "
+                         "the table to record a schema first)")
+    if name == m["key_col"]:
+        raise ValueError(f"cannot drop the merge key {name!r}")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if name not in schema.fieldNames():
+        raise ValueError(f"column {name!r} does not exist")
+    schema = StructType([f for f in schema.fields if f.name != name])
+    m["schema"] = schema.json()
+    m.setdefault("dropped", []).append(name)
     _commit(table_dir, m)
     return {"columns": schema.fieldNames()}
 

@@ -306,3 +306,32 @@ def test_add_column_is_metadata_only(spark, docs, table):
 
     with pytest.raises(ValueError, match="already exists"):
         add_column(table, "stars", "double")
+
+
+def test_drop_column_is_metadata_only(spark, docs, table):
+    """Dropping projects the column away at read time (files untouched);
+    the merge key is protected; rename does not exist by design."""
+    from pdf_parser_spark.sources.cowtable import add_column, drop_column
+
+    drop_column(table, "source")
+    out = read_table(spark, table)
+    assert "source" not in out.columns and out.count() == 500
+    # merges now run on the narrowed schema
+    ch = (out.where("doc_id < 5")
+          .withColumn("text", F.concat(F.lit("D:"), "text"))
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, table, ch)
+    assert read_table(spark, table).where("text LIKE 'D:%'").count() == 5
+
+    with pytest.raises(ValueError, match="merge key"):
+        drop_column(table, "doc_id")
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_column(table, "nope")
+    # add-after-drop is REFUSED: by-name resolution would resurrect the
+    # old bytes in unrewritten files (Iceberg's field-ID problem —
+    # without field IDs, refusing is the only safe semantics)
+    with pytest.raises(ValueError, match="resurrect"):
+        add_column(table, "source", "string")
+    add_column(table, "source_v2", "string")
+    assert read_table(spark, table) \
+        .where(F.col("source_v2").isNotNull()).count() == 0
