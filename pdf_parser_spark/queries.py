@@ -3612,6 +3612,65 @@ SELECT doc_id + 10000000 AS doc_id, lang, 'cdc' AS source,
 FROM d WHERE doc_id % 11 = 5
 """
 
+def _cow_evolved_dir(spark, sf):
+    """Process-private cow table exercising METADATA-ONLY schema
+    evolution (sources/cowtable.add_column): create from documents,
+    add a `stars` double column (zero files touched — old rows read
+    NULL), then one merge that sets stars for doc_id%3==0 rows. The
+    oracle recomputes the evolved state as pure SQL, so the evolution
+    read path (manifest-schema resolution over files that predate the
+    column) is value-hash-checked."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import (add_column, create_table,
+                                                   merge_into)
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "pdf_parser_spark_cowevo_"
+                     + hashlib.md5(sf.encode()).hexdigest()[:8]
+                     + f"_{os.getpid()}")
+    if os.path.exists(d):
+        try:
+            with open(os.path.join(d, "manifest.json")) as fh:
+                if json.load(fh)["version"] >= 2:
+                    return d
+        except (OSError, KeyError, ValueError):
+            pass
+        import shutil
+        shutil.rmtree(d)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source",
+                                             "text")
+    create_table(spark, docs.repartitionByRange(8, "doc_id"), d, "doc_id")
+    add_column(d, "stars", "double")
+    k = F.col("doc_id")
+    upd = (docs.where(k % 3 == 0)
+           .withColumn("stars", (k % 5).cast("double"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, d, upd, batch_id=1)
+    return d
+
+
+def docs_cow_evolution(spark, sf):
+    # metadata-only add_column: rows untouched by the post-evolution
+    # merge read the new column as NULL straight out of pre-evolution
+    # files; merged rows carry values — the whole evolved-read path on
+    # the value-hash gate
+    from pdf_parser_spark.sources.cowtable import read_table
+    return read_table(spark, _cow_evolved_dir(spark, sf)) \
+        .select("doc_id", "lang", "source", "text", "stars")
+
+
+DOCS_COW_EVOLUTION_SQL = """
+SELECT doc_id, lang, source, text,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 5 AS DOUBLE) END AS stars
+FROM documents
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -3712,6 +3771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_cow_merge": docs_cow_merge,
     "docs_cow_time_travel": docs_cow_time_travel,
     "docs_cow_changes": docs_cow_changes,
+    "docs_cow_evolution": docs_cow_evolution,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
     # recall gates)
@@ -3803,6 +3863,7 @@ ORACLES: dict[str, str] = {
     "docs_cow_merge": DOCS_COW_MERGE_SQL,
     "docs_cow_time_travel": DOCS_COW_TIME_TRAVEL_SQL,
     "docs_cow_changes": DOCS_COW_CHANGES_SQL,
+    "docs_cow_evolution": DOCS_COW_EVOLUTION_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
