@@ -16,7 +16,9 @@ table's changelog from the last reflected version, re-extracts only the
 changed conversations, and merges the chunks in — exactly-once under
 re-runs (the merge is ledgered under the source version it reflects).
 A run with nothing new to reflect prints ``{"skipped": true}`` and does
-no data work.
+no data work. The extraction flags shape --build only: refreshes always
+replay the config recorded in the target manifest (one table, one
+config — by contract).
 """
 
 from __future__ import annotations
@@ -57,22 +59,25 @@ def main(argv: list[str]) -> None:
     from pdf_parser_spark.sources.maintain import (build_extracted_table,
                                                    refresh_extracted_table)
 
-    cfg = ExtractionConfig(
-        max_chars_per_chunk=args.max_chars,
-        tokenizer_mode=args.tokenizer,
-        clean_boilerplate=args.clean_boilerplate,
-        overlap_chars=args.overlap_chars,
-    )
     spark = SparkSession.builder.appName("pdf_parser_spark-maintain") \
         .getOrCreate()
     try:
         out: dict = {}
         if args.build:
+            cfg = ExtractionConfig(
+                max_chars_per_chunk=args.max_chars,
+                tokenizer_mode=args.tokenizer,
+                clean_boilerplate=args.clean_boilerplate,
+                overlap_chars=args.overlap_chars,
+            )
             out["build"] = build_extracted_table(
                 spark, args.src, args.dst, cfg, n_files=args.n_files)
         else:
+            # refresh always uses the config RECORDED at build time —
+            # mixing configs in one table breaks the digest-equal-to-
+            # rebuild contract, so the flags only shape --build
             out["refresh"] = refresh_extracted_table(
-                spark, args.src, args.dst, cfg)
+                spark, args.src, args.dst)
         if args.compact_above is not None:
             m = read_manifest(args.dst)
             n = len(m["snapshots"][str(m["version"])]["files"])

@@ -96,19 +96,28 @@ def _write_data_files(df: DataFrame, table_dir: str, tag: str) -> list[str]:
 # --- create / read ----------------------------------------------------------
 
 def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
-                 key_col: str) -> dict:
+                 key_col: str, *, extra: dict | None = None) -> dict:
     """Snapshot v1 from ``df``. ``key_col`` is the merge key; rows with
     NULL keys are rejected up front (a NULL merge key can never match
-    and would silently survive every delete)."""
+    and would silently survive every delete). ``extra``: caller fields
+    merged into the SAME manifest commit (e.g. maintenance's
+    src_version) — an init is never split across two commits."""
     if os.path.exists(_manifest_path(table_dir)):
         raise ValueError(f"{table_dir} already holds a cow table")
     if df.where(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(f"NULL {key_col} rows cannot be merge targets")
+    reserved = {"key_col", "version", "applied", "schema", "snapshots",
+                "stats", "dropped"}
+    if extra and reserved & set(extra):
+        raise ValueError(f"extra fields clash with manifest fields: "
+                         f"{sorted(reserved & set(extra))}")
     os.makedirs(table_dir, exist_ok=True)
     files = _write_data_files(df, table_dir, "v1")
     manifest = {"key_col": key_col, "version": 1, "applied": [],
                 "schema": df.schema.json(),
-                "snapshots": {"1": {"files": files}}}
+                "snapshots": {"1": {"files": files,
+                                    "schema": df.schema.json()}},
+                **(extra or {})}
     _record_stats(manifest,
                   file_key_bounds(spark, table_dir, files, key_col))
     _commit(table_dir, manifest)
@@ -146,17 +155,19 @@ def read_table(spark: SparkSession, table_dir: str,
 
 
 def _read_files(spark: SparkSession, manifest: dict, table_dir: str,
-                files: list[str]) -> DataFrame:
+                files: list[str], schema_json: str | None = None
+                ) -> DataFrame:
     """Read listed data files through the MANIFEST schema (Iceberg's
     resolution): files written before an add_column lack the new column
     and read as NULL — no file rewrite on schema evolution, no
-    mergeSchema scan."""
+    mergeSchema scan. ``schema_json`` overrides (a historical
+    snapshot's commit-time schema, for changelog replays)."""
     paths = [os.path.join(table_dir, f) for f in files]
-    if "schema" in manifest:
+    sj = schema_json or manifest.get("schema")
+    if sj:
         from pyspark.sql.types import StructType
         return spark.read.schema(
-            StructType.fromJson(json.loads(manifest["schema"]))) \
-            .parquet(*paths)
+            StructType.fromJson(json.loads(sj))).parquet(*paths)
     return spark.read.parquet(*paths)
 
 
@@ -223,22 +234,34 @@ def file_key_bounds(spark: SparkSession, table_dir: str,
     return out + list(files_df.rdd.mapPartitions(stats).collect())
 
 
-def _affected_files(bounds: list[dict], keys: list) -> list[str]:
-    """Files whose [kmin, kmax] intersects any batch key. The batch key
-    list is collected (a CDC batch is driver-sized by definition; the
-    TABLE never is). Un-prunable files (no stats) are always affected —
-    correctness over pruning."""
-    ks = sorted(keys)
-    out = []
+def files_intersecting_ranges(bounds: list[dict],
+                              ranges: list[tuple]) -> list[str]:
+    """Files whose [kmin, kmax] intersects any of the (disjoint, sorted-
+    comparable) key ranges. The one interval-pruning routine everything
+    uses — point keys are degenerate ranges, conversation prefixes are
+    [conv#, conv#\\uffff]. Un-prunable files (no stats) are always
+    included — correctness over pruning."""
     import bisect
+    rs = sorted(ranges)
+    starts = [r[0] for r in rs]
+    out = []
     for b in bounds:
         if b["kmin"] is None:
             out.append(b["file"])
             continue
-        i = bisect.bisect_left(ks, b["kmin"])
-        if i < len(ks) and ks[i] <= b["kmax"]:
+        # candidate: the range with the largest start <= kmax (ranges
+        # are disjoint, so earlier ranges end even earlier)
+        i = bisect.bisect_right(starts, b["kmax"])
+        if i and rs[i - 1][1] >= b["kmin"]:
             out.append(b["file"])
     return out
+
+
+def _affected_files(bounds: list[dict], keys: list) -> list[str]:
+    """Files whose [kmin, kmax] intersects any batch key. The batch key
+    list is collected (a CDC batch is driver-sized by definition; the
+    TABLE never is)."""
+    return files_intersecting_ranges(bounds, [(k, k) for k in keys])
 
 
 # --- merge ------------------------------------------------------------------
@@ -295,11 +318,19 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
         carried = [f for f in cur if f not in affected]
 
         upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
-        if "schema" in m:  # manifest schema avoids a file listing
+        if "schema" in m:
+            # conform the batch to the manifest schema — order AND
+            # types: an int batch value for a double column would
+            # otherwise write a physically conflicting parquet type
+            # that poisons every later schema-enforced read
             from pyspark.sql.types import StructType
-            cols = StructType.fromJson(json.loads(m["schema"])).fieldNames()
+            fields = StructType.fromJson(json.loads(m["schema"])).fields
+            cols = [f.name for f in fields]
+            conform = [F.col(f.name).cast(f.dataType).alias(f.name)
+                       for f in fields]
         else:
             cols = read_table(spark, table_dir).columns
+            conform = [F.col(c) for c in cols]
         tag = f"v{m['version'] + 1}"
         if affected:
             tgt = _read_files(spark, m, table_dir, sorted(affected))
@@ -307,9 +338,10 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                             on=key_col, how="left_anti")
             # the join moved key_col first — restore the table's column
             # order so every snapshot's files share one physical schema
-            merged = keep.select(*cols).unionByName(upserts.select(*cols))
+            merged = keep.select(*cols).unionByName(
+                upserts.select(*conform))
         else:
-            merged = upserts.select(*cols)
+            merged = upserts.select(*conform)
         # Write once; row count AND key bounds come from the new files'
         # footers (local metadata, one open per new file) — no second
         # scan of the affected files, and the bounds are cached in the
@@ -339,6 +371,8 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
              "batch_rows": len(keys), "rows_written": rows_out}
     m["snapshots"][str(v)] = {"files": carried + new_files,
                               "merge": stats}
+    if "schema" in m:  # schema AS OF this commit (changelog replays
+        m["snapshots"][str(v)]["schema"] = m["schema"]  # need history)
     m["version"] = v
     if batch_id is not None:
         m["applied"].append(batch_id)
@@ -368,6 +402,8 @@ def compact_table(spark: SparkSession, table_dir: str,
     m["snapshots"][str(v)] = {"files": files,
                               "compaction": {"in_files": len(cur),
                                              "out_files": len(files)}}
+    if "schema" in m:
+        m["snapshots"][str(v)]["schema"] = m["schema"]
     m["version"] = v
     _commit(table_dir, m)
     return {"version": v, "in_files": len(cur), "out_files": len(files)}
@@ -477,6 +513,12 @@ def table_changes(spark: SparkSession, table_dir: str,
     A compaction snapshot renames every file; its diff correctly
     evaluates to zero changes (all rows cancel) at the cost of a full
     read — the same trade Delta's CDF makes without change files.
+
+    Schema evolution: each step's diff runs under THAT COMMIT's schema
+    (recorded per snapshot), so a later drop_column cannot rewrite
+    history into "no change"; the returned rows are then conformed to
+    the CURRENT schema (columns since dropped are projected away,
+    columns since added read NULL) so multi-step output unions cleanly.
     """
     m = read_manifest(table_dir)
     for v in (from_version, to_version):
@@ -488,32 +530,50 @@ def table_changes(spark: SparkSession, table_dir: str,
         raise ValueError(f"need from_version < to_version, got "
                          f"{from_version} >= {to_version}")
 
-    def _snap_df(files: list[str]) -> DataFrame:
+    def _snap_df(files: list[str], schema_json: str | None) -> DataFrame:
         if not files:
             return read_table(spark, table_dir, version=from_version) \
                 .limit(0)
-        return _read_files(spark, m, table_dir, sorted(files))
+        return _read_files(spark, m, table_dir, sorted(files),
+                           schema_json=schema_json)
+
+    cur_fields = None
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+        cur_fields = StructType.fromJson(json.loads(m["schema"])).fields
+
+    def _conform(df: DataFrame) -> DataFrame:
+        if cur_fields is None:
+            return df
+        return df.select(
+            *[(F.col(f.name) if f.name in df.columns
+               else F.lit(None).cast(f.dataType)).alias(f.name)
+              for f in cur_fields],
+            "change_type", "commit_version")
 
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
         if str(v) not in m["snapshots"]:
             raise ValueError(f"version {v} missing between endpoints "
                              "(vacuumed) — changelog is broken there")
+        snap_v = m["snapshots"][str(v)]
         old = set(m["snapshots"][str(v - 1)]["files"])
-        new = set(m["snapshots"][str(v)]["files"])
+        new = set(snap_v["files"])
         removed, added = sorted(old - new), sorted(new - old)
         if not removed and not added:
             continue
-        o, n = _snap_df(removed), _snap_df(added)
+        sj = snap_v.get("schema", m.get("schema"))
+        o, n = _snap_df(removed, sj), _snap_df(added, sj)
         n = n.select(*o.columns)  # exceptAll is positional; align by name
-        step = (n.exceptAll(o)
-                .withColumn("change_type", F.lit("insert"))
-                .unionByName(o.exceptAll(n)
-                             .withColumn("change_type", F.lit("delete")))
-                .withColumn("commit_version", F.lit(v)))
+        step = _conform(
+            n.exceptAll(o)
+            .withColumn("change_type", F.lit("insert"))
+            .unionByName(o.exceptAll(n)
+                         .withColumn("change_type", F.lit("delete")))
+            .withColumn("commit_version", F.lit(v)))
         out = step if out is None else out.unionByName(step)
     if out is None:  # every step carried all files by name
-        return _snap_df([]).withColumn("change_type", F.lit("")) \
-                           .withColumn("commit_version", F.lit(0)) \
-                           .limit(0)
+        return _snap_df([], None).withColumn("change_type", F.lit("")) \
+                                 .withColumn("commit_version", F.lit(0)) \
+                                 .limit(0)
     return out

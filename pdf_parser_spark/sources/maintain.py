@@ -18,10 +18,17 @@ Plan shape per refresh:
        upsert every recomputed chunk,
        delete stale chunk keys (a conversation that shrank or vanished)
 
+Single-config invariant: the ExtractionConfig is recorded in the target
+manifest at build time and every refresh validates against it — a
+refresh run with different flags would silently mix extraction
+semantics within one table, so it raises instead.
+
 Exactly-once: the merge is ledgered under the source version it
 reflects, and the reflected version is recorded in the target manifest
 AFTER the merge commits — a crash between the two replays into a
-ledger no-op, then records. Both tables stay time-travelable.
+ledger no-op, then records. All reads pin the source version the
+changelog was computed against, so a concurrent source commit cannot
+leak newer data into this refresh. Both tables stay time-travelable.
 
 Reference analog: none — the reference re-parses a PDF when asked
 (pdf_parser.py is stateless per call); this is the incremental-view
@@ -31,12 +38,17 @@ arriving.
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.config import ExtractionConfig
 from pdf_parser_spark.pipeline import extract
-from pdf_parser_spark.sources.cowtable import (_commit, create_table,
+from pdf_parser_spark.sources.cowtable import (_commit, _read_files,
+                                               create_table,
+                                               file_key_bounds,
+                                               files_intersecting_ranges,
                                                merge_into, read_manifest,
                                                read_table, table_changes)
 
@@ -46,6 +58,10 @@ CHUNK_KEY = "chunk_key"
 # inlined isin literal (a multi-thousand-value In expression bloats the
 # plan; the join side is still broadcast-sized)
 _ISIN_MAX = 1000
+
+# U+FFFF: above every code point that appears in conv ids, so
+# [conv#, conv#￿] covers exactly the conversation's key range
+_HI = "￿"
 
 
 def _with_chunk_key(chunks: DataFrame) -> DataFrame:
@@ -57,53 +73,47 @@ def _with_chunk_key(chunks: DataFrame) -> DataFrame:
                                F.format_string("%06d", F.col("chunk_idx"))))
 
 
-def _only_convs(df: DataFrame, convs_df: DataFrame,
-                convs: list[str]) -> DataFrame:
+def _conv_filter(spark: SparkSession, df: DataFrame,
+                 convs: list[str]) -> DataFrame:
     if len(convs) <= _ISIN_MAX:
         return df.where(F.col("conv_id").isin(convs))
+    # build the join side from the already-collected list — joining the
+    # original changelog plan here would re-execute the whole diff
+    convs_df = spark.createDataFrame([(c,) for c in convs],
+                                     "conv_id string")
     return df.join(F.broadcast(convs_df), "conv_id", "left_semi")
 
 
 def _pruned_conv_read(spark: SparkSession, table_dir: str,
-                      convs: list[str], convs_df: DataFrame) -> DataFrame:
-    """Current snapshot restricted to ``convs`` — but opening ONLY files
-    whose footer key range intersects some conversation's key-prefix
-    range (keys are ``conv_id#...``, so a conversation is the range
-    [conv#, conv#\\uffff]). One distributed footer-metadata job, then a
-    scan of O(changed) files instead of O(table); the residual filter
-    drops range false positives."""
-    import bisect
-    import os
-
-    from pdf_parser_spark.sources.cowtable import file_key_bounds
-
+                      convs: list[str],
+                      version: int | None = None) -> DataFrame:
+    """The named snapshot restricted to ``convs`` — opening ONLY files
+    whose key range intersects some conversation's key-prefix range
+    (keys are ``conv_id#...``, so a conversation is the range
+    [conv#, conv#\\uffff]). Bounds come from the manifest's cached stats
+    (falling back to one footer-metadata job), then a scan of O(changed)
+    files instead of O(table); the residual filter drops range false
+    positives. Interval pruning is cowtable.files_intersecting_ranges —
+    the same routine the merge uses."""
     m = read_manifest(table_dir)
-    files = m["snapshots"][str(m["version"])]["files"]
+    v = m["version"] if version is None else version
+    files = m["snapshots"][str(v)]["files"]
     if not files:
-        return _only_convs(read_table(spark, table_dir), convs_df, convs)
-    key_col = m["key_col"]
-    bounds = file_key_bounds(spark, table_dir, files, key_col, manifest=m)
-    starts = sorted(c + "#" for c in convs)
-    hit = []
-    for b in bounds:
-        if b["kmin"] is None:       # no stats — must read
-            hit.append(b["file"])
-            continue
-        # a conversation range [s, s+￿] intersects [kmin, kmax]
-        # iff some s <= kmax AND its range end >= kmin, i.e. there is a
-        # start s with prefix-of-kmin-or-later position: check the
-        # nearest start at/below kmax and the one covering kmin
-        i = bisect.bisect_right(starts, b["kmax"])
-        if i == 0:
-            continue
-        s = starts[i - 1]
-        if s + "￿" >= b["kmin"]:
-            hit.append(b["file"])
+        return _conv_filter(spark,
+                            read_table(spark, table_dir, version=v), convs)
+    bounds = file_key_bounds(spark, table_dir, files, m["key_col"],
+                             manifest=m)
+    hit = files_intersecting_ranges(
+        bounds, [(c + "#", c + "#" + _HI) for c in convs])
     if not hit:
-        return read_table(spark, table_dir).limit(0)
-    from pdf_parser_spark.sources.cowtable import _read_files
-    df = _read_files(spark, m, table_dir, sorted(hit))
-    return _only_convs(df, convs_df, convs)
+        return read_table(spark, table_dir, version=v).limit(0)
+    return _conv_filter(spark,
+                        _read_files(spark, m, table_dir, sorted(hit)),
+                        convs)
+
+
+def _cfg_dict(cfg: ExtractionConfig) -> dict:
+    return dataclasses.asdict(cfg)
 
 
 def _record_src_version(dst_dir: str, src_version: int) -> None:
@@ -117,30 +127,46 @@ def build_extracted_table(spark: SparkSession, src_dir: str, dst_dir: str,
                           *, n_files: int = 8) -> dict:
     """Initial full extraction of the transcripts cow table at ``src_dir``
     into a chunk-keyed cow table at ``dst_dir`` (range-laid-out on the
-    chunk key so later refreshes prune), recording which source version
-    it reflects."""
+    chunk key so later refreshes prune). The reflected source version
+    and the extraction config land in the SAME manifest commit as the
+    table creation — no wedged half-initialized state exists."""
     src_v = read_manifest(src_dir)["version"]
-    chunks = _with_chunk_key(extract(read_table(spark, src_dir), cfg))
+    chunks = _with_chunk_key(
+        extract(read_table(spark, src_dir, version=src_v), cfg))
     create_table(spark,
                  chunks.repartitionByRange(n_files, CHUNK_KEY),
-                 dst_dir, CHUNK_KEY)
-    _record_src_version(dst_dir, src_v)
+                 dst_dir, CHUNK_KEY,
+                 extra={"src_version": src_v,
+                        "extract_cfg": _cfg_dict(cfg)})
     return {"src_version": src_v, "created": True}
 
 
 def refresh_extracted_table(spark: SparkSession, src_dir: str,
                             dst_dir: str,
-                            cfg: ExtractionConfig = ExtractionConfig()
-                            ) -> dict:
+                            cfg: ExtractionConfig | None = None) -> dict:
     """Advance ``dst_dir`` to reflect ``src_dir``'s current version by
-    re-extracting ONLY conversations the changelog names. Returns the
-    refresh stats (changed conversations, merge stats, versions)."""
+    re-extracting ONLY conversations the changelog names. ``cfg``
+    defaults to (and must equal) the config recorded at build time.
+    Returns the refresh stats (changed conversations, merge stats,
+    versions)."""
     src_v = read_manifest(src_dir)["version"]
     dst_m = read_manifest(dst_dir)
     from_v = dst_m.get("src_version")
     if from_v is None:
         raise ValueError(f"{dst_dir} records no src_version — build it "
                          "with build_extracted_table first")
+    recorded = dst_m.get("extract_cfg")
+    if cfg is None:
+        if recorded is None:
+            raise ValueError(f"{dst_dir} records no extract_cfg and none "
+                             "was passed")
+        cfg = ExtractionConfig(**recorded)
+    elif recorded is not None and _cfg_dict(cfg) != recorded:
+        raise ValueError(
+            "extraction config mismatch: the table was built with "
+            f"{recorded}, refresh got {_cfg_dict(cfg)} — mixing configs "
+            "in one table breaks the digest-equal-to-rebuild contract; "
+            "rebuild with the new config instead")
     if from_v >= src_v:
         return {"skipped": True, "src_version": src_v}
 
@@ -152,9 +178,11 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
         return {"skipped": True, "src_version": src_v,
                 "changed_convs": 0}
 
-    src_rows = _pruned_conv_read(spark, src_dir, convs, changed)
+    # reads pin src_v: a source commit landing mid-refresh must not leak
+    # newer rows into a table that will record "reflects src_v"
+    src_rows = _pruned_conv_read(spark, src_dir, convs, version=src_v)
     new_chunks = _with_chunk_key(extract(src_rows, cfg))
-    old_chunks = _pruned_conv_read(spark, dst_dir, convs, changed)
+    old_chunks = _pruned_conv_read(spark, dst_dir, convs)
     stale = old_chunks.join(new_chunks.select(CHUNK_KEY),
                             CHUNK_KEY, "left_anti")
     batch = (new_chunks.withColumn("op", F.lit("upsert"))

@@ -335,3 +335,35 @@ def test_drop_column_is_metadata_only(spark, docs, table):
     add_column(table, "source_v2", "string")
     assert read_table(spark, table) \
         .where(F.col("source_v2").isNotNull()).count() == 0
+
+
+def test_merge_conforms_batch_types_to_schema(spark, docs, table):
+    """A batch column arriving at a narrower type (int for a double
+    column) is cast to the manifest type before writing — otherwise the
+    new data file's physical type would poison every schema-enforced
+    read of the table."""
+    from pdf_parser_spark.sources.cowtable import add_column
+    add_column(table, "stars", "double")
+    ch = (read_table(spark, table).where("doc_id < 5")
+          .withColumn("stars", F.lit(4))          # INT, not double
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, table, ch)
+    cur = read_table(spark, table)
+    assert dict(cur.dtypes)["stars"] == "double"
+    assert cur.where("stars = 4.0").count() == 5
+
+
+def test_changelog_survives_drop_column(spark, docs, table):
+    """History is not rewritten by schema evolution: a commit that only
+    changed a later-dropped column still reports its changes (diff runs
+    under the commit-time schema; output conforms to the current one)."""
+    from pdf_parser_spark.sources.cowtable import drop_column, table_changes
+    ch = (docs.where("doc_id < 8")
+          .withColumn("source", F.lit("rewritten"))
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, table, ch)                      # v2 changes ONLY source
+    drop_column(table, "source")
+    log = table_changes(spark, table, 1, 2)
+    assert "source" not in log.columns               # presented in current schema
+    assert log.where("change_type = 'insert'").count() == 8
+    assert log.where("change_type = 'delete'").count() == 8

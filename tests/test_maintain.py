@@ -237,3 +237,22 @@ def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
     out = read_table(spark, dst)
     assert out.where(F.col("conv_id") == killed).count() == 0
     assert out.where(F.col("text").contains("STREAMED")).count() > 0
+
+
+def test_refresh_rejects_config_mismatch(spark, tables):
+    """One table, one config: a refresh with different extraction flags
+    must raise, not silently mix semantics; cfg=None replays the
+    recorded config."""
+    from pdf_parser_spark.config import CLEANING_CONFIG
+    src, dst = tables
+    turns = read_table(spark, src)
+    one = sorted(r[0] for r in
+                 turns.select("conv_id").distinct().collect())[0]
+    upd = (turns.where(F.col("conv_id") == one)
+           .withColumn("text", F.concat(F.lit("Y "), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd)
+    with pytest.raises(ValueError, match="config mismatch"):
+        refresh_extracted_table(spark, src, dst, CLEANING_CONFIG)
+    stats = refresh_extracted_table(spark, src, dst)  # recorded config
+    assert stats["changed_convs"] == 1
