@@ -260,24 +260,12 @@ def pq_search(emb_df: DataFrame, codebooks: list[list[list[float]]],
     encoding once and storing the codes IS the point of PQ; the default
     re-encode per query is a convenience for one-shot use.
     """
-    from pyspark.sql.window import Window
-
     codes = (codes_df if codes_df is not None
              else pq_encode(emb_df, codebooks, emb_col=emb_col)
              .select(id_col, "pq_codes"))
     cand = pq_adc_topk(codes, codebooks, query_vec,
-                       top_k=overfetch * top_k, id_col=id_col) \
-        .select(id_col)
-    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
-    exact = F.aggregate(
-        F.zip_with(F.col(emb_col), qarr, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    scored = (emb_df.join(F.broadcast(cand), id_col)
-              .select(F.col(id_col), F.round(exact, 6).alias("l2_dist")))
-    order = [F.asc("l2_dist"), F.asc(id_col)]
-    topk = scored.orderBy(*order).limit(top_k)
-    return topk.withColumn(
-        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+                       top_k=overfetch * top_k, id_col=id_col)
+    return _exact_rerank(emb_df, cand, query_vec, top_k, emb_col, id_col)
 
 
 def pq_funnel_topk(emb_df: DataFrame, codebooks: list[list[list[float]]],
@@ -318,3 +306,144 @@ def pq_funnel_topk(emb_df: DataFrame, codebooks: list[list[list[float]]],
     return pq_search(emb_df, codebooks, query_vec, top_k,
                      overfetch=overfetch, emb_col=emb_col, id_col=id_col,
                      codes_df=codes)
+
+
+# --- IVFADC: coarse cells + PQ over residuals (Jegou et al. 2011) ----------
+
+
+def _exact_rerank(emb_df: DataFrame, cand: DataFrame,
+                  query_vec: list[float], top_k: int,
+                  emb_col: str, id_col: str) -> DataFrame:
+    """Exact-L2 rerank of a candidate id set: broadcast semi-join, then
+    TakeOrderedAndProject — touches |cand| rows regardless of corpus
+    size. Returns (id_col, l2_dist, rank) ascending."""
+    from pyspark.sql.window import Window
+
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    exact = F.aggregate(
+        F.zip_with(F.col(emb_col), qarr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (emb_df.join(F.broadcast(cand.select(id_col)), id_col)
+              .select(F.col(id_col), F.round(exact, 6).alias("l2_dist")))
+    order = [F.asc("l2_dist"), F.asc(id_col)]
+    topk = scored.orderBy(*order).limit(top_k)
+    return topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+
+
+def _with_residual(df: DataFrame, centroids: list[list[float]],
+                   emb_col: str) -> DataFrame:
+    """Attach (ivf_cell, __resid = embedding - centroid[cell]). Residual
+    encoding is what makes PQ codes sharp inside a cell: the codes only
+    spend their k levels on the WITHIN-cell variance, not on where the
+    cell sits in space."""
+    from pdf_parser_spark.operators.similarity import ivf_assign
+
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    a = ivf_assign(df, centroids, emb_col)
+    cent = F.element_at(cent_lit, F.col("ivf_cell") + 1)
+    return a.withColumn(
+        "__resid", F.zip_with(F.col(emb_col), cent, lambda x, c: x - c))
+
+
+def ivfpq_train(df: DataFrame, *, n_cells: int = 16, cell_iters: int = 2,
+                m: int = 8, k: int = 32, pq_iters: int = 1,
+                emb_col: str = "embedding", id_col: str = "vec_id"
+                ) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFADC index: deterministic IVF centroids
+    (similarity.ivf_train), then PQ codebooks over the RESIDUALS.
+    Returns (centroids, codebooks); both are driver-sized (n_cells*dim
+    and k*dim floats) regardless of corpus size."""
+    from pdf_parser_spark.operators.similarity import ivf_train
+
+    centroids = ivf_train(df, k=n_cells, iters=cell_iters,
+                          emb_col=emb_col, id_col=id_col)
+    resid = _with_residual(df, centroids, emb_col)
+    cb = pq_train(resid, m=m, k=k, iters=pq_iters, emb_col="__resid",
+                  id_col=id_col, salt="ivfpq")
+    return centroids, cb
+
+
+def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
+                 codebooks: list[list[list[float]]], *,
+                 emb_col: str = "embedding", id_col: str = "vec_id"
+                 ) -> DataFrame:
+    """(id, ivf_cell, pq_codes): the index relation — 4 + m bytes per
+    row. At scale ivf_cell is the table's partition key, so probes are
+    partition-pruned scans that never open unprobed cells' files."""
+    resid = _with_residual(df, centroids, emb_col)
+    return pq_encode(resid, codebooks, emb_col="__resid") \
+        .select(id_col, "ivf_cell", "pq_codes")
+
+
+def _rank_cells(centroids: list[list[float]],
+                query_vec: list[float]) -> list[int]:
+    """Cells by descending query cosine — the SAME geometry ivf_assign
+    used to place the rows (ranking by a different metric than the
+    assignment would probe the wrong cells)."""
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    return sorted(range(len(centroids)),
+                  key=lambda c: (-_cos(query_vec, centroids[c]), c))
+
+
+def ivfpq_adc_topk(codes_df: DataFrame, centroids: list[list[float]],
+                   codebooks: list[list[list[float]]],
+                   query_vec: list[float], top_k: int = 10, *,
+                   n_probe: int = 4, id_col: str = "vec_id") -> DataFrame:
+    """IVFADC candidate generation: scan ONLY the ``n_probe`` cells
+    nearest the query; within them, distance = the per-cell ADC table
+    (query residual vs residual codebooks) summed over m code lookups.
+    The n_probe * m * k table is computed on the DRIVER and shipped as
+    one literal. Returns (id_col, adc_dist, rank) ascending."""
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    d_s = len(codebooks[0][0])
+    probed = _rank_cells(centroids, query_vec)[:n_probe]
+    tables = []
+    for c in probed:
+        rq = [float(q) - float(x) for q, x in zip(query_vec, centroids[c])]
+        tables.append(
+            [[sum((rq[s * d_s + i] - float(cent[i])) ** 2
+                  for i in range(d_s))
+              for cent in codebooks[s]] for s in range(m)])
+    tables_lit = F.lit(tables)
+    probed_lit = F.array(*[F.lit(int(c)) for c in probed])
+    pos = F.array_position(probed_lit, F.col("ivf_cell"))  # 1-based
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.element_at(tables_lit, pos.cast("int")), s + 1),
+            F.element_at(F.col("pq_codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = (codes_df.where(F.col("ivf_cell").isin([int(c)
+                                                     for c in probed]))
+              .select(F.col(id_col), F.round(dist, 6).alias("adc_dist")))
+    order = [F.asc("adc_dist"), F.asc(id_col)]
+    topk = scored.orderBy(*order).limit(top_k)
+    return topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+
+
+def ivfpq_search(emb_df: DataFrame, centroids: list[list[float]],
+                 codebooks: list[list[list[float]]],
+                 query_vec: list[float], top_k: int = 10, *,
+                 n_probe: int = 4, overfetch: int = 5,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 codes_df: DataFrame | None = None) -> DataFrame:
+    """Full IVFADC query: probed-cell ADC generates overfetch*top_k
+    candidates (4 + m bytes/row over ~n_probe/n_cells of the corpus),
+    exact L2 reranks the candidates alone. Same contract as
+    :func:`pq_search` — (id_col, l2_dist, rank), exact, ascending."""
+    codes = (codes_df if codes_df is not None
+             else ivfpq_encode(emb_df, centroids, codebooks,
+                               emb_col=emb_col, id_col=id_col))
+    cand = ivfpq_adc_topk(codes, centroids, codebooks, query_vec,
+                          top_k=overfetch * top_k, n_probe=n_probe,
+                          id_col=id_col)
+    return _exact_rerank(emb_df, cand, query_vec, top_k, emb_col, id_col)

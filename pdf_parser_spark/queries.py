@@ -3248,6 +3248,23 @@ def emb_funnel_topk(spark, sf):
                           n_planes=8, n_probe=32, n_tables=3)
 
 
+
+def emb_ivfpq_topk(spark, sf):
+    # IVFADC (Jegou et al. 2011): coarse-cell probing prunes the scan to
+    # n_probe/n_cells of the corpus, residual PQ codes score survivors
+    # at m bytes/row, exact L2 reranks overfetch*k — recall >= full-scan
+    # PQ at HALF the candidate rows, gated in
+    # test_ivfpq_recall_beats_plain_pq_and_scans_fewer_rows
+    from pdf_parser_spark.operators.quantize import ivfpq_search, ivfpq_train
+    emb = _t_wide(spark, sf, "embeddings")
+    cents, cb = ivfpq_train(emb, n_cells=16, cell_iters=2, m=8, k=32,
+                            pq_iters=1)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ivfpq_search(emb, cents, cb, q, top_k=10, n_probe=8,
+                        overfetch=5)
+
+
 def events_cube(spark, sf):
     # CUBE completes the grouping-sets family (rollup = hierarchy, cube
     # = every dimension subset): (type x weekday-class) totals with both
@@ -3751,6 +3768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cardinality_profile": events_cardinality_profile,
     "docs_curriculum_order": docs_curriculum_order,
     "emb_pq_topk": emb_pq_topk,
+    "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_funnel_topk": emb_funnel_topk,
     "events_cube": events_cube,
     "events_unpivot": events_unpivot,
@@ -3818,6 +3836,12 @@ ROWS_ONLY: dict[str, str] = {
                    "rerank); recall + determinism gated in "
                    "test_pq_search_recall_and_rerank_gates, exact-top-1 "
                    "containment pinned",
+    "emb_ivfpq_topk": "approximate by design (IVFADC: probed coarse "
+                      "cells + residual-PQ ADC + exact rerank); recall "
+                      ">= full-scan PQ at half the candidate rows, "
+                      "determinism and exact-top-1 containment gated in "
+                      "test_ivfpq_recall_beats_plain_pq_and_scans_fewer"
+                      "_rows",
     "emb_funnel_topk": "approximate by design (multi-probe LSH pruning "
                        "-> PQ-ADC -> exact rerank); recall vs exact L2, "
                        "full-scan-ADC recall parity, scanned-bytes "

@@ -92,6 +92,12 @@ def test_pq_topk_contains_exact_hit(spark):
     assert top[0].l2_dist == 0.0
 
 
+def test_ivfpq_topk_contains_exact_hit(spark):
+    top = QUERIES["emb_ivfpq_topk"](spark, SF_DIR).collect()
+    assert top[0].vec_id == 0
+    assert top[0].l2_dist == 0.0
+
+
 def test_pq_funnel_contains_exact_hit(spark):
     top = QUERIES["emb_funnel_topk"](spark, SF_DIR).collect()
     assert top[0].vec_id == 0
@@ -111,4 +117,4 @@ def test_registry_guard():
     # the deterministic rows-only entries must all carry a golden digest
     assert set(GOLDEN) == set(ROWS_ONLY) - {
         "emb_ann_topk", "emb_ivf_topk", "emb_ann_multiprobe_topk",
-        "emb_pq_topk", "emb_funnel_topk"}
+        "emb_pq_topk", "emb_funnel_topk", "emb_ivfpq_topk"}
