@@ -47,13 +47,21 @@ def collapse_last_wins(changes: DataFrame, key_col: str, order_col: str,
 
 def merge_stream(changes: DataFrame, table_dir: str, checkpoint_dir: str,
                  *, order_col: str, op_col: str = "op",
-                 available_now: bool = True):
+                 available_now: bool = True, on_commit=None):
     """Start the CDC-apply query; returns the StreamingQuery.
 
     ``changes`` is a streaming DataFrame carrying every table column
     plus ``op_col`` ('upsert'|'delete') and ``order_col`` (event
     time/LSN used for last-wins collapse within a micro-batch).
-    """
+
+    ``on_commit(spark, merge_stats)`` runs after each NON-skipped merge
+    commit — the hook that chains downstream incremental maintenance
+    (e.g. sources/maintain.refresh_extracted_table) so derived tables
+    follow the stream. It runs inside foreachBatch: if it fails, the
+    trigger fails and is retried, and the retried merge is a ledger
+    no-op while the hook runs again — so the hook must be idempotent
+    (the maintenance refresh is: its merge is ledgered under the
+    reflected source version)."""
     key_col = read_manifest(table_dir)["key_col"]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -61,8 +69,10 @@ def merge_stream(changes: DataFrame, table_dir: str, checkpoint_dir: str,
             return                      # empty trigger: no new snapshot
         collapsed = collapse_last_wins(batch_df, key_col, order_col,
                                        op_col).drop(order_col)
-        merge_into(batch_df.sparkSession, table_dir, collapsed,
-                   op_col=op_col, batch_id=int(batch_id))
+        stats = merge_into(batch_df.sparkSession, table_dir, collapsed,
+                           op_col=op_col, batch_id=int(batch_id))
+        if on_commit is not None and not stats.get("skipped"):
+            on_commit(batch_df.sparkSession, stats)
 
     w = (changes.writeStream.foreachBatch(apply)
          .option("checkpointLocation", checkpoint_dir))

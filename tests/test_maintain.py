@@ -256,3 +256,60 @@ def test_refresh_rejects_config_mismatch(spark, tables):
         refresh_extracted_table(spark, src, dst, CLEANING_CONFIG)
     stats = refresh_extracted_table(spark, src, dst)  # recorded config
     assert stats["changed_convs"] == 1
+
+
+def test_live_maintenance_follows_cdc_stream(spark, tmp_path):
+    """Materialized-view mode: the merge_stream on_commit hook refreshes
+    the extracted table after EVERY micro-batch, so it tracks the source
+    continuously — digest-equal to a full rebuild after each commit."""
+    from pdf_parser_spark.sources.cowtable import create_table
+    from pdf_parser_spark.streaming.cow_sink import merge_stream
+
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=10, seed=29)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    create_table(spark, turns.repartitionByRange(3, "turn_key"),
+                 src, "turn_key")
+    build_extracted_table(spark, src, dst)
+
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    stream_dir = str(tmp_path / "cdc")
+    import os
+    os.makedirs(stream_dir)
+    # two files -> two micro-batches (maxFilesPerTrigger=1): each edits
+    # a different conversation
+    for i, c in enumerate(convs[:2]):
+        (turns.where(F.col("conv_id") == c)
+         .withColumn("text", F.concat(F.lit(f"B{i} "), "text"))
+         .withColumn("op", F.lit("upsert"))
+         .withColumn("lsn", F.monotonically_increasing_id())
+         .write.mode("overwrite").parquet(f"{stream_dir}/f{i}"))
+
+    schema = (turns.withColumn("op", F.lit("x"))
+              .withColumn("lsn", F.lit(0).cast("long")).schema)
+    refresh_log = []
+
+    def follow(sess, stats):
+        out = refresh_extracted_table(sess, src, dst)
+        refresh_log.append((stats["version"], out.get("changed_convs")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{stream_dir}/f*"))
+    q = merge_stream(stream, src, str(tmp_path / "ckpt"),
+                     order_col="lsn", on_commit=follow)
+    q.awaitTermination(120)
+
+    assert len(refresh_log) == 2          # one refresh per micro-batch
+    assert all(n == 1 for _, n in refresh_log)
+    assert read_manifest(dst)["src_version"] == \
+        read_manifest(src)["version"]
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+    out = read_table(spark, dst)
+    assert out.where(F.col("text").contains("B0")).count() > 0
+    assert out.where(F.col("text").contains("B1")).count() > 0
