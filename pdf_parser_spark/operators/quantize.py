@@ -378,17 +378,10 @@ def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
 
 def _rank_cells(centroids: list[list[float]],
                 query_vec: list[float]) -> list[int]:
-    """Cells by descending query cosine — the SAME geometry ivf_assign
-    used to place the rows (ranking by a different metric than the
-    assignment would probe the wrong cells)."""
-    def _cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    return sorted(range(len(centroids)),
-                  key=lambda c: (-_cos(query_vec, centroids[c]), c))
+    """similarity.rank_cells_by_query — one shared routine so probing
+    can never drift from ivf_assign's placement geometry."""
+    from pdf_parser_spark.operators.similarity import rank_cells_by_query
+    return rank_cells_by_query(centroids, query_vec)
 
 
 def ivfpq_adc_topk(codes_df: DataFrame, centroids: list[list[float]],

@@ -258,6 +258,22 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
                          _argmax_cell(F.col(emb_col), centroids))
 
 
+def rank_cells_by_query(centroids: list[list[float]],
+                        query_vec: list[float]) -> list[int]:
+    """Cell ids by descending query cosine — the SAME geometry
+    ``ivf_assign`` places rows with (ranking probes by a different
+    metric than the assignment would scan the wrong cells). Shared by
+    ivf_topk and the IVFADC tier so the two can never drift."""
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    return sorted(range(len(centroids)),
+                  key=lambda c: (-_cos(query_vec, centroids[c]), c))
+
+
 def ivf_topk(df: DataFrame, centroids: list[list[float]],
              query_vec: list[float], k: int = 10, n_probe: int = 2,
              emb_col: str = "embedding", id_col: str = "vec_id",
@@ -265,15 +281,7 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     """IVF approximate top-k: rank centroids by query cosine driver-side
     (k_cells tiny), scan only the ``n_probe`` closest cells, exact cosine
     within them."""
-    def _cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    order = sorted(range(len(centroids)),
-                   key=lambda c: (-_cos(query_vec, centroids[c]), c))
-    probe = order[:n_probe]
+    probe = rank_cells_by_query(centroids, query_vec)[:n_probe]
     cells = ivf_assign(df, centroids, emb_col)
     return brute_force_topk(cells.where(F.col("ivf_cell").isin(probe)),
                             query_vec, k, emb_col, id_col)

@@ -49,31 +49,44 @@ class _Step(InputPartition):
         self.version = version
 
 
+# NaN sentinel: NaN != NaN would stop unchanged float rows from
+# cancelling in the diff; identity is consistent within one task, and
+# both diff sides are built in the same read() call
+_NAN = object()
+
+
 def _hashable(v):
     if isinstance(v, (list, tuple)):
         return tuple(_hashable(x) for x in v)
+    if isinstance(v, float) and v != v:
+        return _NAN
     return v
 
 
 def _unhash(v):
+    if v is _NAN:
+        return float("nan")
     if isinstance(v, tuple):
         return [_unhash(x) for x in v]
     return v
 
 
-def _load_rows(table_dir: str, files: list[str],
-               names: list[str]) -> set:
-    """All rows of the listed files as hashable tuples in ``names``
-    order; files missing a column (pre-add_column) contribute None."""
+def _load_rows(table_dir: str, files: list[str], names: list[str]):
+    """All rows of the listed files as a MULTISET (Counter) of hashable
+    tuples in ``names`` order — matching the batch ``table_changes``'s
+    exceptAll bag semantics; files missing a column (pre-add_column)
+    contribute None."""
+    from collections import Counter
+
     import pyarrow.parquet as pq
-    rows = set()
+    rows: Counter = Counter()
     for f in sorted(files):
         tbl = pq.read_table(os.path.join(table_dir, f))
         have = set(tbl.schema.names)
         cols = [tbl.column(n).to_pylist() if n in have
                 else [None] * tbl.num_rows for n in names]
         for tup in zip(*cols):
-            rows.add(tuple(_hashable(v) for v in tup))
+            rows[tuple(_hashable(v) for v in tup)] += 1
     return rows
 
 
@@ -103,16 +116,29 @@ class CowChangesStreamReader(DataSourceStreamReader):
             raise ValueError(f"version {v} (or {v - 1}) vacuumed — its "
                              "changelog is gone; restart the stream "
                              "from a retained version")
+        # the DIFF runs under the commit-time schema (a later drop_column
+        # must not rewrite history to "no change"); the yielded rows are
+        # PROJECTED BY NAME to the current schema the source declares —
+        # columns since dropped vanish, columns since added read None
         sj = snap.get("schema", m.get("schema"))
-        names = [f["name"] for f in json.loads(sj)["fields"]]
+        step_names = [f["name"] for f in json.loads(sj)["fields"]]
+        cur_names = [f["name"]
+                     for f in json.loads(m["schema"])["fields"]]
         old = set(prev["files"])
         new = set(snap["files"])
-        o = _load_rows(partition.table_dir, sorted(old - new), names)
-        n = _load_rows(partition.table_dir, sorted(new - old), names)
-        for row in sorted(n - o, key=repr):
-            yield tuple(_unhash(x) for x in row) + ("insert", v)
-        for row in sorted(o - n, key=repr):
-            yield tuple(_unhash(x) for x in row) + ("delete", v)
+        o = _load_rows(partition.table_dir, sorted(old - new), step_names)
+        n = _load_rows(partition.table_dir, sorted(new - old), step_names)
+
+        def project(row: tuple) -> tuple:
+            d = dict(zip(step_names, row))
+            return tuple(_unhash(d.get(c)) for c in cur_names)
+
+        for row, cnt in sorted((n - o).items(), key=lambda kv: repr(kv[0])):
+            for _ in range(cnt):
+                yield project(row) + ("insert", v)
+        for row, cnt in sorted((o - n).items(), key=lambda kv: repr(kv[0])):
+            for _ in range(cnt):
+                yield project(row) + ("delete", v)
 
     def commit(self, end: dict) -> None:
         pass

@@ -106,6 +106,10 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
         raise ValueError(f"{table_dir} already holds a cow table")
     if df.where(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(f"NULL {key_col} rows cannot be merge targets")
+    if (df.groupBy(key_col).count().where(F.col("count") > 1)
+            .limit(1).count()):
+        raise ValueError(f"duplicate {key_col} values in the initial "
+                         "data — a merge key identifies one row")
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
                 "stats", "dropped"}
     if extra and reserved & set(extra):
@@ -293,12 +297,33 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
     # NULL-op row's key would then be deleted without an upsert.
     changes = changes.cache()
     bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin(*OPS)
-    probe = changes.agg(
+    probe_cols = [
         F.count(F.when(bad_op, True)).alias("bad_ops"),
         F.min(F.when(bad_op, F.col(op_col))).alias("bad_op_val"),
         F.count(F.when(F.col(key_col).isNull(), True)).alias("null_keys"),
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(key_col).alias("n_keys")).collect()[0]
+        F.countDistinct(key_col).alias("n_keys")]
+    # batch columns arriving at a different type get cast to the
+    # manifest type before writing; a value the cast cannot convert
+    # would silently become NULL — count those per mismatched column so
+    # a bad batch raises instead of committing data loss
+    cast_checked = []
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+        batch_types = {f.name: f.dataType for f in changes.schema.fields}
+        for fld in StructType.fromJson(json.loads(m["schema"])).fields:
+            bt = batch_types.get(fld.name)
+            if bt is not None and bt != fld.dataType:
+                c = F.col(fld.name)
+                # try_cast: ANSI mode makes plain cast THROW mid-scan
+                # on the first bad value; the probe wants a count
+                probe_cols.append(
+                    F.count(F.when(c.isNotNull()
+                                   & c.try_cast(fld.dataType).isNull(),
+                                   True))
+                    .alias(f"badcast_{len(cast_checked)}"))
+                cast_checked.append((fld.name, str(fld.dataType)))
+    probe = changes.agg(*probe_cols).collect()[0]
     try:
         if probe["bad_ops"]:
             raise ValueError(f"unknown {op_col} {probe['bad_op_val']!r} "
@@ -308,6 +333,12 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
         if probe["n_keys"] < probe["n"]:
             raise ValueError("duplicate keys in one batch — pre-collapse "
                              "to last-wins first")
+        for i, (name, want) in enumerate(cast_checked):
+            if probe[f"badcast_{i}"]:
+                raise ValueError(
+                    f"{probe[f'badcast_{i}']} value(s) in batch column "
+                    f"{name!r} cannot cast to the table type {want} — "
+                    "refusing a merge that would write NULL over data")
 
         cur = m["snapshots"][str(m["version"])]["files"]
         keys = [r[0] for r in changes.select(key_col).collect()]
@@ -563,14 +594,21 @@ def table_changes(spark: SparkSession, table_dir: str,
         if not removed and not added:
             continue
         sj = snap_v.get("schema", m.get("schema"))
-        o, n = _snap_df(removed, sj), _snap_df(added, sj)
-        n = n.select(*o.columns)  # exceptAll is positional; align by name
-        step = _conform(
-            n.exceptAll(o)
-            .withColumn("change_type", F.lit("insert"))
-            .unionByName(o.exceptAll(n)
-                         .withColumn("change_type", F.lit("delete")))
-            .withColumn("commit_version", F.lit(v)))
+        if removed and added:
+            o, n = _snap_df(removed, sj), _snap_df(added, sj)
+            n = n.select(*o.columns)  # exceptAll is positional
+            core = (n.exceptAll(o)
+                    .withColumn("change_type", F.lit("insert"))
+                    .unionByName(o.exceptAll(n)
+                                 .withColumn("change_type",
+                                             F.lit("delete"))))
+        elif added:   # insert-only commit: every added row is an insert
+            core = _snap_df(added, sj).withColumn("change_type",
+                                                  F.lit("insert"))
+        else:         # all affected rows deleted, nothing written
+            core = _snap_df(removed, sj).withColumn("change_type",
+                                                    F.lit("delete"))
+        step = _conform(core.withColumn("commit_version", F.lit(v)))
         out = step if out is None else out.unionByName(step)
     if out is None:  # every step carried all files by name
         return _snap_df([], None).withColumn("change_type", F.lit("")) \

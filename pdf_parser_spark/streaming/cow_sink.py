@@ -54,14 +54,16 @@ def merge_stream(changes: DataFrame, table_dir: str, checkpoint_dir: str,
     plus ``op_col`` ('upsert'|'delete') and ``order_col`` (event
     time/LSN used for last-wins collapse within a micro-batch).
 
-    ``on_commit(spark, merge_stats)`` runs after each NON-skipped merge
-    commit — the hook that chains downstream incremental maintenance
-    (e.g. sources/maintain.refresh_extracted_table) so derived tables
-    follow the stream. It runs inside foreachBatch: if it fails, the
-    trigger fails and is retried, and the retried merge is a ledger
-    no-op while the hook runs again — so the hook must be idempotent
-    (the maintenance refresh is: its merge is ledgered under the
-    reflected source version)."""
+    ``on_commit(spark, merge_stats)`` runs after EVERY merge attempt,
+    including ledger-no-op replays — the hook that chains downstream
+    incremental maintenance (e.g.
+    sources/maintain.refresh_extracted_table) so derived tables follow
+    the stream. Running on replays is what makes the retry path whole:
+    if the hook fails (or the process dies) after the merge committed,
+    Spark retries the trigger, the merge replays as a ledger no-op, and
+    the hook MUST still run or the derived table stays stale forever.
+    So the hook must be idempotent (the maintenance refresh is: its
+    merge is ledgered under the reflected source version)."""
     key_col = read_manifest(table_dir)["key_col"]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -71,7 +73,7 @@ def merge_stream(changes: DataFrame, table_dir: str, checkpoint_dir: str,
                                        op_col).drop(order_col)
         stats = merge_into(batch_df.sparkSession, table_dir, collapsed,
                            op_col=op_col, batch_id=int(batch_id))
-        if on_commit is not None and not stats.get("skipped"):
+        if on_commit is not None:
             on_commit(batch_df.sparkSession, stats)
 
     w = (changes.writeStream.foreachBatch(apply)

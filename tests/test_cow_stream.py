@@ -100,3 +100,29 @@ def test_stream_default_start_is_current_version(spark, docs, tmp_path):
     _merge(spark, docs, d, 0, 10, "A:")        # v2, BEFORE stream start
     out = _drain(spark, d, str(tmp_path / "ck2"), "cdc_c")
     assert out.count() == 0                    # history not replayed
+
+
+def test_stream_replays_history_across_schema_evolution(spark, docs,
+                                                        tmp_path):
+    """Pre-evolution commits replay under their commit-time schema and
+    project BY NAME into the current one — no width mismatch, no
+    misbound columns after drop+add."""
+    from pdf_parser_spark.sources.cowtable import add_column, drop_column
+    spark.dataSource.register(CowChangesDataSource)
+    d = _mk_table(spark, docs, tmp_path)
+    _merge(spark, docs, d, 0, 10, "A:")            # v2, pre-evolution
+    drop_column(d, "source")
+    add_column(d, "stars", "double")
+
+    out = (spark.readStream.format("cow_changes").option("path", d)
+           .option("starting_version", 1).load())
+    assert out.columns == ["doc_id", "lang", "text", "stars",
+                           "change_type", "commit_version"]
+    q = (out.writeStream.format("memory").queryName("cdc_evo")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("cdc_evo").collect()
+    ins = [r for r in rows if r.change_type == "insert"]
+    assert ins and all(r.stars is None for r in rows)      # added col: NULL
+    assert all(r.text.startswith("A:") for r in ins)       # not misbound

@@ -367,3 +367,37 @@ def test_changelog_survives_drop_column(spark, docs, table):
     assert "source" not in log.columns               # presented in current schema
     assert log.where("change_type = 'insert'").count() == 8
     assert log.where("change_type = 'delete'").count() == 8
+
+
+def test_create_rejects_duplicate_keys(spark, docs, tmp_path):
+    d = str(tmp_path / "dup")
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        create_table(spark, docs.unionByName(docs.limit(3)), d, "doc_id")
+
+
+def test_merge_refuses_uncastable_batch_values(spark, docs, table):
+    """A batch value the manifest-type cast cannot convert must raise —
+    a permissive cast would write NULL over real data."""
+    from pdf_parser_spark.sources.cowtable import add_column
+    add_column(table, "stars", "double")
+    ch = (read_table(spark, table).where("doc_id < 3")
+          .withColumn("stars", F.lit("n/a"))       # uncastable string
+          .withColumn("op", F.lit("upsert")))
+    with pytest.raises(ValueError, match="cannot cast"):
+        merge_into(spark, table, ch)
+    assert read_manifest(table)["version"] == 1    # nothing committed
+
+
+def test_changelog_insert_only_commit_across_evolution(spark, docs, table):
+    """A pure-insert commit (no affected files -> empty removed side)
+    replayed AFTER an add_column must not crash: the insert-only branch
+    reads under the commit-time schema and conforms to the current one."""
+    from pdf_parser_spark.sources.cowtable import add_column, table_changes
+    ins = spark.createDataFrame(
+        [(20_000_000, "en", "cdc", "pure insert", "upsert")],
+        "doc_id long, lang string, source string, text string, op string")
+    merge_into(spark, table, ins)                  # v2: insert-only
+    add_column(table, "stars", "double")
+    log = table_changes(spark, table, 1, 2).collect()
+    assert [(r.doc_id, r.change_type, r.stars) for r in log] == \
+        [(20_000_000, "insert", None)]
