@@ -3629,6 +3629,71 @@ SELECT doc_id + 10000000 AS doc_id, lang, 'cdc' AS source,
 FROM d WHERE doc_id % 11 = 5
 """
 
+def _cow_mor_dir(spark, sf):
+    """Same table + CDC batch as _cow_merged_dir but applied with
+    strategy='mor' (merge-on-read equality deletes): zero files
+    rewritten, masks applied at read. Oracle-equality against the SAME
+    SQL as the cow entries value-hash-checks the whole masked-read
+    path (file-seq rule, delete-file join, re-insert liveness)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import create_table, merge_into
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "pdf_parser_spark_cowmor_"
+                     + hashlib.md5(sf.encode()).hexdigest()[:8]
+                     + f"_{os.getpid()}")
+    if os.path.exists(d):
+        try:
+            with open(os.path.join(d, "manifest.json")) as fh:
+                if json.load(fh)["version"] >= 2:
+                    return d
+        except (OSError, KeyError, ValueError):
+            pass
+        import shutil
+        shutil.rmtree(d)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source",
+                                             "text")
+    create_table(spark, docs.repartitionByRange(8, "doc_id"), d, "doc_id")
+    k = F.col("doc_id")
+    dels = docs.where(k % 13 == 3).withColumn("op", F.lit("delete"))
+    upds = (docs.where((k % 7 == 0) & (k % 13 != 3))
+            .withColumn("text", F.concat(F.lit("U:"), "text"))
+            .withColumn("op", F.lit("upsert")))
+    ins = (docs.where(k % 11 == 5)
+           .withColumn("doc_id", k + 10_000_000)
+           .withColumn("source", F.lit("cdc"))
+           .withColumn("text", F.concat(F.lit("N:"), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, d, dels.unionByName(upds).unionByName(ins),
+               batch_id=1, strategy="mor")
+    return d
+
+
+def docs_cow_mor_merge(spark, sf):
+    # merge-on-read MERGE INTO (Iceberg v2 equality deletes): the same
+    # CDC batch as docs_cow_merge applied with ZERO rewritten files —
+    # deletes are masks joined at read time, so hash-equality against
+    # the same oracle proves the masked-read path end to end
+    from pdf_parser_spark.sources.cowtable import read_table
+    return read_table(spark, _cow_mor_dir(spark, sf)) \
+        .select("doc_id", "lang", "source", "text")
+
+
+def docs_cow_mor_changes(spark, sf):
+    # changelog over a merge-on-read commit: the newly-masked rows live
+    # in files carried BY NAME, so the file-diff shortcut cannot see
+    # them — table_changes reads the delete keys' rows out of bounds-
+    # pruned carried files instead; same CDC rows as the cow changelog
+    from pdf_parser_spark.sources.cowtable import table_changes
+    return table_changes(spark, _cow_mor_dir(spark, sf), 1, 2) \
+        .select("doc_id", "lang", "source", "text", "change_type",
+                "commit_version")
+
+
 def _cow_evolved_dir(spark, sf):
     """Process-private cow table exercising METADATA-ONLY schema
     evolution (sources/cowtable.add_column): create from documents,
@@ -3790,6 +3855,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_cow_time_travel": docs_cow_time_travel,
     "docs_cow_changes": docs_cow_changes,
     "docs_cow_evolution": docs_cow_evolution,
+    "docs_cow_mor_merge": docs_cow_mor_merge,
+    "docs_cow_mor_changes": docs_cow_mor_changes,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
     # recall gates)
@@ -3888,6 +3955,10 @@ ORACLES: dict[str, str] = {
     "docs_cow_time_travel": DOCS_COW_TIME_TRAVEL_SQL,
     "docs_cow_changes": DOCS_COW_CHANGES_SQL,
     "docs_cow_evolution": DOCS_COW_EVOLUTION_SQL,
+    # merge-on-read is SEMANTICALLY identical to copy-on-write — same
+    # SQL oracles; hash-equality proves the masked physical path
+    "docs_cow_mor_merge": DOCS_COW_MERGE_SQL,
+    "docs_cow_mor_changes": DOCS_COW_CHANGES_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

@@ -23,6 +23,9 @@ the step's changed files) — right for CDC-sized commits, which is what
 a changelog stream consumes; a bulk backfill over huge rewrites should
 use the distributed batch ``table_changes`` instead. Rows with list
 columns are diffed via hashable tuples and yielded back as lists.
+Merge-on-read commits stream too: the step's delete keys prune the
+carried files via the manifest's cached key bounds, so only files that
+can hold a masked row are opened.
 """
 
 from __future__ import annotations
@@ -71,21 +74,48 @@ def _unhash(v):
     return v
 
 
-def _load_rows(table_dir: str, files: list[str], names: list[str]):
-    """All rows of the listed files as a MULTISET (Counter) of hashable
-    tuples in ``names`` order — matching the batch ``table_changes``'s
-    exceptAll bag semantics; files missing a column (pre-add_column)
-    contribute None."""
+def _del_map(table_dir: str, dels: list[dict]) -> dict:
+    """key -> max delete sequence across the listed equality-delete
+    files (each is one CDC batch's keys, driver-sized by contract)."""
+    import pyarrow.parquet as pq
+    dm: dict = {}
+    for e in dels:
+        t = pq.read_table(os.path.join(table_dir, e["file"]))
+        key_name = [n for n in t.schema.names if n != "__seq"][0]
+        for k, s in zip(t.column(key_name).to_pylist(),
+                        t.column("__seq").to_pylist()):
+            if s > dm.get(k, -1):
+                dm[k] = s
+    return dm
+
+
+def _load_rows(table_dir: str, files: list[str], names: list[str],
+               manifest: dict, del_map: dict | None = None,
+               key_filter: set | None = None):
+    """LIVE rows of the listed files as a MULTISET (Counter) of
+    hashable tuples in ``names`` order — matching the batch
+    ``table_changes``'s exceptAll bag semantics; files missing a column
+    (pre-add_column) contribute None. ``del_map`` masks rows whose key
+    carries a delete sequence above the file's own sequence (merge-on-
+    read equality deletes); ``key_filter`` keeps only those keys."""
     from collections import Counter
 
     import pyarrow.parquet as pq
+    key_col = manifest["key_col"]
+    kidx = names.index(key_col)
+    seqs = manifest.get("seq", {})
     rows: Counter = Counter()
     for f in sorted(files):
         tbl = pq.read_table(os.path.join(table_dir, f))
         have = set(tbl.schema.names)
+        fseq = int(seqs.get(f, 0))
         cols = [tbl.column(n).to_pylist() if n in have
                 else [None] * tbl.num_rows for n in names]
         for tup in zip(*cols):
+            if key_filter is not None and tup[kidx] not in key_filter:
+                continue
+            if del_map and del_map.get(tup[kidx], -1) > fseq:
+                continue
             rows[tuple(_hashable(v) for v in tup)] += 1
     return rows
 
@@ -126,8 +156,42 @@ class CowChangesStreamReader(DataSourceStreamReader):
                      for f in json.loads(m["schema"])["fields"]]
         old = set(prev["files"])
         new = set(snap["files"])
-        o = _load_rows(partition.table_dir, sorted(old - new), step_names)
-        n = _load_rows(partition.table_dir, sorted(new - old), step_names)
+        d = partition.table_dir
+        prev_dels = prev.get("deletes") or []
+        cur_dels = snap.get("deletes") or []
+        prev_del_names = {e["file"] for e in prev_dels}
+        new_dels = [e for e in cur_dels
+                    if e["file"] not in prev_del_names]
+        pd_map = _del_map(d, prev_dels) if prev_dels else None
+        if new_dels:
+            # merge-on-read commit: newly-masked rows live in CARRIED
+            # files — prune those by the manifest's cached key bounds
+            # against the step's delete keys, read only the survivors
+            nd_map = _del_map(d, new_dels)
+            stats = m.get("stats", {})
+            dkeys = sorted(nd_map)
+            carried = sorted(old & new)
+            cand = []
+            for f in carried:
+                st = stats.get(f)
+                if st is None:
+                    cand.append(f)
+                    continue
+                import bisect
+                i = bisect.bisect_left(dkeys, st[0])
+                if i < len(dkeys) and dkeys[i] <= st[1]:
+                    cand.append(f)
+            o = _load_rows(d, sorted(old - new), step_names, m,
+                           del_map=pd_map)
+            o.update(_load_rows(d, cand, step_names, m, del_map=pd_map,
+                                key_filter=set(nd_map)))
+            n = _load_rows(d, sorted(new - old), step_names, m)
+        else:
+            cd_map = _del_map(d, cur_dels) if cur_dels else None
+            o = _load_rows(d, sorted(old - new), step_names, m,
+                           del_map=pd_map)
+            n = _load_rows(d, sorted(new - old), step_names, m,
+                           del_map=cd_map)
 
         def project(row: tuple) -> tuple:
             d = dict(zip(step_names, row))

@@ -18,6 +18,17 @@ rebuilt on plain parquet:
   survivors of those files anti-join the batch keys, upserts append —
   every untouched file is carried into the new snapshot BY NAME, zero
   bytes moved;
+- ``merge_into(..., strategy="mor")`` is the MERGE-ON-READ twin
+  (Iceberg v2 equality deletes): the commit rewrites NOTHING — batch
+  keys land in a tiny delete file ``(key, __seq)``, upserts append as
+  new data files, and every reader masks rows whose key carries a
+  delete with a HIGHER sequence than the row's own file (so a
+  re-inserted key stays live). Writes cost O(batch) regardless of how
+  many files the keys touch — the right trade for high-frequency CDC —
+  at the price of one key-join per read until ``compact_table`` purges
+  the masks. Streaming changelog reads refuse MOR snapshots (the same
+  limitation Iceberg's streaming source has with equality deletes);
+  batch ``table_changes`` handles them;
 - commit is manifest-last (tmp file + ``os.replace``), so a crash
   mid-write leaves the previous snapshot intact and fully readable; an
   already-applied ``batch_id`` is a no-op (exactly-once under
@@ -111,7 +122,7 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
         raise ValueError(f"duplicate {key_col} values in the initial "
                          "data — a merge key identifies one row")
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
-                "stats", "dropped"}
+                "stats", "dropped", "seq"}
     if extra and reserved & set(extra):
         raise ValueError(f"extra fields clash with manifest fields: "
                          f"{sorted(reserved & set(extra))}")
@@ -119,6 +130,7 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
     files = _write_data_files(df, table_dir, "v1")
     manifest = {"key_col": key_col, "version": 1, "applied": [],
                 "schema": df.schema.json(),
+                "seq": {f: 1 for f in files},
                 "snapshots": {"1": {"files": files,
                                     "schema": df.schema.json()}},
                 **(extra or {})}
@@ -155,7 +167,53 @@ def read_table(spark: SparkSession, table_dir: str,
                 raise ValueError(
                     "empty snapshot and no schema recorded in manifest")
         return spark.createDataFrame([], schema)
-    return _read_files(spark, m, table_dir, snap["files"])
+    return _masked_read(spark, m, table_dir, snap["files"],
+                        _delete_entries(snap))
+
+
+def _delete_entries(snap: dict) -> list[dict]:
+    return snap.get("deletes") or []
+
+
+def _file_seq(manifest: dict, rel: str) -> int:
+    """The commit version at which a data file was added; files written
+    before sequence tracking (or by pre-MOR code) default to 0 — they
+    predate every delete file, so 'masked by any delete' is correct."""
+    return int(manifest.get("seq", {}).get(rel, 0))
+
+
+def _masked_read(spark: SparkSession, manifest: dict, table_dir: str,
+                 files: list[str], deletes: list[dict],
+                 schema_json: str | None = None) -> DataFrame:
+    """LIVE rows of the listed data files under the given equality-
+    delete set: a row survives unless some delete file holds its key
+    with a sequence GREATER than the row's file sequence (a delete at
+    seq s applies only to data written before s — re-inserts stay
+    live). One read of all delete files + one key-join; the per-file
+    sequence attaches via a broadcast basename→seq map, so the data
+    scan itself stays a plain pruned parquet read."""
+    df = _read_files(spark, manifest, table_dir, files, schema_json)
+    if not deletes:
+        return df
+    cols = df.columns
+    key = manifest["key_col"]
+    seq_map = [(os.path.basename(f), _file_seq(manifest, f))
+               for f in files]
+    map_df = spark.createDataFrame(seq_map,
+                                   "__base string, __file_seq long")
+    del_paths = sorted({os.path.join(table_dir, e["file"])
+                        for e in deletes})
+    del_df = (spark.read.parquet(*del_paths)
+              .groupBy(key).agg(F.max("__seq").alias("__del_seq")))
+    return (df.withColumn("__base",
+                          F.element_at(F.split(F.input_file_name(), "/"),
+                                       -1))
+            .join(F.broadcast(map_df), "__base", "left")
+            .join(del_df, key, "left")
+            .where(F.col("__del_seq").isNull()
+                   | (F.col("__del_seq")
+                      <= F.coalesce("__file_seq", F.lit(0))))
+            .select(*cols))
 
 
 def _read_files(spark: SparkSession, manifest: dict, table_dir: str,
@@ -271,7 +329,8 @@ def _affected_files(bounds: list[dict], keys: list) -> list[str]:
 # --- merge ------------------------------------------------------------------
 
 def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
-               *, op_col: str = "op", batch_id: int | None = None) -> dict:
+               *, op_col: str = "op", batch_id: int | None = None,
+               strategy: str = "cow") -> dict:
     """Apply a CDC batch: rows with ``op='upsert'`` replace (by key) or
     insert; ``op='delete'`` removes the key. Returns the merge stats
     dict (also recorded in the manifest): files rewritten vs carried,
@@ -281,12 +340,27 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
     keys in one batch are rejected (last-wins needs an ordering the
     caller should make explicit by pre-collapsing the batch).
 
-    Scale shape: one footer-stats metadata job over the file list + one
-    scan of ONLY the affected files (anti-join on key against the
-    broadcast batch) + the batch append. Untouched files move by name.
-    """
+    ``strategy='cow'`` (default) scale shape: one footer-stats metadata
+    job over the file list + one scan of ONLY the affected files
+    (anti-join on key against the broadcast batch) + the batch append.
+    Untouched files move by name.
+
+    ``strategy='mor'`` (merge-on-read, Iceberg v2 equality deletes):
+    the commit writes the batch keys into ONE tiny delete file and the
+    upsert rows as new data files — NOTHING is rewritten, so write cost
+    is O(batch) even when the keys scatter across every file of a
+    100 TB table. Readers pay one key-join against the accumulated
+    delete files until ``compact_table`` purges them. The two
+    strategies interleave freely on one table (a cow merge reads its
+    affected files through the masks, so masked rows never revive)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be 'cow' or 'mor', got "
+                         f"{strategy!r}")
     m = read_manifest(table_dir)
     key_col = m["key_col"]
+    if strategy == "mor" and "schema" not in m:
+        raise ValueError("merge-on-read needs a schema-recording "
+                         "manifest (rebuild the table first)")
     if batch_id is not None and batch_id in m["applied"]:
         return {"skipped": True, "batch_id": batch_id,
                 "version": m["version"]}
@@ -302,6 +376,8 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
         F.min(F.when(bad_op, F.col(op_col))).alias("bad_op_val"),
         F.count(F.when(F.col(key_col).isNull(), True)).alias("null_keys"),
         F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(op_col) == "upsert", True))
+         .alias("n_upserts"),
         F.countDistinct(key_col).alias("n_keys")]
     # batch columns arriving at a different type get cast to the
     # manifest type before writing; a value the cast cannot convert
@@ -340,13 +416,11 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                     f"{name!r} cannot cast to the table type {want} — "
                     "refusing a merge that would write NULL over data")
 
-        cur = m["snapshots"][str(m["version"])]["files"]
-        keys = [r[0] for r in changes.select(key_col).collect()]
-        bounds = (file_key_bounds(spark, table_dir, cur, key_col,
-                                  manifest=m)
-                  if cur else [])
-        affected = set(_affected_files(bounds, keys))
-        carried = [f for f in cur if f not in affected]
+        prev_snap = m["snapshots"][str(m["version"])]
+        cur = prev_snap["files"]
+        prev_deletes = _delete_entries(prev_snap)
+        v = m["version"] + 1
+        tag = f"v{v}"
 
         upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
         if "schema" in m:
@@ -359,25 +433,63 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
             cols = [f.name for f in fields]
             conform = [F.col(f.name).cast(f.dataType).alias(f.name)
                        for f in fields]
+            key_type = {f.name: f.dataType for f in fields}[key_col]
         else:
             cols = read_table(spark, table_dir).columns
             conform = [F.col(c) for c in cols]
-        tag = f"v{m['version'] + 1}"
-        if affected:
-            tgt = _read_files(spark, m, table_dir, sorted(affected))
-            keep = tgt.join(F.broadcast(changes.select(key_col)),
-                            on=key_col, how="left_anti")
-            # the join moved key_col first — restore the table's column
-            # order so every snapshot's files share one physical schema
-            merged = keep.select(*cols).unionByName(
-                upserts.select(*conform))
+            key_type = None
+
+        if strategy == "mor":
+            # No pruning pass, no rewrite: the whole table carries by
+            # name. The batch lands as (a) new data files for upserts
+            # and (b) ONE delete file of (key, __seq=v) covering every
+            # batch key — an upsert's delete entry masks its old copy
+            # (old file seq < v) but not its new one (file seq = v).
+            affected: set[str] = set()
+            carried = list(cur)
+            new_files = ([] if probe["n_upserts"] == 0 else
+                         _write_data_files(upserts.select(*conform),
+                                           table_dir, tag))
+            del_files, del_rows = [], 0
+            if probe["n"]:
+                kc = (F.col(key_col).cast(key_type) if key_type
+                      else F.col(key_col))
+                dk = changes.select(
+                    kc.alias(key_col),
+                    F.lit(v).cast("long").alias("__seq")).coalesce(1)
+                del_files = _write_data_files(dk, table_dir,
+                                              f"{tag}-del")
+                del_rows = probe["n"]
+            batch_rows = probe["n"]
         else:
-            merged = upserts.select(*conform)
-        # Write once; row count AND key bounds come from the new files'
-        # footers (local metadata, one open per new file) — no second
-        # scan of the affected files, and the bounds are cached in the
-        # manifest so future merges prune without a footer job.
-        new_files = _write_data_files(merged, table_dir, tag)
+            keys = [r[0] for r in changes.select(key_col).collect()]
+            bounds = (file_key_bounds(spark, table_dir, cur, key_col,
+                                      manifest=m)
+                      if cur else [])
+            affected = set(_affected_files(bounds, keys))
+            carried = [f for f in cur if f not in affected]
+            if affected:
+                # masked read: rows already equality-deleted by an
+                # earlier MOR commit must not revive into the rewrite
+                tgt = _masked_read(spark, m, table_dir, sorted(affected),
+                                   prev_deletes)
+                keep = tgt.join(F.broadcast(changes.select(key_col)),
+                                on=key_col, how="left_anti")
+                # the join moved key_col first — restore the table's
+                # column order so every snapshot's files share one
+                # physical schema
+                merged = keep.select(*cols).unionByName(
+                    upserts.select(*conform))
+            else:
+                merged = upserts.select(*conform)
+            # Write once; row count AND key bounds come from the new
+            # files' footers (local metadata, one open per new file) —
+            # no second scan of the affected files, and the bounds are
+            # cached in the manifest so future merges prune without a
+            # footer job.
+            new_files = _write_data_files(merged, table_dir, tag)
+            del_files, del_rows = [], 0
+            batch_rows = len(keys)
         rows_out = 0
         new_bounds = []
         for f in list(new_files):
@@ -391,17 +503,23 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                                "rows": n})
             rows_out += n
         _record_stats(m, new_bounds)
+        m.setdefault("seq", {}).update({f: v for f in new_files})
     finally:
         changes.unpersist()
 
-    v = m["version"] + 1
-    stats = {"version": v, "batch_id": batch_id,
+    stats = {"version": v, "batch_id": batch_id, "strategy": strategy,
              "files_rewritten": len(affected),
              "files_carried": len(carried),
              "files_added": len(new_files),
-             "batch_rows": len(keys), "rows_written": rows_out}
+             "delete_files_added": len(del_files),
+             "batch_rows": batch_rows, "rows_written": rows_out}
     m["snapshots"][str(v)] = {"files": carried + new_files,
                               "merge": stats}
+    new_deletes = (prev_deletes
+                   + [{"file": f, "seq": v, "rows": del_rows}
+                      for f in del_files])
+    if new_deletes:
+        m["snapshots"][str(v)]["deletes"] = new_deletes
     if "schema" in m:  # schema AS OF this commit (changelog replays
         m["snapshots"][str(v)]["schema"] = m["schema"]  # need history)
     m["version"] = v
@@ -421,18 +539,26 @@ def compact_table(spark: SparkSession, table_dir: str,
     sources/compact.plan_n_files."""
     from pdf_parser_spark.sources.compact import plan_n_files
     m = read_manifest(table_dir)
-    cur = m["snapshots"][str(m["version"])]["files"]
+    prev_snap = m["snapshots"][str(m["version"])]
+    cur = prev_snap["files"]
     total = sum(os.path.getsize(os.path.join(table_dir, f)) for f in cur)
     n_out = plan_n_files(total, target_mb)
-    df = read_table(spark, table_dir)
-    tag = f"v{m['version'] + 1}"
+    df = read_table(spark, table_dir)  # masked: deletes applied here
+    v = m["version"] + 1
+    tag = f"v{v}"
     files = _write_data_files(df.repartition(n_out), table_dir, tag)
     _record_stats(m, file_key_bounds(spark, table_dir, files,
                                      m["key_col"]))
-    v = m["version"] + 1
+    m.setdefault("seq", {}).update({f: v for f in files})
+    # compaction is ALSO the merge-on-read reconciler: masks are
+    # materialized into the rewrite, so the new snapshot carries no
+    # delete files and reads join-free again
     m["snapshots"][str(v)] = {"files": files,
-                              "compaction": {"in_files": len(cur),
-                                             "out_files": len(files)}}
+                              "compaction": {
+                                  "in_files": len(cur),
+                                  "out_files": len(files),
+                                  "purged_delete_files":
+                                      len(_delete_entries(prev_snap))}}
     if "schema" in m:
         m["snapshots"][str(v)]["schema"] = m["schema"]
     m["version"] = v
@@ -503,16 +629,21 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     keep = set(versions[-keep_last:])
     live: set[str] = set()
     for v in keep:
-        live.update(m["snapshots"][str(v)]["files"])
-    doomed: list[str] = []
+        snap = m["snapshots"][str(v)]
+        live.update(snap["files"])
+        live.update(e["file"] for e in _delete_entries(snap))
+    doomed: set[str] = set()
     for v in versions:
         if v in keep:
             continue
-        doomed.extend(f for f in m["snapshots"][str(v)]["files"]
-                      if f not in live)
+        snap = m["snapshots"][str(v)]
+        doomed.update(f for f in snap["files"] if f not in live)
+        doomed.update(e["file"] for e in _delete_entries(snap)
+                      if e["file"] not in live)
         del m["snapshots"][str(v)]
     for f in doomed:
         m.get("stats", {}).pop(f, None)
+        m.get("seq", {}).pop(f, None)
     # Manifest-first, deletion-after (Iceberg's expire order): a crash
     # between the two leaves unreferenced files on disk (harmless
     # orphans), never a committed manifest pointing at deleted files.
@@ -561,12 +692,20 @@ def table_changes(spark: SparkSession, table_dir: str,
         raise ValueError(f"need from_version < to_version, got "
                          f"{from_version} >= {to_version}")
 
-    def _snap_df(files: list[str], schema_json: str | None) -> DataFrame:
-        if not files:
-            return read_table(spark, table_dir, version=from_version) \
-                .limit(0)
-        return _read_files(spark, m, table_dir, sorted(files),
-                           schema_json=schema_json)
+    def _side(files: list[str], schema_json: str | None,
+              dels: list[dict]) -> DataFrame:
+        """One diff side: the LIVE rows of the listed files under the
+        given delete set and commit-time schema; schema-correct empty
+        frame when the side has no files."""
+        if files:
+            return _masked_read(spark, m, table_dir, sorted(files),
+                                dels, schema_json=schema_json)
+        if schema_json:
+            from pyspark.sql.types import StructType
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json)))
+        return read_table(spark, table_dir, version=from_version) \
+            .limit(0)
 
     cur_fields = None
     if "schema" in m:
@@ -587,31 +726,55 @@ def table_changes(spark: SparkSession, table_dir: str,
         if str(v) not in m["snapshots"]:
             raise ValueError(f"version {v} missing between endpoints "
                              "(vacuumed) — changelog is broken there")
+        prev_snap = m["snapshots"][str(v - 1)]
         snap_v = m["snapshots"][str(v)]
-        old = set(m["snapshots"][str(v - 1)]["files"])
+        old = set(prev_snap["files"])
         new = set(snap_v["files"])
         removed, added = sorted(old - new), sorted(new - old)
-        if not removed and not added:
+        prev_dels = _delete_entries(prev_snap)
+        cur_dels = _delete_entries(snap_v)
+        prev_del_names = {e["file"] for e in prev_dels}
+        new_dels = [e for e in cur_dels if e["file"] not in prev_del_names]
+        if not removed and not added and not new_dels:
             continue
         sj = snap_v.get("schema", m.get("schema"))
-        if removed and added:
-            o, n = _snap_df(removed, sj), _snap_df(added, sj)
-            n = n.select(*o.columns)  # exceptAll is positional
-            core = (n.exceptAll(o)
-                    .withColumn("change_type", F.lit("insert"))
-                    .unionByName(o.exceptAll(n)
-                                 .withColumn("change_type",
-                                             F.lit("delete"))))
-        elif added:   # insert-only commit: every added row is an insert
-            core = _snap_df(added, sj).withColumn("change_type",
-                                                  F.lit("insert"))
-        else:         # all affected rows deleted, nothing written
-            core = _snap_df(removed, sj).withColumn("change_type",
-                                                    F.lit("delete"))
+        if new_dels:
+            # merge-on-read commit: the newly-masked rows live in
+            # CARRIED files, so a file-name diff cannot see them. Read
+            # the previous snapshot's live rows for JUST the delete
+            # keys (bounds-pruned to the files those keys can touch —
+            # a 0.1 % MOR batch still reads ~0.1 % of the table) as the
+            # delete side; added data files are the insert side.
+            # Unchanged upserts cancel in the exceptAll, same as cow.
+            key = m["key_col"]
+            dpaths = [os.path.join(table_dir, e["file"])
+                      for e in new_dels]
+            del_keys = spark.read.parquet(*dpaths).select(key).distinct()
+            keys = [r[0] for r in del_keys.collect()]  # CDC-batch-sized
+            bounds = file_key_bounds(spark, table_dir,
+                                     prev_snap["files"], key, manifest=m)
+            pruned = _affected_files(bounds, keys)
+            o = _side(pruned, sj, prev_dels)
+            if pruned:
+                o = o.join(F.broadcast(del_keys), key, "left_semi") \
+                     .select(*o.columns)
+            n = _side(added, sj, [])  # new files are live at v
+        else:
+            # copy-on-write / compaction step: diff the LIVE views of
+            # the name-differing files (masked rows were dead before
+            # the step and cancel out of both sides)
+            o = _side(removed, sj, prev_dels)
+            n = _side(added, sj, cur_dels)
+        n = n.select(*o.columns)  # exceptAll is positional
+        core = (n.exceptAll(o)
+                .withColumn("change_type", F.lit("insert"))
+                .unionByName(o.exceptAll(n)
+                             .withColumn("change_type",
+                                         F.lit("delete"))))
         step = _conform(core.withColumn("commit_version", F.lit(v)))
         out = step if out is None else out.unionByName(step)
     if out is None:  # every step carried all files by name
-        return _snap_df([], None).withColumn("change_type", F.lit("")) \
-                                 .withColumn("commit_version", F.lit(0)) \
-                                 .limit(0)
+        return _side([], None, []).withColumn("change_type", F.lit("")) \
+                                  .withColumn("commit_version", F.lit(0)) \
+                                  .limit(0)
     return out

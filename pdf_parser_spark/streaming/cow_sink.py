@@ -47,12 +47,18 @@ def collapse_last_wins(changes: DataFrame, key_col: str, order_col: str,
 
 def merge_stream(changes: DataFrame, table_dir: str, checkpoint_dir: str,
                  *, order_col: str, op_col: str = "op",
-                 available_now: bool = True, on_commit=None):
+                 available_now: bool = True, on_commit=None,
+                 strategy: str = "cow"):
     """Start the CDC-apply query; returns the StreamingQuery.
 
     ``changes`` is a streaming DataFrame carrying every table column
     plus ``op_col`` ('upsert'|'delete') and ``order_col`` (event
     time/LSN used for last-wins collapse within a micro-batch).
+
+    ``strategy='mor'`` applies each micro-batch as a merge-on-read
+    commit (O(batch) write cost, no file rewrites — the right mode for
+    high-frequency triggers; run ``compact_table`` periodically to
+    purge the accumulated delete files).
 
     ``on_commit(spark, merge_stats)`` runs after EVERY merge attempt,
     including ledger-no-op replays — the hook that chains downstream
@@ -72,7 +78,8 @@ def merge_stream(changes: DataFrame, table_dir: str, checkpoint_dir: str,
         collapsed = collapse_last_wins(batch_df, key_col, order_col,
                                        op_col).drop(order_col)
         stats = merge_into(batch_df.sparkSession, table_dir, collapsed,
-                           op_col=op_col, batch_id=int(batch_id))
+                           op_col=op_col, batch_id=int(batch_id),
+                           strategy=strategy)
         if on_commit is not None:
             on_commit(batch_df.sparkSession, stats)
 

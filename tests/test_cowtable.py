@@ -401,3 +401,154 @@ def test_changelog_insert_only_commit_across_evolution(spark, docs, table):
     log = table_changes(spark, table, 1, 2).collect()
     assert [(r.doc_id, r.change_type, r.stars) for r in log] == \
         [(20_000_000, "insert", None)]
+
+
+# --- merge-on-read (equality deletes) ---------------------------------------
+
+def _mor_batch(spark, docs, lo, hi):
+    """Same shape as _changes plus a delete, for the MOR tests."""
+    ch = _changes(spark, docs, lo, hi)
+    dels = (docs.where(F.col("doc_id") % 17 == 4)
+            .withColumn("op", F.lit("delete")))
+    return ch.unionByName(dels).where(
+        ~((F.col("op") == "upsert") & (F.col("doc_id") % 17 == 4)))
+
+
+def test_mor_merge_reads_equal_to_cow_merge(spark, docs, tmp_path):
+    """The two strategies are semantically identical: same batch on two
+    copies of one table must read back digest-equal — and the MOR
+    commit must rewrite NOTHING."""
+    dc, dm = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for d in (dc, dm):
+        create_table(spark, docs.repartitionByRange(4, "doc_id"), d,
+                     "doc_id")
+    ch = _mor_batch(spark, docs, 0, 40)
+    sc = merge_into(spark, dc, ch, strategy="cow")
+    sm = merge_into(spark, dm, ch, strategy="mor")
+    assert sc["files_rewritten"] > 0
+    assert sm["files_rewritten"] == 0
+    assert sm["files_carried"] == 4          # every data file by name
+    assert sm["delete_files_added"] == 1
+    assert _digest(read_table(spark, dm)) == _digest(read_table(spark, dc))
+
+
+def test_mor_time_travel_and_reinsert_lifecycle(spark, docs, table):
+    """delete (mor) -> reinsert (mor) -> delete (mor): the seq rule
+    keeps exactly the right copy live at each version."""
+    row = read_table(spark, table).where("doc_id = 7")
+    assert row.count() == 1
+    d1 = row.withColumn("op", F.lit("delete"))
+    merge_into(spark, table, d1, strategy="mor")               # v2
+    assert read_table(spark, table).where("doc_id = 7").count() == 0
+    re = (row.withColumn("text", F.lit("back"))
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, table, re, strategy="mor")               # v3
+    got = read_table(spark, table).where("doc_id = 7").collect()
+    assert [r.text for r in got] == ["back"]
+    merge_into(spark, table, d1, strategy="mor")               # v4
+    assert read_table(spark, table).where("doc_id = 7").count() == 0
+    # time travel sees each intermediate state
+    assert read_table(spark, table, version=1) \
+        .where("doc_id = 7").count() == 1
+    assert read_table(spark, table, version=2) \
+        .where("doc_id = 7").count() == 0
+    assert [r.text for r in read_table(spark, table, version=3)
+            .where("doc_id = 7").collect()] == ["back"]
+
+
+def test_cow_merge_after_mor_does_not_revive_masked_rows(spark, docs,
+                                                         table):
+    """A cow rewrite of files holding MASKED rows must apply the masks
+    first — a naive rewrite would resurrect equality-deleted rows."""
+    dels = (docs.where(F.col("doc_id") < 30)
+            .withColumn("op", F.lit("delete")))
+    merge_into(spark, table, dels, strategy="mor")             # v2
+    # cow-touch the same key range (upsert OTHER keys living in the
+    # same range-partitioned files)
+    upd = (docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+           .withColumn("text", F.lit("cowtouch"))
+           .withColumn("op", F.lit("upsert")))
+    st = merge_into(spark, table, upd, strategy="cow")         # v3
+    assert st["files_rewritten"] > 0
+    t = read_table(spark, table)
+    assert t.where("doc_id < 30").count() == 0                 # not revived
+    assert t.where("doc_id >= 30 and doc_id < 60 and text = 'cowtouch'") \
+        .count() == upd.count()
+
+
+def test_compact_purges_deletes_and_preserves_rows(spark, docs, table):
+    merge_into(spark, table, _mor_batch(spark, docs, 0, 40),
+               strategy="mor")                                 # v2
+    before = _digest(read_table(spark, table))
+    res = compact_table(spark, table, target_mb=128)
+    m = read_manifest(table)
+    snap = m["snapshots"][str(res["version"])]
+    assert not snap.get("deletes")                             # purged
+    assert m["snapshots"][str(res["version"])]["compaction"][
+        "purged_delete_files"] == 1
+    assert _digest(read_table(spark, table)) == before
+
+
+def test_mor_changelog_matches_cow_changelog(spark, docs, tmp_path):
+    """table_changes over a MOR commit reconstructs the same CDC rows
+    the cow strategy produces for the same batch (unchanged-upsert
+    cancellation included)."""
+    from pdf_parser_spark.sources.cowtable import table_changes
+    dc, dm = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for d in (dc, dm):
+        create_table(spark, docs.repartitionByRange(4, "doc_id"), d,
+                     "doc_id")
+    ch = _mor_batch(spark, docs, 0, 40)
+    # plant an unchanged upsert: same row re-upserted, must cancel
+    unchanged = (docs.where("doc_id = 401")
+                 .withColumn("op", F.lit("upsert")))
+    ch = ch.where("doc_id <> 401").unionByName(unchanged)
+    merge_into(spark, dc, ch, strategy="cow")
+    merge_into(spark, dm, ch, strategy="mor")
+    lc = table_changes(spark, dc, 1, 2)
+    lm = table_changes(spark, dm, 1, 2)
+    assert _digest(lm) == _digest(lc)
+    assert lm.where("doc_id = 401").count() == 0               # cancelled
+
+
+def test_mor_vacuum_keeps_needed_delete_files(spark, docs, table):
+    import os
+    merge_into(spark, table, _mor_batch(spark, docs, 0, 40),
+               strategy="mor")                                 # v2
+    before = _digest(read_table(spark, table))
+    vacuum(table, keep_last=1)                                 # drop v1
+    m = read_manifest(table)
+    snap = m["snapshots"][str(m["version"])]
+    for e in snap.get("deletes", []):                          # still live
+        assert os.path.exists(os.path.join(table, e["file"]))
+    assert _digest(read_table(spark, table)) == before
+    # after compaction + vacuum the delete file itself is reclaimed
+    compact_table(spark, table)                                # v3
+    dels = [e["file"] for e in snap.get("deletes", [])]
+    vacuum(table, keep_last=1)
+    for f in dels:
+        assert not os.path.exists(os.path.join(table, f))
+
+
+def test_mor_stream_replays_equality_delete_commits(spark, docs,
+                                                    tmp_path):
+    """cow_changes streams a MOR commit: masked rows surface as deletes
+    even though every data file was carried by name."""
+    from pdf_parser_spark.sources.cow_stream import CowChangesDataSource
+    from pdf_parser_spark.sources.cowtable import table_changes
+    spark.dataSource.register(CowChangesDataSource)
+    d = str(tmp_path / "t")
+    create_table(spark, docs.repartitionByRange(4, "doc_id"), d,
+                 "doc_id")
+    merge_into(spark, d, _mor_batch(spark, docs, 0, 40),
+               strategy="mor", batch_id=1)                     # v2
+    out = (spark.readStream.format("cow_changes").option("path", d)
+           .option("starting_version", 1).load())
+    q = (out.writeStream.format("memory").queryName("cdc_mor")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("cdc_mor").drop("commit_version")
+    want = table_changes(spark, d, 1, 2).drop("commit_version")
+    assert _digest(got) == _digest(want)
+    assert got.where("change_type = 'delete'").count() > 0
