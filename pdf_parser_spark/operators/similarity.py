@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -285,6 +285,35 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     cells = ivf_assign(df, centroids, emb_col)
     return brute_force_topk(cells.where(F.col("ivf_cell").isin(probe)),
                             query_vec, k, emb_col, id_col)
+
+
+def write_ivf_partitioned(df: DataFrame, centroids: list[list[float]],
+                          path: str, emb_col: str = "embedding",
+                          mode: str = "error") -> None:
+    """The IVF index's PHYSICAL layout at scale: assign coarse cells and
+    write one partition directory per cell (``ivf_cell=<c>/``). A probed
+    query then reaches the scan as a PartitionFilter — unprobed cells'
+    files are never listed, opened, or read, which is the claim
+    ``ivf_topk`` only makes logically (its ``where`` prunes ROWS after
+    the scan unless the storage is cell-partitioned like this). The
+    same layout serves the IVFADC code table (quantize.ivfpq_encode
+    output also carries ``ivf_cell``)."""
+    ivf_assign(df, centroids, emb_col) \
+        .write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_partitioned(spark: SparkSession, path: str,
+                         centroids: list[list[float]],
+                         query_vec: list[float], k: int = 10,
+                         n_probe: int = 2, emb_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """``ivf_topk`` over a cell-partitioned index directory: the probe
+    set becomes a partition filter, so the scan plans only the probed
+    cells' files (verify with ``.explain()`` — the FileScan shows
+    ``PartitionFilters: [ivf_cell IN (...)]`` and no data filter)."""
+    probe = rank_cells_by_query(centroids, query_vec)[:n_probe]
+    hits = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
+    return brute_force_topk(hits, query_vec, k, emb_col, id_col)
 
 
 def _margin_probe_masks_udf(planes: list[list[float]], n_probe: int):

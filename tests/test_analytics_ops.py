@@ -2270,3 +2270,49 @@ def test_ivfpq_recall_beats_plain_pq_and_scans_fewer_rows(spark):
     assert scanned < n_total
     codes.unpersist()
     emb.unpersist()
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, emb_df,
+                                                   tmp_path):
+    """Physical IVF layout: the probe set reaches the scan as a
+    PARTITION filter (unprobed cells' directories never open), and the
+    answers are identical to the logical ivf_topk over the same data."""
+    import os
+
+    from pdf_parser_spark.operators.similarity import (
+        ivf_topk, ivf_topk_partitioned, ivf_train, rank_cells_by_query,
+        write_ivf_partitioned)
+
+    cents = ivf_train(emb_df, k=4, iters=2)
+    d = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb_df, cents, d)
+    # one directory per observed cell
+    cell_dirs = sorted(p for p in os.listdir(d)
+                       if p.startswith("ivf_cell="))
+    assert len(cell_dirs) >= 2
+    q = hash_embed_py("doc number 7", 16)
+    got = ivf_topk_partitioned(spark, d, cents, q, k=3, n_probe=1)
+    want = ivf_topk(emb_df, cents, q, k=3, n_probe=1)
+    assert [(r.vec_id, round(r.similarity, 6)) for r in got.collect()] \
+        == [(r.vec_id, round(r.similarity, 6)) for r in want.collect()]
+    # the pruning is PHYSICAL: the plan carries a PartitionFilter on
+    # ivf_cell, and the executed scan's own metrics show fewer files
+    # and partition dirs read than the full index holds
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in \
+        plan.split("PartitionFilters")[1][:200]
+
+    def _scan_metrics(df):
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan() \
+                 .collectLeaves().apply(0)
+        mm = scan.metrics()
+        return (int(mm.apply("numFiles").value()),
+                int(mm.apply("numPartitions").value()))
+
+    probe = rank_cells_by_query(cents, q)[:1]
+    pruned = _scan_metrics(spark.read.parquet(d)
+                           .where(F.col("ivf_cell").isin(probe)))
+    full = _scan_metrics(spark.read.parquet(d))
+    assert pruned[1] == 1 and full[1] == len(cell_dirs)
+    assert 0 < pruned[0] < full[0]
