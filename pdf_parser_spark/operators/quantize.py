@@ -176,28 +176,34 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     Storage math: m codes of k<=256 replace dim float32s — at m=8 on a
     768-d vector that is 8 bytes vs 3 KB, a 384x scan-width cut for the
     candidate-generation pass. All JVM expressions, no Python, no
-    shuffle. The codebook ships as ONE nested-array literal and the
-    m x k argmin runs as runtime higher-order functions (transform /
-    zip_with / aggregate) rather than m*k Python-unrolled aggregate
-    subtrees: the unrolled form cost ~12 s of DRIVER plan construction
-    per call at m=8,k=32 (measured; the generated method also blows
-    past the JIT size where whole-stage codegen falls back anyway),
-    while this form plans in milliseconds with identical fold order —
-    bit-identical codes. Ties break to the lower code (struct ordering
-    on (dist, code), zip_with preserves centroid order).
+    shuffle. The m x k argmin runs as runtime higher-order functions
+    (transform / zip_with / aggregate) rather than m*k Python-unrolled
+    aggregate subtrees: the unrolled form cost ~12 s of DRIVER plan
+    construction per call at m=8,k=32 (measured; the generated method
+    also blows past the JIT size where whole-stage codegen falls back
+    anyway). The codebook itself ships as a ONE-ROW broadcast relation
+    crossJoined in, NOT as a nested-array literal: the literal form
+    re-enters constant folding on every optimizer pass and measured
+    ~2.4 s of fixed per-query analysis cost vs ~0.9 s for the broadcast
+    row — identical fold order, bit-identical codes. Ties break to the
+    lower code (struct ordering on (dist, code), zip_with preserves
+    centroid order).
     """
     m = len(codebooks)
     k = len(codebooks[0])
     d_s = len(codebooks[0][0])
     e = F.col(emb_col)
-    cb_lit = F.lit([[[float(c) for c in cent] for cent in sub]
-                    for sub in codebooks])
+    cb_df = df.sparkSession.createDataFrame(
+        [([[[float(c) for c in cent] for cent in sub]
+           for sub in codebooks],)],
+        "__pq_cb array<array<array<double>>>")
+    cb_col = F.col("__pq_cb")
 
     def sub_code(s: Column) -> Column:
         sub = F.slice(e, s * d_s + 1, d_s)
         return F.array_min(
             F.zip_with(
-                F.element_at(cb_lit, s + 1),
+                F.element_at(cb_col, s + 1),
                 F.sequence(F.lit(0), F.lit(k - 1)),
                 lambda cent, j: F.struct(
                     F.aggregate(F.zip_with(sub, cent,
@@ -207,7 +213,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
                     j.alias("j"))))["j"]
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), sub_code)
-    return df.withColumn("pq_codes", codes)
+    return (df.crossJoin(F.broadcast(cb_df))
+            .withColumn("pq_codes", codes).drop("__pq_cb"))
 
 
 def pq_adc_topk(codes_df: DataFrame, codebooks: list[list[list[float]]],
@@ -337,13 +344,19 @@ def _with_residual(df: DataFrame, centroids: list[list[float]],
     encoding is what makes PQ codes sharp inside a cell: the codes only
     spend their k levels on the WITHIN-cell variance, not on where the
     cell sits in space."""
-    from pdf_parser_spark.operators.similarity import ivf_assign
+    from pdf_parser_spark.operators.similarity import (_cents_row_df,
+                                                       ivf_assign)
 
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     a = ivf_assign(df, centroids, emb_col)
-    cent = F.element_at(cent_lit, F.col("ivf_cell") + 1)
-    return a.withColumn(
-        "__resid", F.zip_with(F.col(emb_col), cent, lambda x, c: x - c))
+    # centroid matrix as a one-row broadcast, not a literal — same
+    # constant-folding economics as pq_encode's codebook
+    cents = _cents_row_df(df, centroids, "__resid_cents")
+    cent = F.element_at(F.col("__resid_cents"), F.col("ivf_cell") + 1)
+    return (a.crossJoin(F.broadcast(cents))
+            .withColumn("__resid",
+                        F.zip_with(F.col(emb_col), cent,
+                                   lambda x, c: x - c))
+            .drop("__resid_cents"))
 
 
 def ivfpq_train(df: DataFrame, *, n_cells: int = 16, cell_iters: int = 2,
@@ -405,17 +418,22 @@ def ivfpq_adc_topk(codes_df: DataFrame, centroids: list[list[float]],
             [[sum((rq[s * d_s + i] - float(cent[i])) ** 2
                   for i in range(d_s))
               for cent in codebooks[s]] for s in range(m)])
-    tables_lit = F.lit(tables)
+    # the n_probe*m*k distance table rides a one-row broadcast, not a
+    # literal (same constant-folding economics as pq_encode's codebook)
+    tbl_df = codes_df.sparkSession.createDataFrame(
+        [(tables,)], "__adc array<array<array<double>>>")
     probed_lit = F.array(*[F.lit(int(c)) for c in probed])
     pos = F.array_position(probed_lit, F.col("ivf_cell"))  # 1-based
+    tbl = F.element_at(F.col("__adc"), pos.cast("int"))
     dist = None
     for s in range(m):
         term = F.element_at(
-            F.element_at(F.element_at(tables_lit, pos.cast("int")), s + 1),
+            F.element_at(tbl, s + 1),
             F.element_at(F.col("pq_codes"), s + 1) + 1)
         dist = term if dist is None else dist + term
     scored = (codes_df.where(F.col("ivf_cell").isin([int(c)
                                                      for c in probed]))
+              .crossJoin(F.broadcast(tbl_df))
               .select(F.col(id_col), F.round(dist, 6).alias("adc_dist")))
     order = [F.asc("adc_dist"), F.asc(id_col)]
     topk = scored.orderBy(*order).limit(top_k)

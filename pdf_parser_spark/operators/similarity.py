@@ -207,14 +207,31 @@ def multiprobe_candidates(df: DataFrame, query_vec: list[float], *,
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
-def _argmax_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-cosine centroid, as pure expressions: build an
-    array of (sim, idx) structs and take array_max (lexicographic —
-    sim first, ties to the higher index, deterministic)."""
-    scored = [F.struct(cosine(emb_col, F.array(*[F.lit(v) for v in c]))
-                       .alias("sim"), F.lit(i).alias("cell"))
-              for i, c in enumerate(centroids)]
-    return F.array_max(F.array(*scored))["cell"]
+def _argmax_cell_over(emb_col: Column, cents_col: Column,
+                      k: int) -> Column:
+    """Index of the max-cosine centroid against a COLUMN holding the
+    centroid matrix (array<array<double>>): zip_with pairs each
+    centroid with its index, array_max takes the lexicographic max of
+    (sim, idx) structs — sim first, ties to the higher index,
+    deterministic. Same fold order as the old per-centroid literal
+    unrolling (bit-identical cells), but the plan holds ONE small
+    expression instead of k cosine subtrees over k*dim literals — the
+    literal form re-entered constant folding on every optimizer pass
+    and cost ~3.5 s of fixed per-query analysis at k=16, dim=64."""
+    return F.array_max(
+        F.zip_with(
+            cents_col,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda cent, i: F.struct(cosine(emb_col, cent).alias("sim"),
+                                     i.alias("cell"))))["cell"]
+
+
+def _cents_row_df(df: DataFrame, centroids: list[list[float]],
+                  col: str) -> DataFrame:
+    """The centroid matrix as a ONE-ROW broadcastable relation."""
+    return df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        f"{col} array<array<double>>")
 
 
 def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
@@ -233,9 +250,8 @@ def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
                  .limit(k).collect())
     centroids = [[float(x) for x in r[emb_col]] for r in seed_rows]
     for _ in range(iters):
-        assigned = df.select(
-            _argmax_cell(F.col(emb_col), centroids).alias("cell"),
-            F.col(emb_col).alias("e"))
+        assigned = ivf_assign(df, centroids, emb_col).select(
+            F.col("ivf_cell").alias("cell"), F.col(emb_col).alias("e"))
         means = (assigned.select("cell", F.posexplode("e")
                                  .alias("pos", "v"))
                  .groupBy("cell", "pos")
@@ -253,9 +269,15 @@ def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                emb_col: str = "embedding") -> DataFrame:
     """Attach the IVF cell id; at scale this is the partition/bucket key
-    of the embedding table, making probes partition-pruned scans."""
-    return df.withColumn("ivf_cell",
-                         _argmax_cell(F.col(emb_col), centroids))
+    of the embedding table, making probes partition-pruned scans. The
+    centroid matrix rides a one-row broadcast (see _argmax_cell_over)."""
+    cents = _cents_row_df(df, centroids, "__ivf_cents")
+    return (df.crossJoin(F.broadcast(cents))
+            .withColumn("ivf_cell",
+                        _argmax_cell_over(F.col(emb_col),
+                                          F.col("__ivf_cents"),
+                                          len(centroids)))
+            .drop("__ivf_cents"))
 
 
 def rank_cells_by_query(centroids: list[list[float]],
