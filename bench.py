@@ -528,6 +528,20 @@ def main_maintain(cores: int, n_convs: int, cdc_convs: int = 100,
         stats = refresh_extracted_table(spark, src, dst)
         inc_sec = time.perf_counter() - t0
         m = stats["merge"]
+
+        # second CDC round (disjoint hash pick), refreshed MERGE-ON-READ:
+        # same work shape, but the dst chunk merge rewrites nothing —
+        # the high-frequency live-maintenance mode
+        batch2 = (turns.where(
+                      F.pmod(F.xxhash64(F.concat(F.lit("b2"), "conv_id")),
+                             F.lit(max(1, n_convs // cdc_convs))) == 0)
+                  .withColumn("text", F.concat(F.lit("EDIT2 "), "text"))
+                  .withColumn("op", F.lit("upsert")))
+        merge_into(spark, src, batch2)
+        t0 = time.perf_counter()
+        stats2 = refresh_extracted_table(spark, src, dst, strategy="mor")
+        mor_sec = time.perf_counter() - t0
+        m2 = stats2["merge"]
         payload = {
             "metric": "incremental extracted-table refresh vs full rebuild",
             "n_convs": n_convs, "n_turns": n_turns,
@@ -538,6 +552,9 @@ def main_maintain(cores: int, n_convs: int, cdc_convs: int = 100,
             "speedup": round(full_sec / inc_sec, 2),
             "files_rewritten": m["files_rewritten"],
             "files_carried": m["files_carried"],
+            "refresh_mor_sec": round(mor_sec, 3),
+            "mor_changed_convs": stats2["changed_convs"],
+            "mor_files_rewritten": m2["files_rewritten"],
             "dst_version": read_manifest(dst)["version"],
             "cores": cores,
         }

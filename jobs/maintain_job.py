@@ -48,6 +48,16 @@ def main(argv: list[str]) -> None:
                     choices=["turn", "paragraphs"])
     ap.add_argument("--max-chars", type=int, default=800)
     ap.add_argument("--overlap-chars", type=int, default=0)
+    ap.add_argument("--merge-strategy", choices=("cow", "mor"),
+                    default="cow",
+                    help="refresh merge mode: mor = merge-on-read "
+                         "(O(batch) commits, masks applied at read; "
+                         "pair with --compact-above or --rewrite-masks "
+                         "to reconcile)")
+    ap.add_argument("--rewrite-masks", action="store_true",
+                    help="after the refresh, rewrite only the dst files"
+                         " holding equality-delete masks (targeted "
+                         "merge-on-read reconciliation)")
     args = ap.parse_args(argv)
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
@@ -55,7 +65,8 @@ def main(argv: list[str]) -> None:
 
     from pdf_parser_spark.config import ExtractionConfig
     from pdf_parser_spark.sources.cowtable import (compact_table,
-                                                   read_manifest)
+                                                   read_manifest,
+                                                   rewrite_masked_files)
     from pdf_parser_spark.sources.maintain import (build_extracted_table,
                                                    refresh_extracted_table)
 
@@ -77,7 +88,10 @@ def main(argv: list[str]) -> None:
             # mixing configs in one table breaks the digest-equal-to-
             # rebuild contract, so the flags only shape --build
             out["refresh"] = refresh_extracted_table(
-                spark, args.src, args.dst)
+                spark, args.src, args.dst,
+                strategy=args.merge_strategy)
+        if args.rewrite_masks:
+            out["rewrite"] = rewrite_masked_files(spark, args.dst)
         if args.compact_above is not None:
             m = read_manifest(args.dst)
             n = len(m["snapshots"][str(m["version"])]["files"])

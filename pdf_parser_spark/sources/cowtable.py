@@ -566,6 +566,61 @@ def compact_table(spark: SparkSession, table_dir: str,
     return {"version": v, "in_files": len(cur), "out_files": len(files)}
 
 
+def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
+    """Targeted merge-on-read reconciliation (Iceberg's
+    rewrite_position_delete_files analog): rewrite ONLY the data files
+    whose key bounds intersect some delete key — applying the masks —
+    and carry every other file by name; the new snapshot holds no
+    delete files, so reads are join-free again. Cheaper than
+    ``compact_table`` when the masks touch few files; a changelog step
+    across this snapshot correctly diffs to zero changes (rewritten
+    live rows cancel against their old copies)."""
+    m = read_manifest(table_dir)
+    snap = m["snapshots"][str(m["version"])]
+    dels = _delete_entries(snap)
+    if not dels:
+        return {"skipped": True, "version": m["version"]}
+    key_col = m["key_col"]
+    del_paths = sorted({os.path.join(table_dir, e["file"])
+                        for e in dels})
+    keys = [r[0] for r in spark.read.parquet(*del_paths)
+            .select(key_col).distinct().collect()]
+    cur = snap["files"]
+    bounds = file_key_bounds(spark, table_dir, cur, key_col, manifest=m)
+    affected = sorted(set(_affected_files(bounds, keys)))
+    carried = [f for f in cur if f not in set(affected)]
+    v = m["version"] + 1
+    new_files: list[str] = []
+    rows_out = 0
+    if affected:
+        live = _masked_read(spark, m, table_dir, affected, dels)
+        new_files = _write_data_files(live, table_dir, f"v{v}")
+        new_bounds = []
+        for f in list(new_files):
+            p = os.path.join(table_dir, f)
+            lo, hi, n = _footer_key_bounds(p, key_col)
+            if n == 0:
+                os.remove(p)
+                new_files.remove(f)
+                continue
+            new_bounds.append({"file": f, "kmin": lo, "kmax": hi,
+                               "rows": n})
+            rows_out += n
+        _record_stats(m, new_bounds)
+        m.setdefault("seq", {}).update({f: v for f in new_files})
+    stats = {"version": v, "files_rewritten": len(affected),
+             "files_carried": len(carried),
+             "delete_files_purged": len(dels),
+             "rows_written": rows_out}
+    m["snapshots"][str(v)] = {"files": carried + new_files,
+                              "rewrite": stats}
+    if "schema" in m:
+        m["snapshots"][str(v)]["schema"] = m["schema"]
+    m["version"] = v
+    _commit(table_dir, m)
+    return stats
+
+
 def add_column(table_dir: str, name: str, dtype: str) -> dict:
     """Schema evolution, Iceberg-style: a METADATA-ONLY commit. No data
     file is touched; files written before this read the new column as

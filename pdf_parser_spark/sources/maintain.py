@@ -45,8 +45,8 @@ from pyspark.sql import functions as F
 
 from pdf_parser_spark.config import ExtractionConfig
 from pdf_parser_spark.pipeline import extract
-from pdf_parser_spark.sources.cowtable import (_commit, _read_files,
-                                               create_table,
+from pdf_parser_spark.sources.cowtable import (_commit, _delete_entries,
+                                               _masked_read, create_table,
                                                file_key_bounds,
                                                files_intersecting_ranges,
                                                merge_into, read_manifest,
@@ -107,8 +107,12 @@ def _pruned_conv_read(spark: SparkSession, table_dir: str,
         bounds, [(c + "#", c + "#" + _HI) for c in convs])
     if not hit:
         return read_table(spark, table_dir, version=v).limit(0)
+    # masked read: under merge-on-read commits the pruned files can
+    # hold equality-deleted rows; the mask join is a no-op otherwise
     return _conv_filter(spark,
-                        _read_files(spark, m, table_dir, sorted(hit)),
+                        _masked_read(spark, m, table_dir, sorted(hit),
+                                     _delete_entries(m["snapshots"]
+                                                     [str(v)])),
                         convs)
 
 
@@ -143,12 +147,17 @@ def build_extracted_table(spark: SparkSession, src_dir: str, dst_dir: str,
 
 def refresh_extracted_table(spark: SparkSession, src_dir: str,
                             dst_dir: str,
-                            cfg: ExtractionConfig | None = None) -> dict:
+                            cfg: ExtractionConfig | None = None,
+                            strategy: str = "cow") -> dict:
     """Advance ``dst_dir`` to reflect ``src_dir``'s current version by
     re-extracting ONLY conversations the changelog names. ``cfg``
     defaults to (and must equal) the config recorded at build time.
     Returns the refresh stats (changed conversations, merge stats,
-    versions)."""
+    versions). ``strategy='mor'`` applies the chunk merge as a
+    merge-on-read commit — the right mode when refreshes fire per
+    micro-batch (live maintenance): the dst table's chunk files stop
+    being rewritten every trigger; run ``compact_table`` on it
+    periodically to purge the accumulated masks."""
     src_v = read_manifest(src_dir)["version"]
     dst_m = read_manifest(dst_dir)
     from_v = dst_m.get("src_version")
@@ -187,7 +196,8 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
                             CHUNK_KEY, "left_anti")
     batch = (new_chunks.withColumn("op", F.lit("upsert"))
              .unionByName(stale.withColumn("op", F.lit("delete"))))
-    stats = merge_into(spark, dst_dir, batch, batch_id=src_v)
+    stats = merge_into(spark, dst_dir, batch, batch_id=src_v,
+                       strategy=strategy)
     _record_src_version(dst_dir, src_v)
     return {"src_version": src_v, "from_version": from_v,
             "changed_convs": len(convs), "merge": stats}

@@ -552,3 +552,21 @@ def test_mor_stream_replays_equality_delete_commits(spark, docs,
     want = table_changes(spark, d, 1, 2).drop("commit_version")
     assert _digest(got) == _digest(want)
     assert got.where("change_type = 'delete'").count() > 0
+
+
+def test_rewrite_masked_files_is_targeted(spark, docs, table):
+    """Masks confined to one range file: the rewrite touches that file
+    only, carries the rest, purges the delete files, keeps the digest."""
+    from pdf_parser_spark.sources.cowtable import rewrite_masked_files
+    dels = (docs.where(F.col("doc_id") < 50)       # first range file only
+            .withColumn("op", F.lit("delete")))
+    merge_into(spark, table, dels, strategy="mor")
+    before = _digest(read_table(spark, table))
+    st = rewrite_masked_files(spark, table)
+    assert st["files_rewritten"] == 1 and st["files_carried"] == 3
+    assert st["delete_files_purged"] == 1
+    m = read_manifest(table)
+    assert not m["snapshots"][str(m["version"])].get("deletes")
+    assert _digest(read_table(spark, table)) == before
+    # idempotent: nothing left to rewrite
+    assert rewrite_masked_files(spark, table)["skipped"] is True

@@ -313,3 +313,48 @@ def test_live_maintenance_follows_cdc_stream(spark, tmp_path):
     out = read_table(spark, dst)
     assert out.where(F.col("text").contains("B0")).count() > 0
     assert out.where(F.col("text").contains("B1")).count() > 0
+
+
+def test_mor_refresh_equals_full_rebuild_and_rewrite_masks(spark,
+                                                           tables):
+    """End-to-end merge-on-read maintenance: mor commits on the SOURCE,
+    mor refresh on the DST — digest-equal to a full rebuild at every
+    step — then targeted mask rewrite reconciles the dst without a full
+    compaction and changes no rows."""
+    from pdf_parser_spark.sources.cowtable import rewrite_masked_files
+    src, dst = tables
+    turns = read_table(spark, src)
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    # round 1: mor update + delete on the source
+    upd = (turns.where(F.col("conv_id") == convs[0])
+           .withColumn("text", F.concat(F.lit("M1\n"), "text"))
+           .withColumn("op", F.lit("upsert")))
+    dele = (turns.where(F.col("conv_id") == convs[1])
+            .withColumn("op", F.lit("delete")))
+    merge_into(spark, src, upd.unionByName(dele), strategy="mor")
+    s1 = refresh_extracted_table(spark, src, dst, strategy="mor")
+    assert s1["merge"]["strategy"] == "mor"
+    assert s1["merge"]["files_rewritten"] == 0
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+    # round 2: a second mor edit touching the SAME conversation — the
+    # pruned dst read must see through round 1's masks
+    upd2 = (read_table(spark, src).where(F.col("conv_id") == convs[0])
+            .withColumn("text", F.concat(F.lit("M2\n"), "text"))
+            .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd2, strategy="mor")
+    refresh_extracted_table(spark, src, dst, strategy="mor")
+    before = _digest(_dropc(read_table(spark, dst)))
+    assert before == _full_rebuild_digest(spark, src)
+    # targeted reconciliation: only mask-bearing files rewrite
+    st = rewrite_masked_files(spark, dst)
+    m = read_manifest(dst)
+    assert not m["snapshots"][str(m["version"])].get("deletes")
+    assert st["delete_files_purged"] >= 2
+    assert st["files_carried"] > 0 or st["files_rewritten"] > 0
+    assert _digest(_dropc(read_table(spark, dst))) == before
+    # the reconciliation snapshot diffs to ZERO changes
+    from pdf_parser_spark.sources.cowtable import table_changes
+    log = table_changes(spark, dst, m["version"] - 1, m["version"])
+    assert log.count() == 0
