@@ -621,25 +621,39 @@ def assign_seed_cells(df: DataFrame, *, k: int = 8,
     # higher-order array expressions evaluate interpreted
     # (CodegenFallback, the PLANS 16 measurement), so redundant folds are
     # real cost: the row norm is computed ONCE into `enorm` instead of
-    # once per centroid, and each centroid's norm is a Python-side
-    # literal — same left-fold summation order as F.aggregate and
-    # DuckDB's list_dot_product, so every quotient stays bit-identical
-    # to cosine()'s and the oracle's.
-    base = base.withColumn("enorm", l2_norm(F.col("e")))
-    scored = []
-    for i, c in enumerate(centroids):
+    # once per centroid, and each centroid's norm is computed Python-side
+    # — same left-fold summation order as F.aggregate and DuckDB's
+    # list_dot_product, so every quotient stays bit-identical to
+    # cosine()'s and the oracle's. The centroid matrix + norms ride a
+    # ONE-ROW broadcast relation, not k unrolled literal subtrees (the
+    # literal form re-enters constant folding on every optimizer pass —
+    # the same fixed-analysis tax pq_encode/ivf_assign shed).
+    cnorms = []
+    for c in centroids:
         acc = 0.0
         for v in c:
             acc += v * v
-        nc = math.sqrt(acc)
-        denom = F.col("enorm") * F.lit(nc)
-        d = dot(F.col("e"), F.array(*[F.lit(v) for v in c]))
-        sim = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
-        scored.append(F.struct(sim.alias("sim"), F.lit(i).alias("cell")))
+        cnorms.append(math.sqrt(acc))
+    cents_df = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids], cnorms)],
+        "__cents array<array<double>>, __cnorms array<double>")
+    base = (base.withColumn("enorm", l2_norm(F.col("e")))
+            .crossJoin(F.broadcast(cents_df)))
+
+    def score(cent: Column, i: Column) -> Column:
+        denom = F.col("enorm") * F.element_at(F.col("__cnorms"), i + 1)
+        sim = F.when(denom > 0, dot(F.col("e"), cent) / denom) \
+            .otherwise(F.lit(0.0))
+        return F.struct(sim.alias("sim"), i.alias("cell"))
+
     # name the scored array BEFORE field access: best["cell"]/best["sim"]
-    # on a raw expression would each inline the whole k-struct tree
-    # (k x dim literals, twice over) into the projection
-    base = base.withColumn("__best", F.array_max(F.array(*scored)))
+    # on a raw expression would each inline the whole scoring tree twice
+    base = base.withColumn(
+        "__best",
+        F.array_max(F.zip_with(F.col("__cents"),
+                               F.sequence(F.lit(0),
+                                          F.lit(len(centroids) - 1)),
+                               score)))
     return base.select("id", "e",
                        F.col("__best")["cell"].cast("int").alias("cell"),
                        F.col("__best")["sim"].alias("csim"), "enorm")
