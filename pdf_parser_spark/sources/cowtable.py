@@ -25,10 +25,10 @@ rebuilt on plain parquet:
   delete with a HIGHER sequence than the row's own file (so a
   re-inserted key stays live). Writes cost O(batch) regardless of how
   many files the keys touch — the right trade for high-frequency CDC —
-  at the price of one key-join per read until ``compact_table`` purges
-  the masks. Streaming changelog reads refuse MOR snapshots (the same
-  limitation Iceberg's streaming source has with equality deletes);
-  batch ``table_changes`` handles them;
+  at the price of one key-join per read until ``compact_table`` (or the
+  targeted ``rewrite_masked_files``) purges the masks. Both the batch
+  ``table_changes`` and the ``cow_changes`` stream replay MOR commits
+  (masked rows are read out of bounds-pruned carried files);
 - commit is manifest-last (tmp file + ``os.replace``), so a crash
   mid-write leaves the previous snapshot intact and fully readable; an
   already-applied ``batch_id`` is a no-op (exactly-once under
@@ -74,10 +74,37 @@ def read_manifest(table_dir: str) -> dict:
         return json.load(fh)
 
 
-def _commit(table_dir: str, manifest: dict) -> None:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer's manifest read and
+    its commit. The losing writer's data files are unreferenced orphans
+    (harmless; a later vacuum-style sweep can reclaim them) — re-read
+    and retry the operation, Iceberg's optimistic-concurrency shape."""
+
+
+def _commit(table_dir: str, manifest: dict,
+            expected_version: int | None = None) -> None:
     """Manifest-last atomic commit: data files are fully written before
     this runs; ``os.replace`` is atomic on POSIX, so readers see the old
-    complete manifest or the new complete one, never a torn write."""
+    complete manifest or the new complete one, never a torn write.
+
+    ``expected_version``: the table version this writer BASED its work
+    on — if the on-disk manifest has moved past it, raise
+    ConcurrentCommitError instead of silently overwriting the other
+    writer's snapshot (lost update). This is detection, not a lock: on
+    a plain filesystem the check-then-replace window is not atomic, so
+    the contract is single COORDINATOR per table (one streaming query,
+    one maintenance job) with racing writers DETECTED, same trust model
+    as Iceberg on HadoopCatalog without an atomic-swap catalog."""
+    if expected_version is not None:
+        p = _manifest_path(table_dir)
+        if os.path.exists(p):
+            with open(p) as fh:
+                on_disk = json.load(fh)["version"]
+            if on_disk != expected_version:
+                raise ConcurrentCommitError(
+                    f"table advanced v{expected_version} -> v{on_disk} "
+                    "since this writer read it; retry on the new "
+                    "snapshot")
     tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -525,7 +552,7 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
     m["version"] = v
     if batch_id is not None:
         m["applied"].append(batch_id)
-    _commit(table_dir, m)
+    _commit(table_dir, m, expected_version=v - 1)
     return stats
 
 
@@ -562,7 +589,7 @@ def compact_table(spark: SparkSession, table_dir: str,
     if "schema" in m:
         m["snapshots"][str(v)]["schema"] = m["schema"]
     m["version"] = v
-    _commit(table_dir, m)
+    _commit(table_dir, m, expected_version=v - 1)
     return {"version": v, "in_files": len(cur), "out_files": len(files)}
 
 
@@ -617,7 +644,7 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
     if "schema" in m:
         m["snapshots"][str(v)]["schema"] = m["schema"]
     m["version"] = v
-    _commit(table_dir, m)
+    _commit(table_dir, m, expected_version=v - 1)
     return stats
 
 
@@ -645,7 +672,7 @@ def add_column(table_dir: str, name: str, dtype: str) -> dict:
     schema = StructType(schema.fields
                         + [StructField(name, _parse_datatype_string(dtype))])
     m["schema"] = schema.json()
-    _commit(table_dir, m)
+    _commit(table_dir, m, expected_version=m["version"])
     return {"columns": schema.fieldNames()}
 
 
@@ -669,7 +696,7 @@ def drop_column(table_dir: str, name: str) -> dict:
     schema = StructType([f for f in schema.fields if f.name != name])
     m["schema"] = schema.json()
     m.setdefault("dropped", []).append(name)
-    _commit(table_dir, m)
+    _commit(table_dir, m, expected_version=m["version"])
     return {"columns": schema.fieldNames()}
 
 
@@ -702,7 +729,7 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     # Manifest-first, deletion-after (Iceberg's expire order): a crash
     # between the two leaves unreferenced files on disk (harmless
     # orphans), never a committed manifest pointing at deleted files.
-    _commit(table_dir, m)
+    _commit(table_dir, m, expected_version=m["version"])
     dropped_files = 0
     for f in doomed:
         p = os.path.join(table_dir, f)

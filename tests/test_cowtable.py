@@ -570,3 +570,20 @@ def test_rewrite_masked_files_is_targeted(spark, docs, table):
     assert _digest(read_table(spark, table)) == before
     # idempotent: nothing left to rewrite
     assert rewrite_masked_files(spark, table)["skipped"] is True
+
+
+def test_concurrent_commit_detected(spark, docs, table):
+    """Optimistic concurrency: a writer whose base version was
+    overtaken must raise, not silently overwrite the other writer's
+    snapshot. Simulated by interleaving a second merge between the
+    first writer's manifest read and its commit."""
+    from pdf_parser_spark.sources.cowtable import (ConcurrentCommitError,
+                                                   _commit)
+    m_stale = read_manifest(table)             # writer A reads v1
+    ch = (docs.where("doc_id < 5")
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, table, ch)               # writer B commits v2
+    m_stale["version"] = 2                     # A builds its v2...
+    with pytest.raises(ConcurrentCommitError, match="advanced v1 -> v2"):
+        _commit(table, m_stale, expected_version=1)
+    assert read_manifest(table)["version"] == 2   # B's commit intact
