@@ -593,6 +593,62 @@ def compact_table(spark: SparkSession, table_dir: str,
     return {"version": v, "in_files": len(cur), "out_files": len(files)}
 
 
+def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
+                *, batch_id: int | None = None) -> dict:
+    """Append-only commit (Iceberg's append snapshot): write ``rows``
+    as new data files, carry EVERY existing file by name — no pruning
+    pass, no rewrite, no delete files. The caller asserts the keys are
+    NEW (e.g. the embedding cache's anti-join against the same snapshot
+    this commit lands on — a concurrent writer trips the version
+    guard); violated uniqueness surfaces as duplicate key rows, exactly
+    as an Iceberg append of duplicate data would. The right commit for
+    content-addressed stores whose md5-shaped keys scatter across every
+    file's range and would defeat the merge path's pruning."""
+    m = read_manifest(table_dir)
+    if batch_id is not None and batch_id in m["applied"]:
+        return {"skipped": True, "batch_id": batch_id,
+                "version": m["version"]}
+    key_col = m["key_col"]
+    if rows.where(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"NULL {key_col} rows cannot be appended")
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+        fields = StructType.fromJson(json.loads(m["schema"])).fields
+        rows = rows.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                             for f in fields])
+    v = m["version"] + 1
+    new_files = _write_data_files(rows, table_dir, f"v{v}")
+    rows_out = 0
+    new_bounds = []
+    for f in list(new_files):
+        p = os.path.join(table_dir, f)
+        lo, hi, n = _footer_key_bounds(p, key_col)
+        if n == 0:
+            os.remove(p)
+            new_files.remove(f)
+            continue
+        new_bounds.append({"file": f, "kmin": lo, "kmax": hi, "rows": n})
+        rows_out += n
+    _record_stats(m, new_bounds)
+    m.setdefault("seq", {}).update({f: v for f in new_files})
+    prev_snap = m["snapshots"][str(m["version"])]
+    stats = {"version": v, "batch_id": batch_id, "strategy": "append",
+             "files_carried": len(prev_snap["files"]),
+             "files_added": len(new_files), "rows_written": rows_out}
+    m["snapshots"][str(v)] = {"files": prev_snap["files"] + new_files,
+                              "append": stats}
+    dels = _delete_entries(prev_snap)
+    if dels:
+        m["snapshots"][str(v)]["deletes"] = dels
+    if "schema" in m:
+        m["snapshots"][str(v)]["schema"] = m["schema"]
+    m["version"] = v
+    if batch_id is not None:
+        m["applied"].append(batch_id)
+    _commit(table_dir, m, expected_version=v - 1)
+    return stats
+
+
 def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
     """Targeted merge-on-read reconciliation (Iceberg's
     rewrite_position_delete_files analog): rewrite ONLY the data files

@@ -2316,3 +2316,68 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, emb_df,
     full = _scan_metrics(spark.read.parquet(d))
     assert pruned[1] == 1 and full[1] == len(cell_dirs)
     assert 0 < pruned[0] < full[0]
+
+
+def test_embed_incremental_equals_direct_and_caches(spark, tmp_path):
+    """The content-addressed embedding cache: first call == embed_chunks
+    row-for-row; a re-run encodes NOTHING; an edit encodes exactly the
+    changed content; duplicate texts encode once ever."""
+    from pdf_parser_spark.operators.embedding import (embed_chunks,
+                                                      embed_incremental)
+    store = str(tmp_path / "vecs")
+    df = spark.createDataFrame(
+        [("c1", 0, "alpha beta"), ("c1", 1, "gamma delta"),
+         ("c2", 0, "alpha beta"),       # duplicate content
+         ("c2", 1, "   "),              # empty -> error result, uncached
+         ("c3", 0, "epsilon")],
+        "conv_id string, chunk_idx int, text string")
+
+    got, st = embed_incremental(df, store, dim=16)
+    want = embed_chunks(df, dim=16)
+    key = ["conv_id", "chunk_idx"]
+    canon = lambda d: sorted(
+        (r.conv_id, r.chunk_idx, tuple(r.embedding), r.model,
+         r.dimensions, r.token_count, r.has_error, r.error)
+        for r in d.collect())
+    assert canon(got) == canon(want)
+    assert st["distinct_hashes"] == 3          # dup + empty collapse
+    assert st["new_embeddings"] == 3
+
+    # re-run: full cache hit, no new store version
+    got2, st2 = embed_incremental(df, store, dim=16)
+    assert st2["new_embeddings"] == 0
+    assert st2["store_version"] == st["store_version"]
+    assert canon(got2) == canon(want)
+
+    # one edited chunk: exactly one new vector, appended (no rewrites)
+    df2 = df.withColumn("text", F.when(
+        (F.col("conv_id") == "c3"), F.lit("epsilon EDITED"))
+        .otherwise(F.col("text")))
+    got3, st3 = embed_incremental(df2, store, dim=16)
+    assert st3["new_embeddings"] == 1
+    assert canon(got3) == canon(embed_chunks(df2, dim=16))
+
+    # model/dim mixing refused
+    with pytest.raises(ValueError, match="one store per model"):
+        embed_incremental(df, store, dim=32)
+
+
+def test_append_rows_carries_everything(spark, tmp_path):
+    from pdf_parser_spark.sources.cowtable import (append_rows,
+                                                   create_table,
+                                                   read_manifest,
+                                                   read_table)
+    d = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                                 "k long, v string")
+    create_table(spark, base.repartition(4), d, "k")
+    add = spark.createDataFrame([(100 + i, f"n{i}") for i in range(5)],
+                                "k long, v string")
+    st = append_rows(spark, d, add.coalesce(1))
+    assert st["strategy"] == "append" and st["rows_written"] == 5
+    assert st["files_carried"] == 4 and st["files_added"] == 1
+    assert read_table(spark, d).count() == 105
+    m = read_manifest(d)
+    assert m["version"] == 2
+    # appended rows visible, v1 time travel intact
+    assert read_table(spark, d, version=1).count() == 100
