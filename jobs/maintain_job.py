@@ -58,7 +58,16 @@ def main(argv: list[str]) -> None:
                     help="after the refresh, rewrite only the dst files"
                          " holding equality-delete masks (targeted "
                          "merge-on-read reconciliation)")
+    ap.add_argument("--embed-dst", default=None,
+                    help="also maintain a derived embeddings table here"
+                         " (build or refresh follows the chunk table)")
+    ap.add_argument("--embed-store", default=None,
+                    help="content-addressed vector cache dir (required "
+                         "with --embed-dst)")
+    ap.add_argument("--embed-dim", type=int, default=32)
     args = ap.parse_args(argv)
+    if bool(args.embed_dst) != bool(args.embed_store):
+        ap.error("--embed-dst and --embed-store go together")
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
     from pyspark.sql import SparkSession
@@ -67,7 +76,9 @@ def main(argv: list[str]) -> None:
     from pdf_parser_spark.sources.cowtable import (compact_table,
                                                    read_manifest,
                                                    rewrite_masked_files)
-    from pdf_parser_spark.sources.maintain import (build_extracted_table,
+    from pdf_parser_spark.sources.maintain import (build_embedded_table,
+                                                   build_extracted_table,
+                                                   refresh_embedded_table,
                                                    refresh_extracted_table)
 
     spark = SparkSession.builder.appName("pdf_parser_spark-maintain") \
@@ -90,6 +101,17 @@ def main(argv: list[str]) -> None:
             out["refresh"] = refresh_extracted_table(
                 spark, args.src, args.dst,
                 strategy=args.merge_strategy)
+        if args.embed_dst:
+            import os
+            if args.build or not os.path.exists(
+                    os.path.join(args.embed_dst, "manifest.json")):
+                out["embed"] = build_embedded_table(
+                    spark, args.dst, args.embed_dst, args.embed_store,
+                    dim=args.embed_dim)
+            else:
+                out["embed"] = refresh_embedded_table(
+                    spark, args.dst, args.embed_dst, args.embed_store,
+                    strategy=args.merge_strategy)
         if args.rewrite_masks:
             out["rewrite"] = rewrite_masked_files(spark, args.dst)
         if args.compact_above is not None:

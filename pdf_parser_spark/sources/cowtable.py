@@ -474,8 +474,11 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
             # (old file seq < v) but not its new one (file seq = v).
             affected: set[str] = set()
             carried = list(cur)
+            # a CDC batch is driver-sized by contract: one data file,
+            # not one per shuffle partition of the upsert plan
             new_files = ([] if probe["n_upserts"] == 0 else
-                         _write_data_files(upserts.select(*conform),
+                         _write_data_files(upserts.select(*conform)
+                                           .coalesce(1),
                                            table_dir, tag))
             del_files, del_rows = [], 0
             if probe["n"]:
@@ -513,8 +516,11 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
             # files' footers (local metadata, one open per new file) —
             # no second scan of the affected files, and the bounds are
             # cached in the manifest so future merges prune without a
-            # footer job.
-            new_files = _write_data_files(merged, table_dir, tag)
+            # footer job. Output file count tracks the rewrite width
+            # (k files in -> ~k files out; a pure-insert CDC batch -> 1)
+            # instead of the upsert plan's shuffle-partition count.
+            new_files = _write_data_files(
+                merged.coalesce(max(1, len(affected))), table_dir, tag)
             del_files, del_rows = [], 0
             batch_rows = len(keys)
         rows_out = 0

@@ -201,3 +201,84 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
     _record_src_version(dst_dir, src_v)
     return {"src_version": src_v, "from_version": from_v,
             "changed_convs": len(convs), "merge": stats}
+
+
+# --- derived embeddings table (the second derivation hop) -------------------
+
+def build_embedded_table(spark: SparkSession, chunks_dir: str,
+                         emb_dir: str, store_dir: str, *,
+                         dim: int = 32, n_files: int = 8) -> dict:
+    """Initial embedding of the maintained chunk table at ``chunks_dir``
+    into a chunk-keyed cow table of embedding results at ``emb_dir``,
+    encoding through the content-addressed cache at ``store_dir``
+    (operators/embedding.embed_incremental). Completes the lineage
+    transcripts -> chunks -> embeddings, every hop incrementally
+    maintainable. The reflected chunk-table version and the embedding
+    config land in the creation commit."""
+    from pdf_parser_spark.operators.embedding import embed_incremental
+
+    src_v = read_manifest(chunks_dir)["version"]
+    chunks = read_table(spark, chunks_dir, version=src_v)
+    out, st = embed_incremental(chunks, store_dir, dim=dim)
+    create_table(spark, out.repartitionByRange(n_files, CHUNK_KEY),
+                 emb_dir, CHUNK_KEY,
+                 extra={"src_version": src_v, "embed_dim": dim})
+    return {"src_version": src_v, "created": True,
+            "new_embeddings": st["new_embeddings"]}
+
+
+def refresh_embedded_table(spark: SparkSession, chunks_dir: str,
+                           emb_dir: str, store_dir: str,
+                           strategy: str = "cow") -> dict:
+    """Advance the embeddings table to reflect the chunk table's current
+    version: the CHUNK CHANGELOG names exactly the chunk keys whose
+    vectors need attention — upserted chunks re-embed THROUGH THE CACHE
+    (unchanged content re-joins its existing vector; only genuinely new
+    text reaches the encoder), chunk keys that vanished are deleted.
+    The never-re-embed-the-world half of the derived-vector story: a
+    CDC trickle costs O(changed chunks) join work plus O(new content)
+    encoder work, never O(corpus)."""
+    from pdf_parser_spark.operators.embedding import embed_incremental
+
+    src_v = read_manifest(chunks_dir)["version"]
+    emb_m = read_manifest(emb_dir)
+    from_v = emb_m.get("src_version")
+    if from_v is None:
+        raise ValueError(f"{emb_dir} records no src_version — build it "
+                         "with build_embedded_table first")
+    dim = emb_m.get("embed_dim")
+    if from_v >= src_v:
+        return {"skipped": True, "src_version": src_v}
+
+    # per-key NET state across the steps: the latest commit wins; within
+    # one commit an update is delete+insert and 'insert' > 'delete'
+    # sorts the insert first — one key-partitioned window
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(CHUNK_KEY).orderBy(
+        F.col("commit_version").desc(), F.col("change_type").desc())
+    log = (table_changes(spark, chunks_dir, from_v, src_v)
+           .withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1).drop("__rn"))
+    ins = (log.where(F.col("change_type") == "insert")
+           .drop("change_type", "commit_version"))
+    stale = (log.where(F.col("change_type") == "delete")
+             .select(CHUNK_KEY))
+    if ins.limit(1).count() == 0 and stale.limit(1).count() == 0:
+        _record_src_version(emb_dir, src_v)
+        return {"skipped": True, "src_version": src_v,
+                "changed_chunks": 0}
+
+    emb_ins, st = embed_incremental(ins, store_dir, dim=dim)
+    # delete rows carry the key; every other column conforms to NULL
+    # inside merge_into's schema cast
+    emb_cols = [f.name for f in read_table(spark, emb_dir).schema.fields]
+    dele = stale.select(
+        *[(F.col(CHUNK_KEY) if c == CHUNK_KEY
+           else F.lit(None)).alias(c) for c in emb_cols])
+    batch = (emb_ins.select(*emb_cols).withColumn("op", F.lit("upsert"))
+             .unionByName(dele.withColumn("op", F.lit("delete"))))
+    stats = merge_into(spark, emb_dir, batch, batch_id=src_v,
+                       strategy=strategy)
+    _record_src_version(emb_dir, src_v)
+    return {"src_version": src_v, "from_version": from_v,
+            "new_embeddings": st["new_embeddings"], "merge": stats}

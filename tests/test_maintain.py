@@ -358,3 +358,49 @@ def test_mor_refresh_equals_full_rebuild_and_rewrite_masks(spark,
     from pdf_parser_spark.sources.cowtable import table_changes
     log = table_changes(spark, dst, m["version"] - 1, m["version"])
     assert log.count() == 0
+
+
+def test_embedded_table_follows_chunk_cdc(spark, tables, tmp_path):
+    """The full derived lineage: transcripts CDC -> chunk refresh ->
+    embeddings refresh. The embeddings table stays digest-EQUAL to a
+    full re-embed of the current chunk table, while the encoder runs
+    only over genuinely new content (the cache absorbs the rest)."""
+    from pdf_parser_spark.operators.embedding import embed_incremental
+    from pdf_parser_spark.sources.maintain import (build_embedded_table,
+                                                   refresh_embedded_table)
+    src, dst = tables
+    emb_dir = str(tmp_path / "emb")
+    store = str(tmp_path / "vecs")
+    st0 = build_embedded_table(spark, dst, emb_dir, store, dim=16)
+    assert st0["new_embeddings"] > 0
+
+    def full_twin_digest():
+        twin = str(tmp_path /
+                   f"vecs_twin_{read_manifest(dst)['version']}")
+        out, _ = embed_incremental(read_table(spark, dst), twin, dim=16)
+        return _digest(_dropc(out))
+
+    assert _digest(_dropc(read_table(spark, emb_dir))) == \
+        full_twin_digest()
+
+    # CDC round: edit one conversation, kill another
+    turns = read_table(spark, src)
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    upd = (turns.where(F.col("conv_id") == convs[0])
+           .withColumn("text", F.concat(F.lit("NEW\n"), "text"))
+           .withColumn("op", F.lit("upsert")))
+    dele = (turns.where(F.col("conv_id") == convs[1])
+            .withColumn("op", F.lit("delete")))
+    merge_into(spark, src, upd.unionByName(dele))
+    refresh_extracted_table(spark, src, dst)
+
+    st = refresh_embedded_table(spark, dst, emb_dir, store)
+    # encoder ran only over the edited conversation's new content
+    assert 0 < st["new_embeddings"]
+    out = read_table(spark, emb_dir)
+    assert out.where(F.col("conv_id") == convs[1]).count() == 0
+    assert _digest(_dropc(out)) == full_twin_digest()
+    # idempotent replay (ledgered under the chunk-table version)
+    st2 = refresh_embedded_table(spark, dst, emb_dir, store)
+    assert st2.get("skipped") is True
