@@ -134,7 +134,8 @@ def _write_data_files(df: DataFrame, table_dir: str, tag: str) -> list[str]:
 # --- create / read ----------------------------------------------------------
 
 def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
-                 key_col: str, *, extra: dict | None = None) -> dict:
+                 key_col: str, *, extra: dict | None = None,
+                 stats_cols: list[str] | None = None) -> dict:
     """Snapshot v1 from ``df``. ``key_col`` is the merge key; rows with
     NULL keys are rejected up front (a NULL merge key can never match
     and would silently survive every delete). ``extra``: caller fields
@@ -149,7 +150,7 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
         raise ValueError(f"duplicate {key_col} values in the initial "
                          "data — a merge key identifies one row")
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
-                "stats", "dropped", "seq"}
+                "stats", "dropped", "seq", "stats_cols", "colstats"}
     if extra and reserved & set(extra):
         raise ValueError(f"extra fields clash with manifest fields: "
                          f"{sorted(reserved & set(extra))}")
@@ -160,9 +161,11 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
                 "seq": {f: 1 for f in files},
                 "snapshots": {"1": {"files": files,
                                     "schema": df.schema.json()}},
+                **({"stats_cols": list(stats_cols)} if stats_cols else {}),
                 **(extra or {})}
     _record_stats(manifest,
                   file_key_bounds(spark, table_dir, files, key_col))
+    _record_col_stats(manifest, files, table_dir)
     _commit(table_dir, manifest)
     return manifest
 
@@ -283,6 +286,89 @@ def _footer_key_bounds(path: str, key_col: str) -> tuple:
 
 def _json_safe(v) -> bool:
     return v is None or isinstance(v, (str, int, float, bool))
+
+
+def _footer_col_bounds(path: str, cols: list[str]) -> dict:
+    """{col: (min, max) | None} for the listed columns from ONE footer
+    open; None when any row group lacks statistics for that column."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        if c not in idx:
+            out[c] = None
+            continue
+        lo = hi = None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[c] = (lo, hi) if ok else None
+    return out
+
+
+def _record_col_stats(manifest: dict, files: list[str],
+                      table_dir: str) -> None:
+    """Cache per-file [min, max] of the manifest's declared
+    ``stats_cols`` (Iceberg's manifest column lower/upper bounds for
+    secondary columns — sort keys, cluster ids, event time). One footer
+    open per new file, at write time; readers then prune files on
+    these columns with a dict lookup (``files_for_values``)."""
+    cols = manifest.get("stats_cols") or []
+    if not cols:
+        return
+    cs = manifest.setdefault("colstats", {})
+    for f in files:
+        b = _footer_col_bounds(os.path.join(table_dir, f), cols)
+        for c in cols:
+            v = b.get(c)
+            if v is not None and _json_safe(v[0]) and _json_safe(v[1]) \
+                    and v[0] is not None:
+                cs.setdefault(c, {})[f] = [v[0], v[1]]
+
+
+def files_for_values(spark: SparkSession, table_dir: str, col: str,
+                     values: list, version: int | None = None
+                     ) -> list[str]:
+    """The named snapshot's data files whose cached [min, max] of
+    ``col`` intersects any of the point values — file-level partition
+    pruning on a SECONDARY column (the merge key prunes via
+    files_intersecting_ranges). Files with no cached bounds for the
+    column are always included: correctness over pruning."""
+    m = read_manifest(table_dir)
+    v = m["version"] if version is None else version
+    files = m["snapshots"][str(v)]["files"]
+    cs = m.get("colstats", {}).get(col)
+    if cs is None:
+        return list(files)
+    bounds = [{"file": f, "kmin": cs[f][0], "kmax": cs[f][1], "rows": 0}
+              if f in cs else {"file": f, "kmin": None, "kmax": None,
+                               "rows": 0}
+              for f in files]
+    return files_intersecting_ranges(bounds, [(x, x) for x in values])
+
+
+def read_for_values(spark: SparkSession, table_dir: str, col: str,
+                    values: list, version: int | None = None
+                    ) -> DataFrame:
+    """Snapshot restricted to the files ``files_for_values`` keeps,
+    masks applied, plus the exact residual filter on ``col`` (bounds
+    over-approximate). The scan opens only matching files — verified by
+    the IVF probe tests."""
+    m = read_manifest(table_dir)
+    v = m["version"] if version is None else version
+    hit = files_for_values(spark, table_dir, col, values, version=v)
+    snap = m["snapshots"][str(v)]
+    if not hit:
+        return read_table(spark, table_dir, version=v).limit(0)
+    return _masked_read(spark, m, table_dir, sorted(hit),
+                        _delete_entries(snap)) \
+        .where(F.col(col).isin(values))
 
 
 def _record_stats(manifest: dict, bounds: list[dict]) -> None:
@@ -536,6 +622,7 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                                "rows": n})
             rows_out += n
         _record_stats(m, new_bounds)
+        _record_col_stats(m, new_files, table_dir)
         m.setdefault("seq", {}).update({f: v for f in new_files})
     finally:
         changes.unpersist()
@@ -565,11 +652,16 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
 # --- maintenance ------------------------------------------------------------
 
 def compact_table(spark: SparkSession, table_dir: str,
-                  target_mb: int = 128) -> dict:
+                  target_mb: int = 128,
+                  cluster_by: list[str] | None = None) -> dict:
     """Fold the current snapshot's files into ~target_mb files as a new
     snapshot (rows unchanged; old versions stay readable until vacuum).
     File count comes from measured bytes, same math as
-    sources/compact.plan_n_files."""
+    sources/compact.plan_n_files. ``cluster_by``: re-cluster the
+    rewrite on these columns (hash repartition + local sort) so their
+    manifest colstats bounds come back tight — merge commits gradually
+    widen them; compaction is where clustering is restored (Iceberg's
+    rewrite with sort order)."""
     from pdf_parser_spark.sources.compact import plan_n_files
     m = read_manifest(table_dir)
     prev_snap = m["snapshots"][str(m["version"])]
@@ -579,9 +671,15 @@ def compact_table(spark: SparkSession, table_dir: str,
     df = read_table(spark, table_dir)  # masked: deletes applied here
     v = m["version"] + 1
     tag = f"v{v}"
-    files = _write_data_files(df.repartition(n_out), table_dir, tag)
+    if cluster_by:
+        df = df.repartition(n_out, *cluster_by) \
+               .sortWithinPartitions(*cluster_by)
+    else:
+        df = df.repartition(n_out)
+    files = _write_data_files(df, table_dir, tag)
     _record_stats(m, file_key_bounds(spark, table_dir, files,
                                      m["key_col"]))
+    _record_col_stats(m, files, table_dir)
     m.setdefault("seq", {}).update({f: v for f in files})
     # compaction is ALSO the merge-on-read reconciler: masks are
     # materialized into the rewrite, so the new snapshot carries no
@@ -636,6 +734,7 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
         new_bounds.append({"file": f, "kmin": lo, "kmax": hi, "rows": n})
         rows_out += n
     _record_stats(m, new_bounds)
+    _record_col_stats(m, new_files, table_dir)
     m.setdefault("seq", {}).update({f: v for f in new_files})
     prev_snap = m["snapshots"][str(m["version"])]
     stats = {"version": v, "batch_id": batch_id, "strategy": "append",
@@ -696,6 +795,7 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
                                "rows": n})
             rows_out += n
         _record_stats(m, new_bounds)
+        _record_col_stats(m, new_files, table_dir)
         m.setdefault("seq", {}).update({f: v for f in new_files})
     stats = {"version": v, "files_rewritten": len(affected),
              "files_carried": len(carried),
@@ -788,6 +888,8 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     for f in doomed:
         m.get("stats", {}).pop(f, None)
         m.get("seq", {}).pop(f, None)
+        for cs in m.get("colstats", {}).values():
+            cs.pop(f, None)
     # Manifest-first, deletion-after (Iceberg's expire order): a crash
     # between the two leaves unreferenced files on disk (harmless
     # orphans), never a committed manifest pointing at deleted files.

@@ -282,3 +282,111 @@ def refresh_embedded_table(spark: SparkSession, chunks_dir: str,
     _record_src_version(emb_dir, src_v)
     return {"src_version": src_v, "from_version": from_v,
             "new_embeddings": st["new_embeddings"], "merge": stats}
+
+
+# --- maintained IVF index (the third derivation hop) ------------------------
+
+def build_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str, *,
+                    n_cells: int = 16, cell_iters: int = 2,
+                    n_files: int = 8, emb_col: str = "embedding") -> dict:
+    """Initial IVF index over the maintained embeddings table: train
+    deterministic coarse centroids, assign every valid vector, and lay
+    the (chunk_key, ivf_cell, embedding) relation out CLUSTERED BY CELL
+    with ``ivf_cell`` declared as a manifest stats column — probe
+    queries then open only files whose cell bounds intersect the probe
+    set (``cowtable.files_for_values``), the cow-table rendition of the
+    partitioned-directory layout `write_ivf_partitioned` builds. The
+    centroids live in the manifest: later refreshes assign with the
+    SAME geometry (FAISS add-to-trained-index semantics; retrain =
+    rebuild)."""
+    from pdf_parser_spark.operators.similarity import ivf_assign, ivf_train
+
+    src_v = read_manifest(emb_dir)["version"]
+    valid = read_table(spark, emb_dir, version=src_v) \
+        .where(F.size(F.col(emb_col)) > 0)
+    centroids = ivf_train(valid, k=n_cells, iters=cell_iters,
+                          emb_col=emb_col, id_col=CHUNK_KEY)
+    assigned = (ivf_assign(valid, centroids, emb_col)
+                .select(CHUNK_KEY, "ivf_cell", emb_col)
+                .repartition(n_files, "ivf_cell")
+                .sortWithinPartitions("ivf_cell"))
+    create_table(spark, assigned, ivf_dir, CHUNK_KEY,
+                 stats_cols=["ivf_cell"],
+                 extra={"src_version": src_v,
+                        "ivf_centroids": centroids})
+    return {"src_version": src_v, "created": True,
+            "n_cells": len(centroids)}
+
+
+def refresh_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str,
+                      strategy: str = "cow") -> dict:
+    """Advance the IVF index to the embeddings table's current version:
+    the EMBEDDINGS CHANGELOG names exactly the chunk keys whose index
+    rows need attention — upserted vectors assign to the STORED
+    centroids and merge in, vanished keys delete. O(changed vectors)
+    per refresh; centroid drift is the documented trade (rebuild to
+    retrain, as FAISS does). Periodic ``compact_table(...,
+    cluster_by=['ivf_cell'])`` restores tight cell bounds that merge
+    commits gradually widen."""
+    from pyspark.sql.window import Window
+
+    from pdf_parser_spark.operators.similarity import ivf_assign
+
+    src_v = read_manifest(emb_dir)["version"]
+    ivf_m = read_manifest(ivf_dir)
+    from_v = ivf_m.get("src_version")
+    if from_v is None:
+        raise ValueError(f"{ivf_dir} records no src_version — build it "
+                         "with build_ivf_table first")
+    if from_v >= src_v:
+        return {"skipped": True, "src_version": src_v}
+    centroids = ivf_m["ivf_centroids"]
+
+    w = Window.partitionBy(CHUNK_KEY).orderBy(
+        F.col("commit_version").desc(), F.col("change_type").desc())
+    log = (table_changes(spark, emb_dir, from_v, src_v)
+           .withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1).drop("__rn"))
+    ins = (log.where((F.col("change_type") == "insert")
+                     & (F.size(F.col("embedding")) > 0)))
+    # keys whose net state is delete OR whose new embedding is invalid
+    # (error rows leave the index)
+    gone = (log.select(CHUNK_KEY)
+            .join(ins.select(CHUNK_KEY), CHUNK_KEY, "left_anti")
+            .distinct())
+    if ins.limit(1).count() == 0 and gone.limit(1).count() == 0:
+        _record_src_version(ivf_dir, src_v)
+        return {"skipped": True, "src_version": src_v}
+
+    assigned = (ivf_assign(ins, centroids, "embedding")
+                .select(CHUNK_KEY, "ivf_cell", "embedding")
+                .withColumn("op", F.lit("upsert")))
+    dele = gone.select(
+        F.col(CHUNK_KEY),
+        F.lit(None).cast("int").alias("ivf_cell"),
+        F.lit(None).cast("array<float>").alias("embedding")) \
+        .withColumn("op", F.lit("delete"))
+    stats = merge_into(spark, ivf_dir, assigned.unionByName(dele),
+                       batch_id=src_v, strategy=strategy)
+    _record_src_version(ivf_dir, src_v)
+    return {"src_version": src_v, "from_version": from_v,
+            "merge": stats}
+
+
+def ivf_probe_topk(spark: SparkSession, ivf_dir: str,
+                   query_vec: list[float], k: int = 10,
+                   n_probe: int = 2, emb_col: str = "embedding"
+                   ) -> DataFrame:
+    """Approximate top-k over the MAINTAINED index: rank the manifest's
+    centroids by query cosine driver-side, open only the files whose
+    ``ivf_cell`` colstats intersect the probed cells, exact cosine
+    within them. Same geometry as `similarity.ivf_topk` (shared
+    rank_cells_by_query), so answers match the fresh-index path."""
+    from pdf_parser_spark.operators.similarity import (brute_force_topk,
+                                                       rank_cells_by_query)
+    from pdf_parser_spark.sources.cowtable import read_for_values
+
+    cents = read_manifest(ivf_dir)["ivf_centroids"]
+    probe = rank_cells_by_query(cents, query_vec)[:n_probe]
+    hits = read_for_values(spark, ivf_dir, "ivf_cell", probe)
+    return brute_force_topk(hits, query_vec, k, emb_col, CHUNK_KEY)
