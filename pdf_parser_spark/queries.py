@@ -3694,6 +3694,43 @@ def docs_cow_mor_changes(spark, sf):
                 "commit_version")
 
 
+def docs_cow_append(spark, sf):
+    # append-only commit (Iceberg append snapshot): half the table at
+    # create, the other half via cowtable.append_rows — every v1 file
+    # carried by name, zero pruning/rewrite work; the read-back equality
+    # value-hash-checks the append path against the pristine input
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import (append_rows,
+                                                   create_table,
+                                                   read_table)
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "pdf_parser_spark_cowapp_"
+                     + hashlib.md5(sf.encode()).hexdigest()[:8]
+                     + f"_{os.getpid()}")
+    if not os.path.exists(os.path.join(d, "manifest.json")) or \
+            json.load(open(os.path.join(d, "manifest.json")))["version"] < 2:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+        docs = _t(spark, sf, "documents").select("doc_id", "lang",
+                                                 "source", "text")
+        half = F.col("doc_id") % 2 == 0
+        create_table(spark, docs.where(half)
+                     .repartitionByRange(4, "doc_id"), d, "doc_id")
+        append_rows(spark, d, docs.where(~half).coalesce(1))
+    from pdf_parser_spark.sources.cowtable import read_table as _rt
+    return _rt(spark, d).select("doc_id", "lang", "source", "text")
+
+
+DOCS_COW_APPEND_SQL = """
+SELECT doc_id, lang, source, text FROM documents
+"""
+
+
 def _cow_evolved_dir(spark, sf):
     """Process-private cow table exercising METADATA-ONLY schema
     evolution (sources/cowtable.add_column): create from documents,
@@ -3857,6 +3894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_cow_evolution": docs_cow_evolution,
     "docs_cow_mor_merge": docs_cow_mor_merge,
     "docs_cow_mor_changes": docs_cow_mor_changes,
+    "docs_cow_append": docs_cow_append,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
     # recall gates)
@@ -3959,6 +3997,7 @@ ORACLES: dict[str, str] = {
     # SQL oracles; hash-equality proves the masked physical path
     "docs_cow_mor_merge": DOCS_COW_MERGE_SQL,
     "docs_cow_mor_changes": DOCS_COW_CHANGES_SQL,
+    "docs_cow_append": DOCS_COW_APPEND_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

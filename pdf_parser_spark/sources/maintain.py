@@ -390,3 +390,36 @@ def ivf_probe_topk(spark: SparkSession, ivf_dir: str,
     probe = rank_cells_by_query(cents, query_vec)[:n_probe]
     hits = read_for_values(spark, ivf_dir, "ivf_cell", probe)
     return brute_force_topk(hits, query_vec, k, emb_col, CHUNK_KEY)
+
+
+def make_lineage_refresher(src_dir: str, dst_dir: str,
+                           emb_dir: str | None = None,
+                           store_dir: str | None = None,
+                           ivf_dir: str | None = None,
+                           strategy: str = "cow"):
+    """An ``on_commit`` hook for ``streaming/cow_sink.merge_stream``
+    that refreshes the WHOLE derivation lineage after every source
+    micro-batch: chunks, then (if configured) embeddings through the
+    content cache, then the IVF index. Each hop is ledgered under its
+    upstream's version, so the hook is idempotent under foreachBatch
+    replays — the retry path merge_stream documents. Returns the
+    callable; per-hop stats accumulate on its ``.log`` attribute."""
+    if (emb_dir is None) != (store_dir is None):
+        raise ValueError("emb_dir and store_dir go together")
+    if ivf_dir is not None and emb_dir is None:
+        raise ValueError("ivf_dir needs emb_dir/store_dir")
+
+    def refresh(spark: SparkSession, merge_stats: dict) -> None:
+        out = {"src": merge_stats.get("version"),
+               "chunks": refresh_extracted_table(spark, src_dir, dst_dir,
+                                                 strategy=strategy)}
+        if emb_dir is not None:
+            out["embeddings"] = refresh_embedded_table(
+                spark, dst_dir, emb_dir, store_dir, strategy=strategy)
+        if ivf_dir is not None:
+            out["ivf"] = refresh_ivf_table(spark, emb_dir, ivf_dir,
+                                           strategy=strategy)
+        refresh.log.append(out)
+
+    refresh.log = []
+    return refresh

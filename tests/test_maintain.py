@@ -480,3 +480,83 @@ def test_ivf_index_follows_embedding_cdc(spark, tables, tmp_path):
     m2 = read_manifest(ivf_dir)
     cur_files = m2["snapshots"][str(m2["version"])]["files"]
     assert all(f in m2["colstats"]["ivf_cell"] for f in cur_files)
+
+
+def test_live_lineage_follows_cdc_stream(spark, tmp_path):
+    """The WHOLE lineage as a materialized view: one CDC stream commit
+    ripples through chunks -> embeddings -> IVF via the composed
+    on_commit hook, each hop ending digest-consistent with its
+    upstream."""
+    from pdf_parser_spark.operators.embedding import (embed_incremental,
+                                                      hash_embed_py)
+    from pdf_parser_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_assign,
+                                                       rank_cells_by_query)
+    from pdf_parser_spark.sources.cowtable import create_table
+    from pdf_parser_spark.sources.maintain import (build_embedded_table,
+                                                   build_ivf_table,
+                                                   ivf_probe_topk,
+                                                   make_lineage_refresher)
+    from pdf_parser_spark.streaming.cow_sink import merge_stream
+
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=10, seed=31)
+    src, dst, emb_dir, store, ivf_dir = (str(tmp_path / d) for d in
+                                         ("src", "dst", "emb", "vecs",
+                                          "ivf"))
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    create_table(spark, turns.repartitionByRange(3, "turn_key"),
+                 src, "turn_key")
+    build_extracted_table(spark, src, dst)
+    build_embedded_table(spark, dst, emb_dir, store, dim=16)
+    build_ivf_table(spark, emb_dir, ivf_dir, n_cells=4, n_files=3)
+
+    conv = sorted(r[0] for r in
+                  turns.select("conv_id").distinct().collect())[0]
+    stream_dir = str(tmp_path / "cdc")
+    import os
+    os.makedirs(stream_dir)
+    (turns.where(F.col("conv_id") == conv)
+     .withColumn("text", F.concat(F.lit("LIVE "), "text"))
+     .withColumn("op", F.lit("upsert"))
+     .withColumn("lsn", F.monotonically_increasing_id())
+     .write.mode("overwrite").parquet(f"{stream_dir}/f0"))
+
+    schema = (turns.withColumn("op", F.lit("x"))
+              .withColumn("lsn", F.lit(0).cast("long")).schema)
+    follow = make_lineage_refresher(src, dst, emb_dir, store, ivf_dir)
+    stream = spark.readStream.schema(schema).parquet(f"{stream_dir}/f*")
+    q = merge_stream(stream, src, str(tmp_path / "ckpt"),
+                     order_col="lsn", on_commit=follow)
+    q.awaitTermination(120)
+
+    assert len(follow.log) == 1
+    # every hop reflects its upstream's current version
+    assert read_manifest(dst)["src_version"] == \
+        read_manifest(src)["version"]
+    assert read_manifest(emb_dir)["src_version"] == \
+        read_manifest(dst)["version"]
+    assert read_manifest(ivf_dir)["src_version"] == \
+        read_manifest(emb_dir)["version"]
+    # embeddings digest-equal to a full re-embed of the current chunks
+    out, _ = embed_incremental(read_table(spark, dst),
+                               str(tmp_path / "vtwin"), dim=16)
+    assert _digest(_dropc(read_table(spark, emb_dir))) == \
+        _digest(_dropc(out))
+    # the probe sees the LIVE edit through the whole lineage
+    cents = read_manifest(ivf_dir)["ivf_centroids"]
+    q_vec = hash_embed_py("probe", 16)
+    got = [(r.chunk_key, round(r.similarity, 6)) for r in
+           ivf_probe_topk(spark, ivf_dir, q_vec, k=5, n_probe=2)
+           .collect()]
+    valid = read_table(spark, emb_dir).where(
+        F.size(F.col("embedding")) > 0)
+    probe = rank_cells_by_query(cents, q_vec)[:2]
+    want = [(r.chunk_key, round(r.similarity, 6)) for r in
+            brute_force_topk(ivf_assign(valid, cents, "embedding")
+                             .where(F.col("ivf_cell").isin(probe)),
+                             q_vec, 5, "embedding", "chunk_key")
+            .collect()]
+    assert got == want
