@@ -241,7 +241,12 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
             st = append_rows(spark, store_dir, new_vecs)
             n_new = st.get("rows_written", 0)
     else:
+        # bloom_cols: md5 keys scatter across every file's [min,max], so
+        # bounds pruning degenerates on this table — per-file Bloom
+        # sidecars are what keeps point lookups (cache probes,
+        # read_for_values) from opening the whole store
         create_table(spark, new_vecs, store_dir, "content_hash",
+                     bloom_cols=["content_hash"],
                      extra={"embed_model": model_name, "embed_dim": dim})
         n_new = n_distinct
     need.unpersist()

@@ -3790,6 +3790,73 @@ FROM documents
 """
 
 
+def _cow_bloom_dir(spark, sf):
+    """Process-private cow table keyed on md5(text) with per-file Bloom
+    sidecars on the key (sources/cowtable bloom_cols) — the layout the
+    content-addressed embedding store uses, where min/max bounds
+    degenerate (hash keys span every file's range)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import create_table
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "pdf_parser_spark_cowbloom_"
+                     + hashlib.md5(sf.encode()).hexdigest()[:8]
+                     + f"_{os.getpid()}")
+    if os.path.exists(d):
+        try:
+            with open(os.path.join(d, "manifest.json")) as fh:
+                if json.load(fh)["version"] >= 1:
+                    return d
+        except (OSError, KeyError, ValueError):
+            pass
+        import shutil
+        shutil.rmtree(d)
+    # survivor per hash = min doc_id (deterministic; matches the oracle)
+    docs = (_t(spark, sf, "documents")
+            .select(F.md5(F.col("text")).alias("content_hash"),
+                    "doc_id", "lang", "source")
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    create_table(spark, docs.repartition(8, "content_hash"), d,
+                 "content_hash", bloom_cols=["content_hash"])
+    return d
+
+
+def docs_store_bloom_lookup(spark, sf):
+    # point lookup through per-file Bloom pruning (files_for_values ->
+    # read_for_values): probe hashes are md5(text) of doc_id%97==5 docs
+    # (bounded collect: ~1/97 of the table's distinct texts). Bounds
+    # pruning keeps EVERY file here (md5 keys scatter); the bloom route
+    # is what the oracle value-hash-checks — pruned read == pure SQL
+    # semi-join on md5(text), proving no false negatives end to end.
+    from pdf_parser_spark.sources.cowtable import read_for_values
+    d = _cow_bloom_dir(spark, sf)
+    probe = [r.h for r in
+             _t(spark, sf, "documents").where(F.col("doc_id") % 97 == 5)
+             .select(F.md5("text").alias("h")).distinct().collect()]
+    return (read_for_values(spark, d, "content_hash", probe)
+            .select("content_hash", "doc_id", "lang", "source"))
+
+
+DOCS_STORE_BLOOM_LOOKUP_SQL = """
+WITH store AS (
+  SELECT md5(text) AS content_hash,
+         MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5(text)
+), dedup AS (
+  SELECT s.content_hash, d.doc_id, d.lang, d.source
+  FROM store s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT content_hash, doc_id, lang, source FROM dedup
+WHERE content_hash IN (
+  SELECT md5(text) FROM documents WHERE doc_id % 97 = 5)
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -3895,6 +3962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_cow_mor_merge": docs_cow_mor_merge,
     "docs_cow_mor_changes": docs_cow_mor_changes,
     "docs_cow_append": docs_cow_append,
+    "docs_store_bloom_lookup": docs_store_bloom_lookup,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
     # recall gates)
@@ -3998,6 +4066,7 @@ ORACLES: dict[str, str] = {
     "docs_cow_mor_merge": DOCS_COW_MERGE_SQL,
     "docs_cow_mor_changes": DOCS_COW_CHANGES_SQL,
     "docs_cow_append": DOCS_COW_APPEND_SQL,
+    "docs_store_bloom_lookup": DOCS_STORE_BLOOM_LOOKUP_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

@@ -135,7 +135,8 @@ def _write_data_files(df: DataFrame, table_dir: str, tag: str) -> list[str]:
 
 def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
                  key_col: str, *, extra: dict | None = None,
-                 stats_cols: list[str] | None = None) -> dict:
+                 stats_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None) -> dict:
     """Snapshot v1 from ``df``. ``key_col`` is the merge key; rows with
     NULL keys are rejected up front (a NULL merge key can never match
     and would silently survive every delete). ``extra``: caller fields
@@ -150,7 +151,8 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
         raise ValueError(f"duplicate {key_col} values in the initial "
                          "data — a merge key identifies one row")
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
-                "stats", "dropped", "seq", "stats_cols", "colstats"}
+                "stats", "dropped", "seq", "stats_cols", "colstats",
+                "bloom_cols", "bloomstats"}
     if extra and reserved & set(extra):
         raise ValueError(f"extra fields clash with manifest fields: "
                          f"{sorted(reserved & set(extra))}")
@@ -162,10 +164,12 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
                 "snapshots": {"1": {"files": files,
                                     "schema": df.schema.json()}},
                 **({"stats_cols": list(stats_cols)} if stats_cols else {}),
+                **({"bloom_cols": list(bloom_cols)} if bloom_cols else {}),
                 **(extra or {})}
     _record_stats(manifest,
                   file_key_bounds(spark, table_dir, files, key_col))
     _record_col_stats(manifest, files, table_dir)
+    _record_bloom_stats(manifest, files, table_dir)
     _commit(table_dir, manifest)
     return manifest
 
@@ -332,25 +336,160 @@ def _record_col_stats(manifest: dict, files: list[str],
                 cs.setdefault(c, {})[f] = [v[0], v[1]]
 
 
+# --- per-file Bloom filters (Iceberg Puffin / parquet bloom analog) ---------
+#
+# Min/max bounds prune range-shaped columns; they DEGENERATE on
+# hash-shaped keys (the embedding store's md5 content_hash spans
+# [0..f]* in every file, so every point lookup keeps every file —
+# documented in append_rows). A per-file Bloom filter restores
+# equality-predicate pruning there: sidecar bitsets under _blooms/
+# (manifest carries pointer + params only, like Iceberg's Puffin
+# blobs), consulted by files_for_values for point-value reads. No
+# false negatives by construction — a miss PROVES absence, so pruning
+# never loses rows; false positives only cost an extra file open.
+
+_BLOOM_FPP = 0.01
+_BLOOM_DIR = "_blooms"
+
+
+def _bloom_params(n_values: int, fpp: float = _BLOOM_FPP) -> tuple[int, int]:
+    """(m bits, k hashes) for n values at the target false-positive
+    rate: m = -n ln p / ln^2 2, k = (m/n) ln 2; m rounded up to bytes."""
+    import math
+    n = max(1, n_values)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(8, (m + 7) // 8 * 8)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes of the value's canonical bytes
+    (Kirsch–Mitzenmacher double hashing: bit_i = (h1 + i*h2) mod m).
+    Canonical bytes must match between write and probe: bytes pass
+    through, everything else goes via str() — so int 5 and str '5'
+    collide, which is fine (bloom hits over-approximate; the residual
+    filter is exact and typed)."""
+    import hashlib
+    b = value if isinstance(value, (bytes, bytearray)) \
+        else str(value).encode("utf-8")
+    d = hashlib.blake2b(bytes(b), digest_size=16).digest()
+    # odd h2: never 0 mod m, so the k probe bits are distinct
+    return (int.from_bytes(d[:8], "big"),
+            int.from_bytes(d[8:], "big") | 1)
+
+
+def _bloom_build(values, m: int, k: int) -> bytes:
+    bits = bytearray(m // 8)
+    for v in values:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            p = (h1 + i * h2) % m
+            bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def _bloom_contains(bits: bytes, m: int, k: int, value) -> bool:
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        p = (h1 + i * h2) % m
+        if not bits[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
+def _record_bloom_stats(manifest: dict, files: list[str],
+                        table_dir: str) -> None:
+    """Build and persist a per-file Bloom sidecar for each declared
+    ``bloom_cols`` column of each NEW file, at write time (one column
+    read per file — the writer already opens the file for key bounds).
+    Sidecars live under ``_blooms/`` named after the data file; the
+    manifest records only {path, m, k, n} (Puffin-style: stats bytes
+    never bloat the JSON manifest). Nested/unsupported column types are
+    skipped silently — a file with no bloom is always kept by the
+    reader (correctness over pruning)."""
+    cols = manifest.get("bloom_cols") or []
+    if not cols:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    bdir = os.path.join(table_dir, _BLOOM_DIR)
+    os.makedirs(bdir, exist_ok=True)
+    bs = manifest.setdefault("bloomstats", {})
+    for f in files:
+        path = os.path.join(table_dir, f)
+        schema = pq.ParquetFile(path).schema_arrow
+        present = [c for c in cols if c in schema.names
+                   and not pa.types.is_nested(schema.field(c).type)]
+        if not present:
+            continue
+        tbl = pq.read_table(path, columns=present)
+        for c in present:
+            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+            if not vals:
+                continue
+            m, k = _bloom_params(len(vals))
+            rel = f"{_BLOOM_DIR}/{os.path.basename(f)}.{c}.bloom"
+            with open(os.path.join(table_dir, rel), "wb") as fh:
+                fh.write(_bloom_build(vals, m, k))
+            bs.setdefault(c, {})[f] = {"path": rel, "m": m, "k": k,
+                                       "n": len(vals)}
+
+
+def _bloom_keep(manifest: dict, table_dir: str, col: str,
+                files: list[str], values: list) -> list[str]:
+    """Subset of ``files`` whose bloom for ``col`` admits ANY of the
+    point values; files without a recorded bloom are always kept."""
+    bs = manifest.get("bloomstats", {}).get(col)
+    if not bs:
+        return list(files)
+    out = []
+    for f in files:
+        ent = bs.get(f)
+        if ent is None:
+            out.append(f)
+            continue
+        try:
+            with open(os.path.join(table_dir, ent["path"]), "rb") as fh:
+                bits = fh.read()
+        except OSError:  # sidecar lost: keep the file, never drop rows
+            out.append(f)
+            continue
+        if any(_bloom_contains(bits, ent["m"], ent["k"], v)
+               for v in values):
+            out.append(f)
+    return out
+
+
 def files_for_values(spark: SparkSession, table_dir: str, col: str,
                      values: list, version: int | None = None
                      ) -> list[str]:
     """The named snapshot's data files whose cached [min, max] of
     ``col`` intersects any of the point values — file-level partition
-    pruning on a SECONDARY column (the merge key prunes via
-    files_intersecting_ranges). Files with no cached bounds for the
-    column are always included: correctness over pruning."""
+    pruning on a SECONDARY column (or the merge key via its own cached
+    bounds). Files with no cached bounds for the column are always
+    included: correctness over pruning. When the column carries
+    per-file Bloom sidecars (``bloom_cols``), the bounds survivors are
+    further tested against each file's bloom — the pruning that works
+    where bounds degenerate (hash-shaped keys spanning every file's
+    range). Both prunings over-approximate; neither loses rows."""
     m = read_manifest(table_dir)
     v = m["version"] if version is None else version
     files = m["snapshots"][str(v)]["files"]
     cs = m.get("colstats", {}).get(col)
+    if cs is None and col == m["key_col"]:
+        st = m.get("stats", {})
+        cs = {f: [st[f][0], st[f][1]] for f in files if f in st}
     if cs is None:
-        return list(files)
-    bounds = [{"file": f, "kmin": cs[f][0], "kmax": cs[f][1], "rows": 0}
-              if f in cs else {"file": f, "kmin": None, "kmax": None,
-                               "rows": 0}
-              for f in files]
-    return files_intersecting_ranges(bounds, [(x, x) for x in values])
+        kept = list(files)
+    else:
+        bounds = [{"file": f, "kmin": cs[f][0], "kmax": cs[f][1],
+                   "rows": 0}
+                  if f in cs else {"file": f, "kmin": None, "kmax": None,
+                                   "rows": 0}
+                  for f in files]
+        kept = files_intersecting_ranges(bounds, [(x, x) for x in values])
+    return _bloom_keep(m, table_dir, col, kept, values)
 
 
 def read_for_values(spark: SparkSession, table_dir: str, col: str,
@@ -623,6 +762,7 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
             rows_out += n
         _record_stats(m, new_bounds)
         _record_col_stats(m, new_files, table_dir)
+        _record_bloom_stats(m, new_files, table_dir)
         m.setdefault("seq", {}).update({f: v for f in new_files})
     finally:
         changes.unpersist()
@@ -680,6 +820,7 @@ def compact_table(spark: SparkSession, table_dir: str,
     _record_stats(m, file_key_bounds(spark, table_dir, files,
                                      m["key_col"]))
     _record_col_stats(m, files, table_dir)
+    _record_bloom_stats(m, files, table_dir)
     m.setdefault("seq", {}).update({f: v for f in files})
     # compaction is ALSO the merge-on-read reconciler: masks are
     # materialized into the rewrite, so the new snapshot carries no
@@ -735,6 +876,7 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
         rows_out += n
     _record_stats(m, new_bounds)
     _record_col_stats(m, new_files, table_dir)
+    _record_bloom_stats(m, new_files, table_dir)
     m.setdefault("seq", {}).update({f: v for f in new_files})
     prev_snap = m["snapshots"][str(m["version"])]
     stats = {"version": v, "batch_id": batch_id, "strategy": "append",
@@ -796,6 +938,7 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
             rows_out += n
         _record_stats(m, new_bounds)
         _record_col_stats(m, new_files, table_dir)
+        _record_bloom_stats(m, new_files, table_dir)
         m.setdefault("seq", {}).update({f: v for f in new_files})
     stats = {"version": v, "files_rewritten": len(affected),
              "files_carried": len(carried),
@@ -885,11 +1028,16 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
         doomed.update(e["file"] for e in _delete_entries(snap)
                       if e["file"] not in live)
         del m["snapshots"][str(v)]
+    doomed_blooms: list[str] = []
     for f in doomed:
         m.get("stats", {}).pop(f, None)
         m.get("seq", {}).pop(f, None)
         for cs in m.get("colstats", {}).values():
             cs.pop(f, None)
+        for bs in m.get("bloomstats", {}).values():
+            ent = bs.pop(f, None)
+            if ent:
+                doomed_blooms.append(ent["path"])
     # Manifest-first, deletion-after (Iceberg's expire order): a crash
     # between the two leaves unreferenced files on disk (harmless
     # orphans), never a committed manifest pointing at deleted files.
@@ -900,6 +1048,10 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
         if os.path.exists(p):
             os.remove(p)
             dropped_files += 1
+    for rel in doomed_blooms:  # sidecars die with their data file
+        p = os.path.join(table_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
     return {"kept_versions": sorted(keep),
             "dropped_files": dropped_files}
 
