@@ -179,6 +179,7 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
                       dim: int = DEFAULT_DIM, text_col: str = "text",
                       model_name: str = DEFAULT_MODEL_NAME,
                       encoder_factory: Callable[[], object] | None = None,
+                      bloom_probe_max: int = 4096,
                       ) -> tuple[DataFrame, dict]:
     """``embed_chunks`` through a CONTENT-ADDRESSED cache: embed only
     texts whose md5 is not yet in the vector store (a cow table keyed
@@ -227,10 +228,38 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
                 f"store {store_dir} holds {m.get('embed_model')!r}/"
                 f"dim={m.get('embed_dim')} vectors; refusing to mix with "
                 f"{model_name!r}/dim={dim} — one store per model")
-        missing = need.join(read_table(spark, store_dir)
-                            .select("content_hash"),
-                            "content_hash", "left_anti")
+        # small batches (the steady-state CDC refresh) anti-join
+        # against the BLOOM-PRUNED store read instead of the full
+        # store: collect the batch hashes (bounded: <= bloom_probe_max)
+        # and keep only store files whose bloom admits one. Correct
+        # without a residual filter — blooms have no false negatives,
+        # so the pruned read is a superset of every possible match and
+        # the anti-join itself is the exact test. A 0.1 % refresh then
+        # opens O(batch) store files, not O(store).
+        n_probed = None
+        n_store_files = len(m["snapshots"][str(m["version"])]["files"])
+        # engage only where pruning can pay: scattered keys hit ~one
+        # file each, so a batch of n keys keeps ~n files — probing a
+        # store with fewer than ~2n files would open most of it anyway
+        # and the driver-side probe would be pure overhead
+        if 0 < n_distinct <= bloom_probe_max \
+                and n_store_files > 2 * n_distinct \
+                and m.get("bloom_cols") == ["content_hash"]:
+            from pdf_parser_spark.sources.cowtable import (files_for_values,
+                                                           read_files)
+            hashes = [r.content_hash
+                      for r in need.select("content_hash").collect()]
+            hit = files_for_values(spark, store_dir, "content_hash",
+                                   hashes)
+            n_probed = len(hit)
+            store_keys = read_files(spark, store_dir, hit) \
+                .select("content_hash")
+        else:
+            store_keys = read_table(spark, store_dir) \
+                .select("content_hash")
+        missing = need.join(store_keys, "content_hash", "left_anti")
     else:
+        n_probed = None
         missing = need
     new_vecs = missing.select(
         "content_hash", udf(F.col("__text")).alias("embedding"))
@@ -269,5 +298,10 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
                        F.when(is_empty, F.lit(EMPTY_TEXT_ERROR))
                         .cast("string"))
            .drop("__ch"))
+    m_final = read_manifest(store_dir)
+    n_files = len(m_final["snapshots"][str(m_final["version"])]["files"])
     return out, {"distinct_hashes": n_distinct, "new_embeddings": n_new,
-                 "store_version": read_manifest(store_dir)["version"]}
+                 "store_version": m_final["version"],
+                 "store_files": n_files,
+                 **({"store_files_probed": n_probed}
+                    if n_probed is not None else {})}

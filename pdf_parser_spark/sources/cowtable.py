@@ -439,10 +439,22 @@ def _record_bloom_stats(manifest: dict, files: list[str],
 def _bloom_keep(manifest: dict, table_dir: str, col: str,
                 files: list[str], values: list) -> list[str]:
     """Subset of ``files`` whose bloom for ``col`` admits ANY of the
-    point values; files without a recorded bloom are always kept."""
+    point values; files without a recorded bloom are always kept.
+    Value hashes are computed ONCE (not per file), so the driver-side
+    cost is O(files * values * k) modular probes — ~1M int ops for a
+    1000-file table and a CDC-sized probe set."""
     bs = manifest.get("bloomstats", {}).get(col)
     if not bs:
         return list(files)
+    hashes = [_bloom_hashes(v) for v in values]
+
+    def _hit(bits: bytes, m: int, k: int, h1: int, h2: int) -> bool:
+        for i in range(k):
+            p = (h1 + i * h2) % m
+            if not bits[p >> 3] & (1 << (p & 7)):
+                return False
+        return True
+
     out = []
     for f in files:
         ent = bs.get(f)
@@ -455,8 +467,8 @@ def _bloom_keep(manifest: dict, table_dir: str, col: str,
         except OSError:  # sidecar lost: keep the file, never drop rows
             out.append(f)
             continue
-        if any(_bloom_contains(bits, ent["m"], ent["k"], v)
-               for v in values):
+        if any(_hit(bits, ent["m"], ent["k"], h1, h2)
+               for h1, h2 in hashes):
             out.append(f)
     return out
 
@@ -493,21 +505,41 @@ def files_for_values(spark: SparkSession, table_dir: str, col: str,
 
 
 def read_for_values(spark: SparkSession, table_dir: str, col: str,
-                    values: list, version: int | None = None
-                    ) -> DataFrame:
+                    values: list, version: int | None = None,
+                    residual: bool = True) -> DataFrame:
     """Snapshot restricted to the files ``files_for_values`` keeps,
     masks applied, plus the exact residual filter on ``col`` (bounds
-    over-approximate). The scan opens only matching files — verified by
-    the IVF probe tests."""
+    and blooms over-approximate). The scan opens only matching files —
+    verified by the IVF probe tests. ``residual=False`` skips the
+    ``isin`` filter and returns EVERY live row of the kept files: the
+    right shape for semi/anti-join callers (a large ``isin`` literal
+    bloats the plan; the join is the exact filter) — still a guaranteed
+    superset of the rows matching ``values``, because neither pruning
+    has false negatives."""
     m = read_manifest(table_dir)
     v = m["version"] if version is None else version
     hit = files_for_values(spark, table_dir, col, values, version=v)
+    out = read_files(spark, table_dir, hit, version=v)
+    return out.where(F.col(col).isin(values)) if residual else out
+
+
+def read_files(spark: SparkSession, table_dir: str, files: list[str],
+               version: int | None = None) -> DataFrame:
+    """Masked read of an explicit file subset of the named snapshot —
+    for callers that already ran their own pruning pass
+    (files_for_values / files_intersecting_ranges) and must not pay it
+    twice. Empty subset reads the snapshot's schema with zero rows."""
+    m = read_manifest(table_dir)
+    v = m["version"] if version is None else version
     snap = m["snapshots"][str(v)]
-    if not hit:
+    unknown = set(files) - set(snap["files"])
+    if unknown:
+        raise ValueError(f"files not in snapshot v{v}: "
+                         f"{sorted(unknown)[:3]}")
+    if not files:
         return read_table(spark, table_dir, version=v).limit(0)
-    return _masked_read(spark, m, table_dir, sorted(hit),
-                        _delete_entries(snap)) \
-        .where(F.col(col).isin(values))
+    return _masked_read(spark, m, table_dir, sorted(files),
+                        _delete_entries(snap))
 
 
 def _record_stats(manifest: dict, bounds: list[dict]) -> None:

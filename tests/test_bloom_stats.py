@@ -159,6 +159,37 @@ def test_nested_columns_skipped_file_always_kept(spark, tmp_path):
     assert kept == list(files)  # correctness over pruning
 
 
+def test_small_batch_antijoin_probes_not_scans(spark, tmp_path):
+    """The steady-state CDC refresh shape: a big store, a tiny batch.
+    embed_incremental's cache anti-join must run against the bloom-
+    pruned store read (store_files_probed << store_files) and still be
+    row-for-row equal to the direct encoder."""
+    from pdf_parser_spark.operators.embedding import (embed_chunks,
+                                                      embed_incremental)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("conv_id"),
+                    F.lit(0).alias("chunk_idx"),
+                    F.col("text")))
+    store = str(tmp_path / "vecs")
+    # seed the store across many files so pruning is observable
+    _, st0 = embed_incremental(docs.repartition(16), store, dim=16)
+    assert st0["store_files"] >= 8
+    # tiny second batch: 2 cached texts + 1 brand-new one
+    small = docs.limit(2).unionByName(
+        spark.createDataFrame([("zz", 0, "never seen before text")],
+                              "conv_id string, chunk_idx int, text string"))
+    got, st = embed_incremental(small, store, dim=16)
+    assert st["new_embeddings"] == 1
+    assert "store_files_probed" in st
+    assert st["store_files_probed"] < st0["store_files"]
+    canon = lambda d: sorted(
+        (r.conv_id, tuple(r.embedding)) for r in d.collect())
+    assert canon(got) == canon(embed_chunks(small, dim=16))
+    # huge batches skip the driver-side probe (no collect of 200k keys)
+    _, st_big = embed_incremental(docs, store, dim=16, bloom_probe_max=1)
+    assert "store_files_probed" not in st_big
+
+
 def test_embedding_store_declares_bloom_on_content_hash(spark, tmp_path):
     from pdf_parser_spark.operators.embedding import embed_incremental
     chunks = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
