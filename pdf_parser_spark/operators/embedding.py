@@ -264,10 +264,19 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
     new_vecs = missing.select(
         "content_hash", udf(F.col("__text")).alias("embedding"))
     if exists:
-        if missing.limit(1).count() == 0:  # all content already cached:
-            n_new = 0                      # no commit, no version churn
+        n_miss = missing.count()  # one cheap join; the encoder (the
+        if n_miss == 0:           # real cost) has not run yet
+            n_new = 0             # all cached: no commit, no churn
         else:
-            st = append_rows(spark, store_dir, new_vecs)
+            # file geometry follows the DATA, not the shuffle layout: a
+            # 200-row CDC refresh must append ONE well-filled file, not
+            # one near-empty file per shuffle partition — tiny files
+            # compound across refreshes and every later probe pays them
+            rows_per_file = max(1024, (8 << 20) // (dim * 4 + 48))
+            n_files = max(1, -(-n_miss // rows_per_file))
+            st = append_rows(spark, store_dir,
+                             new_vecs.repartition(n_files,
+                                                  "content_hash"))
             n_new = st.get("rows_written", 0)
     else:
         # bloom_cols: md5 keys scatter across every file's [min,max], so

@@ -532,13 +532,14 @@ def read_files(spark: SparkSession, table_dir: str, files: list[str],
     m = read_manifest(table_dir)
     v = m["version"] if version is None else version
     snap = m["snapshots"][str(v)]
-    unknown = set(files) - set(snap["files"])
+    uniq = sorted(set(files))  # a duplicated name must not double rows
+    unknown = set(uniq) - set(snap["files"])
     if unknown:
         raise ValueError(f"files not in snapshot v{v}: "
                          f"{sorted(unknown)[:3]}")
-    if not files:
+    if not uniq:
         return read_table(spark, table_dir, version=v).limit(0)
-    return _masked_read(spark, m, table_dir, sorted(files),
+    return _masked_read(spark, m, table_dir, uniq,
                         _delete_entries(snap))
 
 

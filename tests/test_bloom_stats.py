@@ -182,6 +182,9 @@ def test_small_batch_antijoin_probes_not_scans(spark, tmp_path):
     assert st["new_embeddings"] == 1
     assert "store_files_probed" in st
     assert st["store_files_probed"] < st0["store_files"]
+    # append geometry follows the data: a 1-row refresh adds ONE file,
+    # not one near-empty file per shuffle partition
+    assert st["store_files"] == st0["store_files"] + 1
     canon = lambda d: sorted(
         (r.conv_id, tuple(r.embedding)) for r in d.collect())
     assert canon(got) == canon(embed_chunks(small, dim=16))
