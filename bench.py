@@ -541,7 +541,11 @@ def main_maintain(cores: int, n_convs: int, cdc_convs: int = 100,
         t0 = time.perf_counter()
         stats2 = refresh_extracted_table(spark, src, dst, strategy="mor")
         mor_sec = time.perf_counter() - t0
-        m2 = stats2["merge"]
+        # skip paths (no changed conversations / already-reflected src
+        # version) return no 'merge' stats — report zeros, don't die
+        # after the expensive full build
+        m2 = stats2.get("merge", {"files_rewritten": 0,
+                                  "files_carried": 0})
         payload = {
             "metric": "incremental extracted-table refresh vs full rebuild",
             "n_convs": n_convs, "n_turns": n_turns,
@@ -553,7 +557,7 @@ def main_maintain(cores: int, n_convs: int, cdc_convs: int = 100,
             "files_rewritten": m["files_rewritten"],
             "files_carried": m["files_carried"],
             "refresh_mor_sec": round(mor_sec, 3),
-            "mor_changed_convs": stats2["changed_convs"],
+            "mor_changed_convs": stats2.get("changed_convs", 0),
             "mor_files_rewritten": m2["files_rewritten"],
             "dst_version": read_manifest(dst)["version"],
             "cores": cores,

@@ -195,8 +195,9 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
     encodes ONCE ever. The store commit is ``append_rows`` — md5 keys
     scatter across every file's range, so the merge path's bounds
     pruning would degenerate to rewrite-everything; append carries all
-    files by name and the anti-join guarantees key novelty (a racing
-    writer trips the commit's version guard).
+    files by name and the anti-join guarantees key novelty (a writer
+    racing in after the probe trips append_rows' base_version guard —
+    the probe's snapshot version is pinned and checked at commit).
 
     Returns (embedded_df, stats); stats counts distinct/new hashes.
     Empty/whitespace texts never reach the cache — their error result
@@ -221,8 +222,12 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
     udf = make_embed_udf(dim, encoder_factory)
 
     exists = os.path.exists(os.path.join(store_dir, "manifest.json"))
+    probed_version = None
     if exists:
         m = read_manifest(store_dir)
+        probed_version = m["version"]  # the snapshot the anti-join's
+        # novelty reasoning is computed against; append_rows refuses to
+        # commit if another writer advanced the store past it
         if m.get("embed_model") != model_name or m.get("embed_dim") != dim:
             raise ValueError(
                 f"store {store_dir} holds {m.get('embed_model')!r}/"
@@ -276,7 +281,8 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
             n_files = max(1, -(-n_miss // rows_per_file))
             st = append_rows(spark, store_dir,
                              new_vecs.repartition(n_files,
-                                                  "content_hash"))
+                                                  "content_hash"),
+                             base_version=probed_version)
             n_new = st.get("rows_written", 0)
     else:
         # bloom_cols: md5 keys scatter across every file's [min,max], so
@@ -289,7 +295,20 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
         n_new = n_distinct
     need.unpersist()
 
-    vecs = read_table(spark, store_dir)
+    if n_probed is not None:
+        # the output join needs ONLY vectors matching the batch's
+        # hashes; those live in the probed files (bloom: no false
+        # negatives) plus whatever this call just appended — at a
+        # 10k-file store this keeps the final join O(batch) files too,
+        # not just the anti-join
+        from pdf_parser_spark.sources.cowtable import read_files
+        m2 = read_manifest(store_dir)
+        cur = m2["snapshots"][str(m2["version"])]["files"]
+        appended = [f for f in cur if f not in set(
+            m2["snapshots"][str(probed_version)]["files"])]
+        vecs = read_files(spark, store_dir, list(hit) + appended)
+    else:
+        vecs = read_table(spark, store_dir)
     out = (hashed.join(vecs, hashed["__ch"] == vecs["content_hash"],
                        "left")
            .drop("content_hash")

@@ -3712,8 +3712,13 @@ def docs_cow_append(spark, sf):
                      "pdf_parser_spark_cowapp_"
                      + hashlib.md5(sf.encode()).hexdigest()[:8]
                      + f"_{os.getpid()}")
-    if not os.path.exists(os.path.join(d, "manifest.json")) or \
-            json.load(open(os.path.join(d, "manifest.json")))["version"] < 2:
+    complete = False
+    try:  # complete iff the append committed (version 2); a corrupt or
+        with open(os.path.join(d, "manifest.json")) as fh:  # truncated
+            complete = json.load(fh)["version"] >= 2  # manifest rebuilds
+    except (OSError, KeyError, ValueError):
+        pass
+    if not complete:
         import shutil
         shutil.rmtree(d, ignore_errors=True)
         docs = _t(spark, sf, "documents").select("doc_id", "lang",
@@ -3722,8 +3727,7 @@ def docs_cow_append(spark, sf):
         create_table(spark, docs.where(half)
                      .repartitionByRange(4, "doc_id"), d, "doc_id")
         append_rows(spark, d, docs.where(~half).coalesce(1))
-    from pdf_parser_spark.sources.cowtable import read_table as _rt
-    return _rt(spark, d).select("doc_id", "lang", "source", "text")
+    return read_table(spark, d).select("doc_id", "lang", "source", "text")
 
 
 DOCS_COW_APPEND_SQL = """

@@ -121,9 +121,15 @@ def _load_rows(table_dir: str, files: list[str], names: list[str],
 
 
 class CowChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, table_dir: str, starting_version: int | None):
+    def __init__(self, table_dir: str, starting_version: int | None,
+                 declared_names: list[str]):
         self._dir = table_dir
         self._start = starting_version
+        # the schema this STREAM declared at start — mid-stream schema
+        # evolution must not change the shape of yielded tuples (the
+        # running query's plan is bound to it); pinned here, not
+        # re-read from the live manifest inside read()
+        self._names = list(declared_names)
 
     def initialOffset(self) -> dict:
         v = self._start if self._start is not None \
@@ -148,12 +154,14 @@ class CowChangesStreamReader(DataSourceStreamReader):
                              "from a retained version")
         # the DIFF runs under the commit-time schema (a later drop_column
         # must not rewrite history to "no change"); the yielded rows are
-        # PROJECTED BY NAME to the current schema the source declares —
-        # columns since dropped vanish, columns since added read None
+        # PROJECTED BY NAME to the schema the STREAM declared at start —
+        # columns since dropped vanish, columns since added read None;
+        # a mid-stream add/drop cannot change tuple arity or silently
+        # re-bind a position to a different column (restart the query
+        # to pick up an evolved schema)
         sj = snap.get("schema", m.get("schema"))
         step_names = [f["name"] for f in json.loads(sj)["fields"]]
-        cur_names = [f["name"]
-                     for f in json.loads(m["schema"])["fields"]]
+        cur_names = self._names
         old = set(prev["files"])
         new = set(snap["files"])
         d = partition.table_dir
@@ -230,5 +238,8 @@ class CowChangesDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> CowChangesStreamReader:
         sv = self.options.get("starting_version")
+        change = {f.name for f in _CHANGE_COLS}
+        names = [f.name for f in schema.fields if f.name not in change]
         return CowChangesStreamReader(self._table_dir(),
-                                      int(sv) if sv is not None else None)
+                                      int(sv) if sv is not None else None,
+                                      names)

@@ -389,13 +389,16 @@ def _bloom_build(values, m: int, k: int) -> bytes:
     return bytes(bits)
 
 
-def _bloom_contains(bits: bytes, m: int, k: int, value) -> bool:
-    h1, h2 = _bloom_hashes(value)
+def _bloom_probe(bits: bytes, m: int, k: int, h1: int, h2: int) -> bool:
     for i in range(k):
         p = (h1 + i * h2) % m
         if not bits[p >> 3] & (1 << (p & 7)):
             return False
     return True
+
+
+def _bloom_contains(bits: bytes, m: int, k: int, value) -> bool:
+    return _bloom_probe(bits, m, k, *_bloom_hashes(value))
 
 
 def _record_bloom_stats(manifest: dict, files: list[str],
@@ -436,6 +439,30 @@ def _record_bloom_stats(manifest: dict, files: list[str],
                                        "n": len(vals)}
 
 
+def _register_new_files(m: dict, table_dir: str, new_files: list[str],
+                        key_col: str) -> int:
+    """The one post-write bookkeeping pass every writer shares: read
+    each new file's footer key bounds, DROP zero-row files (a snapshot
+    must not carry empty files with uncacheable bounds), record key
+    stats + secondary-column stats + bloom sidecars. Mutates
+    ``new_files`` in place (empties removed) and returns rows written."""
+    rows_out = 0
+    new_bounds = []
+    for f in list(new_files):
+        p = os.path.join(table_dir, f)
+        lo, hi, n = _footer_key_bounds(p, key_col)
+        if n == 0:
+            os.remove(p)
+            new_files.remove(f)
+            continue
+        new_bounds.append({"file": f, "kmin": lo, "kmax": hi, "rows": n})
+        rows_out += n
+    _record_stats(m, new_bounds)
+    _record_col_stats(m, new_files, table_dir)
+    _record_bloom_stats(m, new_files, table_dir)
+    return rows_out
+
+
 def _bloom_keep(manifest: dict, table_dir: str, col: str,
                 files: list[str], values: list) -> list[str]:
     """Subset of ``files`` whose bloom for ``col`` admits ANY of the
@@ -447,14 +474,6 @@ def _bloom_keep(manifest: dict, table_dir: str, col: str,
     if not bs:
         return list(files)
     hashes = [_bloom_hashes(v) for v in values]
-
-    def _hit(bits: bytes, m: int, k: int, h1: int, h2: int) -> bool:
-        for i in range(k):
-            p = (h1 + i * h2) % m
-            if not bits[p >> 3] & (1 << (p & 7)):
-                return False
-        return True
-
     out = []
     for f in files:
         ent = bs.get(f)
@@ -467,7 +486,7 @@ def _bloom_keep(manifest: dict, table_dir: str, col: str,
         except OSError:  # sidecar lost: keep the file, never drop rows
             out.append(f)
             continue
-        if any(_hit(bits, ent["m"], ent["k"], h1, h2)
+        if any(_bloom_probe(bits, ent["m"], ent["k"], h1, h2)
                for h1, h2 in hashes):
             out.append(f)
     return out
@@ -484,7 +503,11 @@ def files_for_values(spark: SparkSession, table_dir: str, col: str,
     per-file Bloom sidecars (``bloom_cols``), the bounds survivors are
     further tested against each file's bloom — the pruning that works
     where bounds degenerate (hash-shaped keys spanning every file's
-    range). Both prunings over-approximate; neither loses rows."""
+    range). Both prunings over-approximate; neither loses rows.
+
+    Driver-local: manifest dict lookups + sidecar reads, no cluster
+    work (``spark`` is unused; kept for call-site symmetry with the
+    read functions this feeds)."""
     m = read_manifest(table_dir)
     v = m["version"] if version is None else version
     files = m["snapshots"][str(v)]["files"]
@@ -781,21 +804,7 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                 merged.coalesce(max(1, len(affected))), table_dir, tag)
             del_files, del_rows = [], 0
             batch_rows = len(keys)
-        rows_out = 0
-        new_bounds = []
-        for f in list(new_files):
-            p = os.path.join(table_dir, f)
-            lo, hi, n = _footer_key_bounds(p, key_col)
-            if n == 0:
-                os.remove(p)
-                new_files.remove(f)
-                continue
-            new_bounds.append({"file": f, "kmin": lo, "kmax": hi,
-                               "rows": n})
-            rows_out += n
-        _record_stats(m, new_bounds)
-        _record_col_stats(m, new_files, table_dir)
-        _record_bloom_stats(m, new_files, table_dir)
+        rows_out = _register_new_files(m, table_dir, new_files, key_col)
         m.setdefault("seq", {}).update({f: v for f in new_files})
     finally:
         changes.unpersist()
@@ -845,8 +854,17 @@ def compact_table(spark: SparkSession, table_dir: str,
     v = m["version"] + 1
     tag = f"v{v}"
     if cluster_by:
-        df = df.repartition(n_out, *cluster_by) \
-               .sortWithinPartitions(*cluster_by)
+        # RANGE partition, not hash: hashing on the cluster columns
+        # caps non-empty output files at their distinct-value count
+        # (16 cells -> at most 16 files, 5x over target_mb), while a
+        # range layout over (cluster cols, key) honors n_out AND keeps
+        # each file's cluster-column bounds tight — the whole point of
+        # re-clustering
+        cols = list(cluster_by) + ([m["key_col"]]
+                                   if m["key_col"] not in cluster_by
+                                   else [])
+        df = df.repartitionByRange(n_out, *cols) \
+               .sortWithinPartitions(*cols)
     else:
         df = df.repartition(n_out)
     files = _write_data_files(df, table_dir, tag)
@@ -872,7 +890,8 @@ def compact_table(spark: SparkSession, table_dir: str,
 
 
 def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
-                *, batch_id: int | None = None) -> dict:
+                *, batch_id: int | None = None,
+                base_version: int | None = None) -> dict:
     """Append-only commit (Iceberg's append snapshot): write ``rows``
     as new data files, carry EVERY existing file by name — no pruning
     pass, no rewrite, no delete files. The caller asserts the keys are
@@ -881,8 +900,20 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
     guard); violated uniqueness surfaces as duplicate key rows, exactly
     as an Iceberg append of duplicate data would. The right commit for
     content-addressed stores whose md5-shaped keys scatter across every
-    file's range and would defeat the merge path's pruning."""
+    file's range and would defeat the merge path's pruning.
+
+    ``base_version``: the snapshot the CALLER's uniqueness reasoning was
+    computed against (e.g. the anti-join's store read). The commit's own
+    expected_version guard only covers writers racing AFTER this
+    function reads the manifest — a commit landing between the caller's
+    probe and this call would pass it and let duplicate keys in
+    silently. Pass the probed version to close that window."""
     m = read_manifest(table_dir)
+    if base_version is not None and m["version"] != base_version:
+        raise ConcurrentCommitError(
+            f"table advanced v{base_version} -> v{m['version']} since "
+            "the caller's probe; its key-novelty reasoning is stale — "
+            "re-probe on the new snapshot and retry")
     if batch_id is not None and batch_id in m["applied"]:
         return {"skipped": True, "batch_id": batch_id,
                 "version": m["version"]}
@@ -896,20 +927,7 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
                              for f in fields])
     v = m["version"] + 1
     new_files = _write_data_files(rows, table_dir, f"v{v}")
-    rows_out = 0
-    new_bounds = []
-    for f in list(new_files):
-        p = os.path.join(table_dir, f)
-        lo, hi, n = _footer_key_bounds(p, key_col)
-        if n == 0:
-            os.remove(p)
-            new_files.remove(f)
-            continue
-        new_bounds.append({"file": f, "kmin": lo, "kmax": hi, "rows": n})
-        rows_out += n
-    _record_stats(m, new_bounds)
-    _record_col_stats(m, new_files, table_dir)
-    _record_bloom_stats(m, new_files, table_dir)
+    rows_out = _register_new_files(m, table_dir, new_files, key_col)
     m.setdefault("seq", {}).update({f: v for f in new_files})
     prev_snap = m["snapshots"][str(m["version"])]
     stats = {"version": v, "batch_id": batch_id, "strategy": "append",
@@ -958,20 +976,8 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
     if affected:
         live = _masked_read(spark, m, table_dir, affected, dels)
         new_files = _write_data_files(live, table_dir, f"v{v}")
-        new_bounds = []
-        for f in list(new_files):
-            p = os.path.join(table_dir, f)
-            lo, hi, n = _footer_key_bounds(p, key_col)
-            if n == 0:
-                os.remove(p)
-                new_files.remove(f)
-                continue
-            new_bounds.append({"file": f, "kmin": lo, "kmax": hi,
-                               "rows": n})
-            rows_out += n
-        _record_stats(m, new_bounds)
-        _record_col_stats(m, new_files, table_dir)
-        _record_bloom_stats(m, new_files, table_dir)
+        rows_out += _register_new_files(m, table_dir, new_files,
+                                        key_col)
         m.setdefault("seq", {}).update({f: v for f in new_files})
     stats = {"version": v, "files_rewritten": len(affected),
              "files_carried": len(carried),

@@ -256,29 +256,39 @@ def refresh_embedded_table(spark: SparkSession, chunks_dir: str,
     from pyspark.sql.window import Window
     w = Window.partitionBy(CHUNK_KEY).orderBy(
         F.col("commit_version").desc(), F.col("change_type").desc())
+    # the changelog diff (exceptAll over parquet reads) is the
+    # expensive plan here and downstream actions re-execute their
+    # lineage: cache the resolved per-key net state ONCE — the same
+    # reason merge_into caches its change batch
     log = (table_changes(spark, chunks_dir, from_v, src_v)
            .withColumn("__rn", F.row_number().over(w))
-           .where(F.col("__rn") == 1).drop("__rn"))
-    ins = (log.where(F.col("change_type") == "insert")
-           .drop("change_type", "commit_version"))
-    stale = (log.where(F.col("change_type") == "delete")
-             .select(CHUNK_KEY))
-    if ins.limit(1).count() == 0 and stale.limit(1).count() == 0:
-        _record_src_version(emb_dir, src_v)
-        return {"skipped": True, "src_version": src_v,
-                "changed_chunks": 0}
+           .where(F.col("__rn") == 1).drop("__rn")
+           .cache())
+    try:
+        ins = (log.where(F.col("change_type") == "insert")
+               .drop("change_type", "commit_version"))
+        stale = (log.where(F.col("change_type") == "delete")
+                 .select(CHUNK_KEY))
+        if ins.limit(1).count() == 0 and stale.limit(1).count() == 0:
+            _record_src_version(emb_dir, src_v)
+            return {"skipped": True, "src_version": src_v,
+                    "changed_chunks": 0}
 
-    emb_ins, st = embed_incremental(ins, store_dir, dim=dim)
-    # delete rows carry the key; every other column conforms to NULL
-    # inside merge_into's schema cast
-    emb_cols = [f.name for f in read_table(spark, emb_dir).schema.fields]
-    dele = stale.select(
-        *[(F.col(CHUNK_KEY) if c == CHUNK_KEY
-           else F.lit(None)).alias(c) for c in emb_cols])
-    batch = (emb_ins.select(*emb_cols).withColumn("op", F.lit("upsert"))
-             .unionByName(dele.withColumn("op", F.lit("delete"))))
-    stats = merge_into(spark, emb_dir, batch, batch_id=src_v,
-                       strategy=strategy)
+        emb_ins, st = embed_incremental(ins, store_dir, dim=dim)
+        # delete rows carry the key; every other column conforms to
+        # NULL inside merge_into's schema cast
+        emb_cols = [f.name
+                    for f in read_table(spark, emb_dir).schema.fields]
+        dele = stale.select(
+            *[(F.col(CHUNK_KEY) if c == CHUNK_KEY
+               else F.lit(None)).alias(c) for c in emb_cols])
+        batch = (emb_ins.select(*emb_cols)
+                 .withColumn("op", F.lit("upsert"))
+                 .unionByName(dele.withColumn("op", F.lit("delete"))))
+        stats = merge_into(spark, emb_dir, batch, batch_id=src_v,
+                           strategy=strategy)
+    finally:
+        log.unpersist()
     _record_src_version(emb_dir, src_v)
     return {"src_version": src_v, "from_version": from_v,
             "new_embeddings": st["new_embeddings"], "merge": stats}
@@ -344,30 +354,36 @@ def refresh_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str,
 
     w = Window.partitionBy(CHUNK_KEY).orderBy(
         F.col("commit_version").desc(), F.col("change_type").desc())
+    # cache the resolved net state: the changelog diff re-executes on
+    # every downstream action otherwise (counts, assignment, merge)
     log = (table_changes(spark, emb_dir, from_v, src_v)
            .withColumn("__rn", F.row_number().over(w))
-           .where(F.col("__rn") == 1).drop("__rn"))
-    ins = (log.where((F.col("change_type") == "insert")
-                     & (F.size(F.col("embedding")) > 0)))
-    # keys whose net state is delete OR whose new embedding is invalid
-    # (error rows leave the index)
-    gone = (log.select(CHUNK_KEY)
-            .join(ins.select(CHUNK_KEY), CHUNK_KEY, "left_anti")
-            .distinct())
-    if ins.limit(1).count() == 0 and gone.limit(1).count() == 0:
-        _record_src_version(ivf_dir, src_v)
-        return {"skipped": True, "src_version": src_v}
+           .where(F.col("__rn") == 1).drop("__rn")
+           .cache())
+    try:
+        ins = (log.where((F.col("change_type") == "insert")
+                         & (F.size(F.col("embedding")) > 0)))
+        # keys whose net state is delete OR whose new embedding is
+        # invalid (error rows leave the index)
+        gone = (log.select(CHUNK_KEY)
+                .join(ins.select(CHUNK_KEY), CHUNK_KEY, "left_anti")
+                .distinct())
+        if ins.limit(1).count() == 0 and gone.limit(1).count() == 0:
+            _record_src_version(ivf_dir, src_v)
+            return {"skipped": True, "src_version": src_v}
 
-    assigned = (ivf_assign(ins, centroids, "embedding")
-                .select(CHUNK_KEY, "ivf_cell", "embedding")
-                .withColumn("op", F.lit("upsert")))
-    dele = gone.select(
-        F.col(CHUNK_KEY),
-        F.lit(None).cast("int").alias("ivf_cell"),
-        F.lit(None).cast("array<float>").alias("embedding")) \
-        .withColumn("op", F.lit("delete"))
-    stats = merge_into(spark, ivf_dir, assigned.unionByName(dele),
-                       batch_id=src_v, strategy=strategy)
+        assigned = (ivf_assign(ins, centroids, "embedding")
+                    .select(CHUNK_KEY, "ivf_cell", "embedding")
+                    .withColumn("op", F.lit("upsert")))
+        dele = gone.select(
+            F.col(CHUNK_KEY),
+            F.lit(None).cast("int").alias("ivf_cell"),
+            F.lit(None).cast("array<float>").alias("embedding")) \
+            .withColumn("op", F.lit("delete"))
+        stats = merge_into(spark, ivf_dir, assigned.unionByName(dele),
+                           batch_id=src_v, strategy=strategy)
+    finally:
+        log.unpersist()
     _record_src_version(ivf_dir, src_v)
     return {"src_version": src_v, "from_version": from_v,
             "merge": stats}

@@ -211,3 +211,24 @@ def test_embedding_store_declares_bloom_on_content_hash(spark, tmp_path):
     assert len(kept) <= n_files  # and typically far fewer
     got = read_for_values(spark, store, "content_hash", probe)
     assert sorted(r.content_hash for r in got.collect()) == sorted(probe)
+
+
+def test_append_base_version_guard_closes_probe_race(spark, store,
+                                                     hashed_docs):
+    """A commit landing between a caller's novelty probe and its append
+    must be DETECTED: the probe's snapshot version is stale, so the
+    append's key-uniqueness reasoning is too."""
+    from pdf_parser_spark.sources.cowtable import ConcurrentCommitError
+    probed = read_manifest(store)["version"]
+    other = hashed_docs.select(
+        F.concat(F.lit("rw"), F.substring("content_hash", 3, 30))
+        .alias("content_hash"), "doc_id", "lang", "text").limit(5)
+    append_rows(spark, store, other.coalesce(1))  # the racing writer
+    mine = hashed_docs.select(
+        F.concat(F.lit("me"), F.substring("content_hash", 3, 30))
+        .alias("content_hash"), "doc_id", "lang", "text").limit(5)
+    with pytest.raises(ConcurrentCommitError, match="re-probe"):
+        append_rows(spark, store, mine.coalesce(1), base_version=probed)
+    # fresh probe succeeds
+    append_rows(spark, store, mine.coalesce(1),
+                base_version=read_manifest(store)["version"])

@@ -126,3 +126,43 @@ def test_stream_replays_history_across_schema_evolution(spark, docs,
     ins = [r for r in rows if r.change_type == "insert"]
     assert ins and all(r.stars is None for r in rows)      # added col: NULL
     assert all(r.text.startswith("A:") for r in ins)       # not misbound
+
+
+def test_mid_stream_evolution_keeps_declared_shape(spark, docs, tmp_path):
+    """A schema evolved AFTER the stream started must not change the
+    shape of yielded tuples: the reader projects to the schema the
+    stream declared at start — an added column never appears, and a
+    dropped column still yields (as None) at its declared position."""
+    from pdf_parser_spark.sources.cow_stream import CowChangesStreamReader
+    from pdf_parser_spark.sources.cowtable import add_column, drop_column
+
+    d = _mk_table(spark, docs, tmp_path)
+    declared = ["doc_id", "lang", "source", "text"]  # schema at start
+    reader = CowChangesStreamReader(d, 1, declared)
+
+    add_column(d, "stars", "double")  # v stays 1 (metadata commit)
+    ch = (docs.limit(2)
+          .withColumn("stars", F.lit(3.0))
+          .withColumn("op", F.lit("upsert")))
+    merge_into(spark, d, ch)  # v2, committed under the evolved schema
+    steps = reader.partitions({"version": 1}, {"version": 2})
+    rows = [t for st in steps for t in reader.read(st)]
+    assert rows
+    # arity pinned: 4 declared cols + change_type + commit_version;
+    # 'stars' (added after stream start) never widens the tuples
+    assert all(len(t) == len(declared) + 2 for t in rows)
+
+    # dropped-column case: a NEW stream declared before the drop keeps
+    # its position, reading None (never another column's values)
+    drop_column(d, "source")
+    ch2 = (docs.limit(1)
+           .withColumn("text", F.lit("post-drop"))
+           .withColumn("stars", F.lit(1.0))
+           .withColumn("op", F.lit("upsert")).drop("source"))
+    merge_into(spark, d, ch2)  # v3 under the source-less schema
+    steps = reader.partitions({"version": 2}, {"version": 3})
+    rows3 = [t for st in steps for t in reader.read(st)]
+    assert rows3
+    assert all(len(t) == len(declared) + 2 for t in rows3)
+    ins = [t for t in rows3 if t[-2] == "insert" and t[3] == "post-drop"]
+    assert ins and all(t[2] is None for t in ins)  # source -> None

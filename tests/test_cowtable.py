@@ -587,3 +587,34 @@ def test_concurrent_commit_detected(spark, docs, table):
     with pytest.raises(ConcurrentCommitError, match="advanced v1 -> v2"):
         _commit(table, m_stale, expected_version=1)
     assert read_manifest(table)["version"] == 2   # B's commit intact
+
+
+def test_clustered_compaction_honors_file_plan_beyond_cardinality(
+        spark, docs, tmp_path):
+    """cluster_by with a LOW-cardinality column must not cap the output
+    file count at its distinct-value count: range layout over (cluster
+    cols, key) honors the target_mb plan AND keeps each file's cluster
+    bounds tight (a file straddles at most one cell boundary)."""
+    from pdf_parser_spark.sources.cowtable import read_manifest as _rm
+    d = str(tmp_path / "lowcard")
+    # big enough that plan_n_files(total, 1MB) >> 4 cells; incompressible
+    # payload so parquet bytes track row count
+    four_cells = spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("cell"),
+        F.sha2(F.concat(F.lit("pay"), F.col("id").cast("string")), 512)
+        .alias("text"))
+    create_table(spark, four_cells.repartitionByRange(8, "doc_id"),
+                 d, "doc_id", stats_cols=["cell"])
+    before = _digest(read_table(spark, d))
+    # tiny target forces a plan well above the 4-value cardinality
+    r = compact_table(spark, d, target_mb=1, cluster_by=["cell"])
+    assert r["out_files"] > 4, \
+        f"file plan capped at cluster cardinality: {r}"
+    assert _digest(read_table(spark, d)) == before
+    # per-file cell bounds stay tight: width <= 1 adjacent cell
+    m = _rm(d)
+    cs = m["colstats"]["cell"]
+    cur = m["snapshots"][str(m["version"])]["files"]
+    widths = [cs[f][1] - cs[f][0] for f in cur if f in cs]
+    assert widths and max(widths) <= 1
