@@ -77,8 +77,8 @@ def read_manifest(table_dir: str) -> dict:
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this writer's manifest read and
     its commit. The losing writer's data files are unreferenced orphans
-    (harmless; a later vacuum-style sweep can reclaim them) — re-read
-    and retry the operation, Iceberg's optimistic-concurrency shape."""
+    (harmless; ``remove_orphan_files`` reclaims them) — re-read and
+    retry the operation, Iceberg's optimistic-concurrency shape."""
 
 
 def _commit(table_dir: str, manifest: dict,
@@ -1093,6 +1093,53 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
             os.remove(p)
     return {"kept_versions": sorted(keep),
             "dropped_files": dropped_files}
+
+
+def remove_orphan_files(table_dir: str, *,
+                        older_than_s: float = 3600.0) -> dict:
+    """Reclaim files NO retained snapshot references (Iceberg's
+    remove_orphan_files): the debris of losing concurrent writers
+    (their data files committed to no manifest), crashed writers'
+    ``_staging-*`` dirs, and bloom sidecars whose manifest entry is
+    gone. ``vacuum`` cannot reach these — it deletes only files that
+    dropped snapshots referenced.
+
+    ``older_than_s``: grace window (mtime-based, Iceberg's heuristic) —
+    an IN-FLIGHT writer's files exist before its manifest commit, so
+    sweeping young files would race it. The default (1 h) is safe for
+    CDC-sized commits; pass a larger window around bulk rebuilds."""
+    import time
+    m = read_manifest(table_dir)
+    referenced: set[str] = set()
+    for snap in m["snapshots"].values():
+        referenced.update(snap["files"])
+        referenced.update(e["file"] for e in _delete_entries(snap))
+    for bs in m.get("bloomstats", {}).values():
+        referenced.update(ent["path"] for ent in bs.values())
+    cutoff = time.time() - older_than_s
+    removed_files = 0
+    removed_staging = 0
+    for sub in ("data", _BLOOM_DIR):
+        d = os.path.join(table_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            rel = f"{sub}/{name}"
+            p = os.path.join(d, name)
+            if rel in referenced or not os.path.isfile(p):
+                continue
+            if os.path.getmtime(p) >= cutoff:
+                continue
+            os.remove(p)
+            removed_files += 1
+    for name in os.listdir(table_dir):
+        p = os.path.join(table_dir, name)
+        if name.startswith("_staging-") and os.path.isdir(p) \
+                and os.path.getmtime(p) < cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+            removed_staging += 1
+    return {"removed_files": removed_files,
+            "removed_staging_dirs": removed_staging}
 
 
 def table_changes(spark: SparkSession, table_dir: str,

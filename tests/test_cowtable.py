@@ -618,3 +618,45 @@ def test_clustered_compaction_honors_file_plan_beyond_cardinality(
     cur = m["snapshots"][str(m["version"])]["files"]
     widths = [cs[f][1] - cs[f][0] for f in cur if f in cs]
     assert widths and max(widths) <= 1
+
+
+def test_remove_orphan_files_sweeps_losers_not_live_data(spark, docs,
+                                                         table):
+    """The losing concurrent writer's debris: data files referenced by
+    no manifest, a crashed _staging dir, a bloom sidecar with no
+    manifest entry. remove_orphan_files reclaims exactly those (past
+    the mtime grace window) and never touches referenced files."""
+    import os
+    import time
+    from pdf_parser_spark.sources.cowtable import (read_manifest,
+                                                   remove_orphan_files)
+    d = table
+    # plant orphans: a fake data file, a fake bloom sidecar, a staging
+    # dir — all with old mtimes; plus a YOUNG orphan that must survive
+    os.makedirs(os.path.join(d, "_blooms"), exist_ok=True)
+    old = time.time() - 7200
+    for rel in ("data/loser-commit.parquet", "_blooms/loser.bloom"):
+        p = os.path.join(d, rel)
+        with open(p, "wb") as fh:
+            fh.write(b"debris")
+        os.utime(p, (old, old))
+    young = os.path.join(d, "data", "inflight.parquet")
+    with open(young, "wb") as fh:
+        fh.write(b"in-flight writer")
+    st = os.path.join(d, "_staging-deadbeef")
+    os.makedirs(st)
+    os.utime(st, (old, old))
+    before = _digest(read_table(spark, d))
+    r = remove_orphan_files(d, older_than_s=3600)
+    assert r == {"removed_files": 2, "removed_staging_dirs": 1}
+    assert not os.path.exists(os.path.join(d, "data",
+                                           "loser-commit.parquet"))
+    assert not os.path.exists(os.path.join(d, "_blooms", "loser.bloom"))
+    assert os.path.exists(young)        # inside the grace window
+    assert not os.path.exists(st)
+    # every referenced file intact: reads identical
+    assert _digest(read_table(spark, d)) == before
+    # old snapshots still time-travelable (their files are referenced)
+    m = read_manifest(d)
+    for v in m["snapshots"]:
+        assert read_table(spark, d, version=int(v)).count() > 0
