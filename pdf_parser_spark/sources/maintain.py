@@ -298,7 +298,9 @@ def refresh_embedded_table(spark: SparkSession, chunks_dir: str,
 
 def build_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str, *,
                     n_cells: int = 16, cell_iters: int = 2,
-                    n_files: int = 8, emb_col: str = "embedding") -> dict:
+                    n_files: int = 8, emb_col: str = "embedding",
+                    pq_m: int | None = None, pq_k: int = 16,
+                    pq_iters: int = 1) -> dict:
     """Initial IVF index over the maintained embeddings table: train
     deterministic coarse centroids, assign every valid vector, and lay
     the (chunk_key, ivf_cell, embedding) relation out CLUSTERED BY CELL
@@ -308,7 +310,19 @@ def build_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str, *,
     partitioned-directory layout `write_ivf_partitioned` builds. The
     centroids live in the manifest: later refreshes assign with the
     SAME geometry (FAISS add-to-trained-index semantics; retrain =
-    rebuild)."""
+    rebuild).
+
+    ``pq_m``: also train residual PQ codebooks (quantize.pq_train over
+    embedding - centroid[cell]) and store ``pq_codes`` per row — the
+    MAINTAINED IVFADC index. The table then serves two probe paths:
+    ``ivf_probe_topk`` (exact scan of probed cells) and
+    ``ivfadc_probe_topk`` (ADC over 4+m bytes/row of the probed cells,
+    exact rerank of overfetch*k — the scan-width economics of
+    quantize.ivfpq_search on a CDC-maintained table). Codebooks live in
+    the manifest beside the centroids; refreshes encode new vectors
+    with the SAME codebooks (add-to-trained-index; retrain = rebuild)."""
+    from pdf_parser_spark.operators.quantize import (_with_residual,
+                                                     pq_encode, pq_train)
     from pdf_parser_spark.operators.similarity import ivf_assign, ivf_train
 
     src_v = read_manifest(emb_dir)["version"]
@@ -316,16 +330,25 @@ def build_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str, *,
         .where(F.size(F.col(emb_col)) > 0)
     centroids = ivf_train(valid, k=n_cells, iters=cell_iters,
                           emb_col=emb_col, id_col=CHUNK_KEY)
-    assigned = (ivf_assign(valid, centroids, emb_col)
-                .select(CHUNK_KEY, "ivf_cell", emb_col)
-                .repartition(n_files, "ivf_cell")
+    extra = {"src_version": src_v, "ivf_centroids": centroids}
+    if pq_m:
+        resid = _with_residual(valid, centroids, emb_col)
+        codebooks = pq_train(resid, m=pq_m, k=pq_k, iters=pq_iters,
+                             emb_col="__resid", id_col=CHUNK_KEY,
+                             salt="ivfpq")
+        assigned = (pq_encode(resid, codebooks, emb_col="__resid")
+                    .select(CHUNK_KEY, "ivf_cell", emb_col, "pq_codes"))
+        extra["pq_codebooks"] = codebooks
+    else:
+        assigned = (ivf_assign(valid, centroids, emb_col)
+                    .select(CHUNK_KEY, "ivf_cell", emb_col))
+    assigned = (assigned.repartition(n_files, "ivf_cell")
                 .sortWithinPartitions("ivf_cell"))
     create_table(spark, assigned, ivf_dir, CHUNK_KEY,
-                 stats_cols=["ivf_cell"],
-                 extra={"src_version": src_v,
-                        "ivf_centroids": centroids})
+                 stats_cols=["ivf_cell"], extra=extra)
     return {"src_version": src_v, "created": True,
-            "n_cells": len(centroids)}
+            "n_cells": len(centroids),
+            **({"pq_m": pq_m} if pq_m else {})}
 
 
 def refresh_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str,
@@ -372,14 +395,30 @@ def refresh_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str,
             _record_src_version(ivf_dir, src_v)
             return {"skipped": True, "src_version": src_v}
 
-        assigned = (ivf_assign(ins, centroids, "embedding")
-                    .select(CHUNK_KEY, "ivf_cell", "embedding")
-                    .withColumn("op", F.lit("upsert")))
+        codebooks = ivf_m.get("pq_codebooks")
+        if codebooks:
+            # IVFADC refresh: encode the changed vectors' residuals
+            # with the STORED codebooks (add-to-trained-index — the
+            # same geometry every probe uses; retrain = rebuild)
+            from pdf_parser_spark.operators.quantize import (
+                _with_residual, pq_encode)
+            resid = _with_residual(ins, centroids, "embedding")
+            assigned = (pq_encode(resid, codebooks, emb_col="__resid")
+                        .select(CHUNK_KEY, "ivf_cell", "embedding",
+                                "pq_codes")
+                        .withColumn("op", F.lit("upsert")))
+        else:
+            assigned = (ivf_assign(ins, centroids, "embedding")
+                        .select(CHUNK_KEY, "ivf_cell", "embedding")
+                        .withColumn("op", F.lit("upsert")))
         dele = gone.select(
             F.col(CHUNK_KEY),
             F.lit(None).cast("int").alias("ivf_cell"),
             F.lit(None).cast("array<float>").alias("embedding")) \
             .withColumn("op", F.lit("delete"))
+        if codebooks:
+            dele = dele.withColumn("pq_codes",
+                                   F.lit(None).cast("array<int>"))
         stats = merge_into(spark, ivf_dir, assigned.unionByName(dele),
                            batch_id=src_v, strategy=strategy)
     finally:
@@ -406,6 +445,41 @@ def ivf_probe_topk(spark: SparkSession, ivf_dir: str,
     probe = rank_cells_by_query(cents, query_vec)[:n_probe]
     hits = read_for_values(spark, ivf_dir, "ivf_cell", probe)
     return brute_force_topk(hits, query_vec, k, emb_col, CHUNK_KEY)
+
+
+def ivfadc_probe_topk(spark: SparkSession, ivf_dir: str,
+                      query_vec: list[float], k: int = 10,
+                      n_probe: int = 2, overfetch: int = 4,
+                      emb_col: str = "embedding") -> DataFrame:
+    """IVFADC over the MAINTAINED index (built with ``pq_m``): probed
+    cells come from manifest colstats file pruning (unprobed cells are
+    unopened files); candidate generation scans only (key, cell,
+    pq_codes) — parquet column pruning keeps the wide embedding column
+    unread at this stage, so the scan is 4+m bytes/row; exact L2
+    reranks the overfetch*k survivors alone. Same contract and shared
+    internals as quantize.ivfpq_search ((id, l2_dist, rank) ascending),
+    so answers match the fresh-index path on identical geometry. Note
+    the metric difference vs ivf_probe_topk (cosine): this is the
+    ivfpq contract."""
+    from pdf_parser_spark.operators.quantize import (_exact_rerank,
+                                                     ivfpq_adc_topk)
+    from pdf_parser_spark.operators.similarity import rank_cells_by_query
+    from pdf_parser_spark.sources.cowtable import read_for_values
+
+    m = read_manifest(ivf_dir)
+    cents = m["ivf_centroids"]
+    codebooks = m.get("pq_codebooks")
+    if not codebooks:
+        raise ValueError(f"{ivf_dir} holds no pq_codebooks — build with "
+                         "build_ivf_table(..., pq_m=...) for ADC probes")
+    probe = rank_cells_by_query(cents, query_vec)[:n_probe]
+    hits = read_for_values(spark, ivf_dir, "ivf_cell", probe)
+    cand = ivfpq_adc_topk(hits.select(CHUNK_KEY, "ivf_cell", "pq_codes"),
+                          cents, codebooks, query_vec,
+                          top_k=overfetch * k, n_probe=n_probe,
+                          id_col=CHUNK_KEY)
+    return _exact_rerank(hits.select(CHUNK_KEY, emb_col), cand,
+                         query_vec, k, emb_col, CHUNK_KEY)
 
 
 def make_lineage_refresher(src_dir: str, dst_dir: str,

@@ -560,3 +560,68 @@ def test_live_lineage_follows_cdc_stream(spark, tmp_path):
                              q_vec, 5, "embedding", "chunk_key")
             .collect()]
     assert got == want
+
+
+def test_maintained_ivfadc_follows_cdc(spark, tables, tmp_path):
+    """IVFADC on the maintained index: ADC probe answers equal the
+    fresh quantize.ivfpq_search path on the SAME geometry (manifest
+    centroids + codebooks), before AND after a CDC round; refreshed
+    rows' codes equal a fresh encode with the stored codebooks."""
+    from pdf_parser_spark.operators.embedding import hash_embed_py
+    from pdf_parser_spark.operators.quantize import ivfpq_search
+    from pdf_parser_spark.sources.maintain import (build_embedded_table,
+                                                   build_ivf_table,
+                                                   ivfadc_probe_topk,
+                                                   refresh_embedded_table,
+                                                   refresh_ivf_table)
+    src, dst = tables
+    emb_dir, store, ivf_dir = (str(tmp_path / d)
+                               for d in ("emb", "vecs", "ivfadc"))
+    build_embedded_table(spark, dst, emb_dir, store, dim=16)
+    st = build_ivf_table(spark, emb_dir, ivf_dir, n_cells=4, n_files=4,
+                         pq_m=4, pq_k=8)
+    assert st["pq_m"] == 4
+    m = read_manifest(ivf_dir)
+    cents, cbs = m["ivf_centroids"], m["pq_codebooks"]
+    q = hash_embed_py("probe text", 16)
+
+    def pin(df):
+        return [(r.chunk_key, round(r.l2_dist, 6)) for r in df.collect()]
+
+    def fresh(k, n_probe, overfetch):
+        valid = read_table(spark, emb_dir).where(
+            F.size(F.col("embedding")) > 0)
+        return ivfpq_search(valid, cents, cbs, q, top_k=k,
+                            n_probe=n_probe, overfetch=overfetch,
+                            id_col="chunk_key")
+
+    got = ivfadc_probe_topk(spark, ivf_dir, q, k=5, n_probe=2,
+                            overfetch=4)
+    assert got.columns == ["chunk_key", "l2_dist", "rank"]
+    assert pin(got) == pin(fresh(5, 2, 4))
+
+    # CDC round: edit one conversation end-to-end through the lineage
+    turns = read_table(spark, src)
+    conv = sorted(r[0] for r in
+                  turns.select("conv_id").distinct().collect())[0]
+    upd = (turns.where(F.col("conv_id") == conv)
+           .withColumn("text", F.concat(F.lit("ADC\n"), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd)
+    refresh_extracted_table(spark, src, dst)
+    refresh_embedded_table(spark, dst, emb_dir, store)
+    st2 = refresh_ivf_table(spark, emb_dir, ivf_dir)
+    assert "merge" in st2
+    assert pin(ivfadc_probe_topk(spark, ivf_dir, q, k=5, n_probe=2,
+                                 overfetch=4)) == pin(fresh(5, 2, 4))
+    # refreshed rows carry codes identical to a fresh encode with the
+    # stored codebooks (add-to-trained-index invariant)
+    from pdf_parser_spark.operators.quantize import ivfpq_encode
+    cur = read_table(spark, ivf_dir)
+    fresh_codes = ivfpq_encode(
+        read_table(spark, emb_dir).where(F.size(F.col("embedding")) > 0),
+        cents, cbs, emb_col="embedding", id_col="chunk_key")
+    mismatch = (cur.select("chunk_key", "ivf_cell", "pq_codes")
+                .exceptAll(fresh_codes
+                           .select("chunk_key", "ivf_cell", "pq_codes")))
+    assert mismatch.count() == 0
