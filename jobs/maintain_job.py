@@ -65,7 +65,20 @@ def main(argv: list[str]) -> None:
                     help="content-addressed vector cache dir (required "
                          "with --embed-dst)")
     ap.add_argument("--embed-dim", type=int, default=32)
+    ap.add_argument("--ivf-dst", default=None,
+                    help="also maintain a derived IVF index table here "
+                         "(follows the embeddings table's changelog; "
+                         "requires --embed-dst)")
+    ap.add_argument("--ivf-cells", type=int, default=16)
+    ap.add_argument("--ivf-pq-m", type=int, default=None,
+                    help="store residual PQ codes too (maintained "
+                         "IVFADC: ADC probes scan 4+m bytes/row)")
+    ap.add_argument("--orphan-sweep-s", type=float, default=None,
+                    help="after the run, remove_orphan_files(dst) with "
+                         "this mtime grace window in seconds")
     args = ap.parse_args(argv)
+    if args.ivf_dst and not args.embed_dst:
+        ap.error("--ivf-dst requires --embed-dst")
     if bool(args.embed_dst) != bool(args.embed_store):
         ap.error("--embed-dst and --embed-store go together")
 
@@ -75,11 +88,14 @@ def main(argv: list[str]) -> None:
     from pdf_parser_spark.config import ExtractionConfig
     from pdf_parser_spark.sources.cowtable import (compact_table,
                                                    read_manifest,
+                                                   remove_orphan_files,
                                                    rewrite_masked_files)
     from pdf_parser_spark.sources.maintain import (build_embedded_table,
                                                    build_extracted_table,
+                                                   build_ivf_table,
                                                    refresh_embedded_table,
-                                                   refresh_extracted_table)
+                                                   refresh_extracted_table,
+                                                   refresh_ivf_table)
 
     spark = SparkSession.builder.appName("pdf_parser_spark-maintain") \
         .getOrCreate()
@@ -112,6 +128,17 @@ def main(argv: list[str]) -> None:
                 out["embed"] = refresh_embedded_table(
                     spark, args.dst, args.embed_dst, args.embed_store,
                     strategy=args.merge_strategy)
+        if args.ivf_dst:
+            import os
+            if not os.path.exists(os.path.join(args.ivf_dst,
+                                               "manifest.json")):
+                out["ivf"] = build_ivf_table(
+                    spark, args.embed_dst, args.ivf_dst,
+                    n_cells=args.ivf_cells, pq_m=args.ivf_pq_m)
+            else:
+                out["ivf"] = refresh_ivf_table(
+                    spark, args.embed_dst, args.ivf_dst,
+                    strategy=args.merge_strategy)
         if args.rewrite_masks:
             out["rewrite"] = rewrite_masked_files(spark, args.dst)
         if args.compact_above is not None:
@@ -120,6 +147,9 @@ def main(argv: list[str]) -> None:
             if n > args.compact_above:
                 out["compaction"] = compact_table(
                     spark, args.dst, target_mb=args.target_mb)
+        if args.orphan_sweep_s is not None:
+            out["orphan_sweep"] = remove_orphan_files(
+                args.dst, older_than_s=args.orphan_sweep_s)
         print(json.dumps(out))
     finally:
         spark.stop()

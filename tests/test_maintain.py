@@ -161,12 +161,17 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["PYSPARK_PYTHON"] = sys.executable
+    emb, store, ivf = (str(tmp_path / d) for d in ("emb", "vecs", "ivf"))
     base = [SPARK_SUBMIT, "--master", "local[2]",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "maintain_job.py"),
-            "--src", src, "--dst", dst]
+            "--src", src, "--dst", dst,
+            "--embed-dst", emb, "--embed-store", store,
+            "--embed-dim", "16",
+            "--ivf-dst", ivf, "--ivf-cells", "4", "--ivf-pq-m", "4",
+            "--orphan-sweep-s", "3600"]
 
     def run(*extra):
         proc = subprocess.run([*base, *extra], capture_output=True,
@@ -177,6 +182,9 @@ def test_maintain_job_spark_submit(tmp_path, spark):
 
     out = run("--build", "--n-files", "2")
     assert out["build"]["created"] is True
+    assert out["embed"]["created"] is True
+    assert out["ivf"]["created"] is True and out["ivf"]["pq_m"] == 4
+    assert "orphan_sweep" in out
 
     one = sorted(r[0] for r in
                  turns.select("conv_id").distinct().collect())[0]
@@ -187,11 +195,14 @@ def test_maintain_job_spark_submit(tmp_path, spark):
 
     out = run()
     assert out["refresh"]["changed_convs"] == 1
+    assert "merge" in out["embed"] and "merge" in out["ivf"]
     assert _digest(_dropc(read_table(spark, dst))) == \
         _full_rebuild_digest(spark, src)
 
     out = run()
     assert out["refresh"].get("skipped") is True
+    assert out["embed"].get("skipped") is True
+    assert out["ivf"].get("skipped") is True
 
 
 def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
