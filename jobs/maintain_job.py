@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -118,7 +119,6 @@ def main(argv: list[str]) -> None:
                 spark, args.src, args.dst,
                 strategy=args.merge_strategy)
         if args.embed_dst:
-            import os
             if args.build or not os.path.exists(
                     os.path.join(args.embed_dst, "manifest.json")):
                 out["embed"] = build_embedded_table(
@@ -129,9 +129,11 @@ def main(argv: list[str]) -> None:
                     spark, args.dst, args.embed_dst, args.embed_store,
                     strategy=args.merge_strategy)
         if args.ivf_dst:
-            import os
-            if not os.path.exists(os.path.join(args.ivf_dst,
-                                               "manifest.json")):
+            # symmetric with the embed branch: --build against an
+            # existing ivf dir must fail loudly inside create_table,
+            # never silently keep a stale index from an old lineage
+            if args.build or not os.path.exists(
+                    os.path.join(args.ivf_dst, "manifest.json")):
                 out["ivf"] = build_ivf_table(
                     spark, args.embed_dst, args.ivf_dst,
                     n_cells=args.ivf_cells, pq_m=args.ivf_pq_m)
@@ -148,8 +150,17 @@ def main(argv: list[str]) -> None:
                 out["compaction"] = compact_table(
                     spark, args.dst, target_mb=args.target_mb)
         if args.orphan_sweep_s is not None:
-            out["orphan_sweep"] = remove_orphan_files(
-                args.dst, older_than_s=args.orphan_sweep_s)
+            # every table this job maintains accumulates orphans (the
+            # embed store's base_version guard deliberately strands a
+            # losing writer's files) — sweep them all
+            dirs = [d for d in (args.dst, args.embed_dst,
+                                args.embed_store, args.ivf_dst)
+                    if d and os.path.exists(
+                        os.path.join(d, "manifest.json"))]
+            out["orphan_sweep"] = {
+                d: remove_orphan_files(
+                    d, older_than_s=args.orphan_sweep_s)
+                for d in dirs}
         print(json.dumps(out))
     finally:
         spark.stop()

@@ -302,11 +302,19 @@ def embed_incremental(chunks: DataFrame, store_dir: str,
         # 10k-file store this keeps the final join O(batch) files too,
         # not just the anti-join
         from pdf_parser_spark.sources.cowtable import read_files
-        m2 = read_manifest(store_dir)
-        cur = m2["snapshots"][str(m2["version"])]["files"]
-        appended = [f for f in cur if f not in set(
-            m2["snapshots"][str(probed_version)]["files"])]
-        vecs = read_files(spark, store_dir, list(hit) + appended)
+        try:
+            m2 = read_manifest(store_dir)
+            cur = m2["snapshots"][str(m2["version"])]["files"]
+            prev = set(m2["snapshots"][str(probed_version)]["files"])
+            appended = [f for f in cur if f not in prev]
+            vecs = read_files(spark, store_dir, list(hit) + appended)
+        except (KeyError, ValueError):
+            # a concurrent commit (compaction, another writer) moved
+            # the snapshot between probe and read: the pinned file
+            # list is stale — fall back to the consistent current
+            # snapshot (correct, just un-pruned) instead of dying
+            # after the encoder work is done
+            vecs = read_table(spark, store_dir)
     else:
         vecs = read_table(spark, store_dir)
     out = (hashed.join(vecs, hashed["__ch"] == vecs["content_hash"],

@@ -840,7 +840,8 @@ def compact_table(spark: SparkSession, table_dir: str,
     snapshot (rows unchanged; old versions stay readable until vacuum).
     File count comes from measured bytes, same math as
     sources/compact.plan_n_files. ``cluster_by``: re-cluster the
-    rewrite on these columns (hash repartition + local sort) so their
+    rewrite on these columns (range repartition over (cluster cols,
+    key) + local sort) so their
     manifest colstats bounds come back tight — merge commits gradually
     widen them; compaction is where clustering is restored (Iceberg's
     rewrite with sort order)."""
