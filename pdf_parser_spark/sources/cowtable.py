@@ -152,7 +152,7 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
                          "data — a merge key identifies one row")
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
                 "stats", "dropped", "seq", "stats_cols", "colstats",
-                "bloom_cols", "bloomstats"}
+                "bloom_cols", "bloomstats", "refs"}
     if extra and reserved & set(extra):
         raise ValueError(f"extra fields clash with manifest fields: "
                          f"{sorted(reserved & set(extra))}")
@@ -175,10 +175,18 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
 
 
 def read_table(spark: SparkSession, table_dir: str,
-               version: int | None = None) -> DataFrame:
+               version: int | str | None = None) -> DataFrame:
     """The named snapshot (current by default) — exactly the manifest's
-    file list, so concurrent writers/compactions never tear a read."""
+    file list, so concurrent writers/compactions never tear a read.
+    ``version`` may be a TAG name (``create_tag``): Iceberg's ref shape
+    — the read resolves to whatever version the tag pins."""
     m = read_manifest(table_dir)
+    if isinstance(version, str):
+        refs = m.get("refs", {})
+        if version not in refs:
+            raise ValueError(f"tag {version!r} not in table (have: "
+                             f"{sorted(refs)})")
+        version = refs[version]
     v = m["version"] if version is None else version
     snap = m["snapshots"].get(str(v))
     if snap is None:
@@ -1045,15 +1053,45 @@ def drop_column(table_dir: str, name: str) -> dict:
     return {"columns": schema.fieldNames()}
 
 
+def create_tag(table_dir: str, name: str,
+               version: int | None = None) -> dict:
+    """Pin a snapshot under a name (Iceberg's tag ref): reads resolve
+    it (``read_table(..., version='prod')``) and ``vacuum`` NEVER drops
+    a tagged version — the operational shape for serving a blessed
+    snapshot while maintenance advances the table. Re-tagging an
+    existing name moves it (promote-the-new-build in one commit)."""
+    m = read_manifest(table_dir)
+    v = m["version"] if version is None else int(version)
+    if str(v) not in m["snapshots"]:
+        raise ValueError(f"version {v} not in table (have: "
+                         f"{sorted(m['snapshots'])})")
+    m.setdefault("refs", {})[name] = v
+    _commit(table_dir, m, expected_version=m["version"])
+    return {"tag": name, "version": v}
+
+
+def drop_tag(table_dir: str, name: str) -> dict:
+    m = read_manifest(table_dir)
+    refs = m.get("refs", {})
+    if name not in refs:
+        raise ValueError(f"tag {name!r} not in table (have: "
+                         f"{sorted(refs)})")
+    v = refs.pop(name)
+    _commit(table_dir, m, expected_version=m["version"])
+    return {"dropped": name, "version": v}
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     """Drop snapshots older than the newest ``keep_last`` and delete
     data files no retained snapshot references. Time travel reaches only
-    retained versions afterwards."""
+    retained versions afterwards. Tagged versions (``create_tag``) are
+    always retained — drop the tag to let vacuum reclaim them."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     m = read_manifest(table_dir)
     versions = sorted(int(v) for v in m["snapshots"])
     keep = set(versions[-keep_last:])
+    keep.update(m.get("refs", {}).values())  # tags survive vacuum
     live: set[str] = set()
     for v in keep:
         snap = m["snapshots"][str(v)]

@@ -660,3 +660,39 @@ def test_remove_orphan_files_sweeps_losers_not_live_data(spark, docs,
     m = read_manifest(d)
     for v in m["snapshots"]:
         assert read_table(spark, d, version=int(v)).count() > 0
+
+
+def test_tags_pin_snapshots_through_vacuum(spark, docs, table):
+    """Iceberg tag refs: reads resolve the name, vacuum never reclaims
+    a tagged version, dropping the tag releases it."""
+    from pdf_parser_spark.sources.cowtable import create_tag, drop_tag
+    d = table
+    v1_digest = _digest(read_table(spark, d))
+    create_tag(d, "prod")                       # pins v1
+    merge_into(spark, d, _changes(spark, docs, 0, 30), batch_id=1)
+    merge_into(spark, d, _changes(spark, docs, 30, 60)
+               .withColumn("text", F.concat(F.lit("2"), "text")),
+               batch_id=2)
+    assert read_manifest(d)["version"] == 3
+    # read by tag == read by pinned version
+    assert _digest(read_table(spark, d, version="prod")) == v1_digest
+    with pytest.raises(ValueError, match="tag 'nope' not in table"):
+        read_table(spark, d, version="nope")
+    # vacuum keeps the tagged v1 alongside the current v3; v2 goes
+    v = vacuum(d, keep_last=1)
+    m = read_manifest(d)
+    assert sorted(int(x) for x in m["snapshots"]) == [1, 3]
+    assert v["dropped_files"] >= 1
+    assert _digest(read_table(spark, d, version="prod")) == v1_digest
+    # re-tagging moves the name in one commit (promote)
+    create_tag(d, "prod", version=3)
+    assert _digest(read_table(spark, d, version="prod")) == \
+        _digest(read_table(spark, d))
+    # v1 now untagged: the next vacuum reclaims it
+    vacuum(d, keep_last=1)
+    assert sorted(read_manifest(d)["snapshots"]) == ["3"]
+    with pytest.raises(ValueError, match="version 1 not in table"):
+        read_table(spark, d, version=1)
+    drop_tag(d, "prod")
+    with pytest.raises(ValueError, match="not in table"):
+        read_table(spark, d, version="prod")
