@@ -636,3 +636,36 @@ def test_maintained_ivfadc_follows_cdc(spark, tables, tmp_path):
                 .exceptAll(fresh_codes
                            .select("chunk_key", "ivf_cell", "pq_codes")))
     assert mismatch.count() == 0
+
+
+def test_ivfadc_candidate_scan_prunes_embedding_column(spark, tables,
+                                                       tmp_path):
+    """The docs claim ADC candidate generation reads (key, cell, codes)
+    with the wide embedding column UNREAD — pin it in the physical
+    plan: the candidate stage's parquet ReadSchema must not contain
+    'embedding', and the full probe's first-stage scans stay narrow."""
+    from pdf_parser_spark.operators.quantize import ivfpq_adc_topk
+    from pdf_parser_spark.operators.similarity import rank_cells_by_query
+    from pdf_parser_spark.sources.cowtable import read_for_values
+    from pdf_parser_spark.sources.maintain import (CHUNK_KEY,
+                                                   build_embedded_table,
+                                                   build_ivf_table)
+    src, dst = tables
+    emb_dir, store, ivf_dir = (str(tmp_path / d)
+                               for d in ("emb", "vecs", "ivfp"))
+    build_embedded_table(spark, dst, emb_dir, store, dim=16)
+    build_ivf_table(spark, emb_dir, ivf_dir, n_cells=4, n_files=4,
+                    pq_m=4, pq_k=8)
+    m = read_manifest(ivf_dir)
+    cents, cbs = m["ivf_centroids"], m["pq_codebooks"]
+    from pdf_parser_spark.operators.embedding import hash_embed_py
+    q = hash_embed_py("probe text", 16)
+    probe = rank_cells_by_query(cents, q)[:2]
+    hits = read_for_values(spark, ivf_dir, "ivf_cell", probe)
+    cand = ivfpq_adc_topk(hits.select(CHUNK_KEY, "ivf_cell", "pq_codes"),
+                          cents, cbs, q, top_k=20, n_probe=2,
+                          id_col=CHUNK_KEY)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    assert all("embedding" not in ln for ln in scans), scans
