@@ -74,6 +74,11 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--ivf-pq-m", type=int, default=None,
                     help="store residual PQ codes too (maintained "
                          "IVFADC: ADC probes scan 4+m bytes/row)")
+    ap.add_argument("--tag", default=None,
+                    help="after a successful run, move this tag to each"
+                         " maintained table's current version (promote-"
+                         "on-green; reads via read_table(version=TAG) "
+                         "then follow it, and vacuum keeps it)")
     ap.add_argument("--orphan-sweep-s", type=float, default=None,
                     help="after the run, remove_orphan_files(dst) with "
                          "this mtime grace window in seconds")
@@ -88,6 +93,7 @@ def main(argv: list[str]) -> None:
 
     from pdf_parser_spark.config import ExtractionConfig
     from pdf_parser_spark.sources.cowtable import (compact_table,
+                                                   create_tag,
                                                    read_manifest,
                                                    remove_orphan_files,
                                                    rewrite_masked_files)
@@ -149,6 +155,13 @@ def main(argv: list[str]) -> None:
             if n > args.compact_above:
                 out["compaction"] = compact_table(
                     spark, args.dst, target_mb=args.target_mb)
+        if args.tag:
+            maintained = [d for d in (args.dst, args.embed_dst,
+                                      args.ivf_dst)
+                          if d and os.path.exists(
+                              os.path.join(d, "manifest.json"))]
+            out["tag"] = {d: create_tag(d, args.tag)
+                          for d in maintained}
         if args.orphan_sweep_s is not None:
             # every table this job maintains accumulates orphans (the
             # embed store's base_version guard deliberately strands a

@@ -171,7 +171,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
             "--embed-dst", emb, "--embed-store", store,
             "--embed-dim", "16",
             "--ivf-dst", ivf, "--ivf-cells", "4", "--ivf-pq-m", "4",
-            "--orphan-sweep-s", "3600"]
+            "--tag", "prod", "--orphan-sweep-s", "3600"]
 
     def run(*extra):
         proc = subprocess.run([*base, *extra], capture_output=True,
@@ -203,6 +203,12 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert out["refresh"].get("skipped") is True
     assert out["embed"].get("skipped") is True
     assert out["ivf"].get("skipped") is True
+    # promote-on-green: the tag follows each maintained table's current
+    # version and resolves through read_table
+    assert set(out["tag"]) == {dst, emb, ivf}
+    tagged = read_table(spark, dst, version="prod")
+    assert _digest(_dropc(tagged)) == _digest(_dropc(read_table(spark,
+                                                                dst)))
 
 
 def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
