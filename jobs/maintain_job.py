@@ -74,6 +74,13 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--ivf-pq-m", type=int, default=None,
                     help="store residual PQ codes too (maintained "
                          "IVFADC: ADC probes scan 4+m bytes/row)")
+    ap.add_argument("--wap", action="store_true",
+                    help="write-audit-publish refresh: stage the chunk "
+                         "merge on a branch, audit the changed "
+                         "conversations (dup keys / NULL text / bad "
+                         "char_count), publish main only on green; a "
+                         "red audit drops the branch, leaves every "
+                         "maintained table untouched, and exits 3")
     ap.add_argument("--tag", default=None,
                     help="after a successful run, move this tag to each"
                          " maintained table's current version (promote-"
@@ -102,7 +109,8 @@ def main(argv: list[str]) -> None:
                                                    build_ivf_table,
                                                    refresh_embedded_table,
                                                    refresh_extracted_table,
-                                                   refresh_ivf_table)
+                                                   refresh_ivf_table,
+                                                   wap_refresh_extracted)
 
     spark = SparkSession.builder.appName("pdf_parser_spark-maintain") \
         .getOrCreate()
@@ -121,9 +129,17 @@ def main(argv: list[str]) -> None:
             # refresh always uses the config RECORDED at build time —
             # mixing configs in one table breaks the digest-equal-to-
             # rebuild contract, so the flags only shape --build
-            out["refresh"] = refresh_extracted_table(
+            refresh = (wap_refresh_extracted if args.wap
+                       else refresh_extracted_table)
+            out["refresh"] = refresh(
                 spark, args.src, args.dst,
                 strategy=args.merge_strategy)
+            if args.wap and "audits" in out["refresh"] \
+                    and not out["refresh"]["published"]:
+                # red audit: dst never moved, so the derived tables
+                # below would no-op; make the failure loud instead
+                print(json.dumps(out))
+                sys.exit(3)
         if args.embed_dst:
             if args.build or not os.path.exists(
                     os.path.join(args.embed_dst, "manifest.json")):

@@ -47,9 +47,13 @@ def _manifest(table_dir: str) -> dict:
 
 
 class _Step(InputPartition):
-    def __init__(self, table_dir: str, version: int):
+    def __init__(self, table_dir: str, version: int,
+                 parent: int | None = None):
         self.table_dir = table_dir
         self.version = version
+        # the commit this step diffs AGAINST — its parent on MAIN's
+        # chain; None for pre-branch offsets (v-1 fallback at read)
+        self.parent = parent
 
 
 # NaN sentinel: NaN != NaN would stop unchanged float rows from
@@ -140,16 +144,35 @@ class CowChangesStreamReader(DataSourceStreamReader):
         return {"version": int(_manifest(self._dir)["version"])}
 
     def partitions(self, start: dict, end: dict):
-        return [_Step(self._dir, v)
-                for v in range(start["version"] + 1, end["version"] + 1)]
+        # one step per MAIN commit between the offsets, walked by
+        # parent pointers: snapshot ids are global across branches, so
+        # consecutive ids need not be consecutive MAIN commits — a
+        # naive v-1 walk would leak unpublished branch staging
+        # snapshots into the stream
+        from pdf_parser_spark.sources.cowtable import _ancestry
+        m = _manifest(self._dir)
+        chain = _ancestry(m, end["version"])
+        if start["version"] not in chain:
+            raise ValueError(
+                f"offset v{start['version']} is not an ancestor of "
+                f"v{end['version']} — vacuumed gap or a rewound ref; "
+                "restart the stream from a retained version")
+        steps = list(reversed(chain[:chain.index(start["version"])]))
+        parent = start["version"]
+        out = []
+        for v in steps:
+            out.append(_Step(self._dir, v, parent))
+            parent = v
+        return out
 
     def read(self, partition: _Step):
         m = _manifest(partition.table_dir)
         v = partition.version
+        pv = partition.parent if partition.parent is not None else v - 1
         snap = m["snapshots"].get(str(v))
-        prev = m["snapshots"].get(str(v - 1))
+        prev = m["snapshots"].get(str(pv))
         if snap is None or prev is None:
-            raise ValueError(f"version {v} (or {v - 1}) vacuumed — its "
+            raise ValueError(f"version {v} (or {pv}) vacuumed — its "
                              "changelog is gone; restart the stream "
                              "from a retained version")
         # the DIFF runs under the commit-time schema (a later drop_column

@@ -81,34 +81,89 @@ class ConcurrentCommitError(RuntimeError):
     retry the operation, Iceberg's optimistic-concurrency shape."""
 
 
+def _seq(m: dict) -> int:
+    """The manifest's commit counter. Pre-branch manifests never wrote
+    one; their every commit advanced ``version``, so ``version`` IS the
+    counter for them."""
+    return m.get("commit_seq", m["version"])
+
+
 def _commit(table_dir: str, manifest: dict,
-            expected_version: int | None = None) -> None:
+            expected_seq: int | None = None) -> None:
     """Manifest-last atomic commit: data files are fully written before
     this runs; ``os.replace`` is atomic on POSIX, so readers see the old
     complete manifest or the new complete one, never a torn write.
 
-    ``expected_version``: the table version this writer BASED its work
-    on — if the on-disk manifest has moved past it, raise
-    ConcurrentCommitError instead of silently overwriting the other
-    writer's snapshot (lost update). This is detection, not a lock: on
-    a plain filesystem the check-then-replace window is not atomic, so
-    the contract is single COORDINATOR per table (one streaming query,
+    ``expected_seq``: the manifest commit counter (``_seq``) this
+    writer BASED its work on — if the on-disk manifest has moved past
+    it, raise ConcurrentCommitError instead of silently overwriting the
+    other writer's commit (lost update). The counter bumps on EVERY
+    commit — ref moves and branch writes included — so two writers
+    racing on different branches (where main's ``version`` never moves)
+    are still detected. This is detection, not a lock: on a plain
+    filesystem the check-then-replace window is not atomic, so the
+    contract is single COORDINATOR per table (one streaming query,
     one maintenance job) with racing writers DETECTED, same trust model
     as Iceberg on HadoopCatalog without an atomic-swap catalog."""
-    if expected_version is not None:
+    if expected_seq is not None:
         p = _manifest_path(table_dir)
         if os.path.exists(p):
             with open(p) as fh:
-                on_disk = json.load(fh)["version"]
-            if on_disk != expected_version:
+                on_disk = _seq(json.load(fh))
+            if on_disk != expected_seq:
                 raise ConcurrentCommitError(
-                    f"table advanced v{expected_version} -> v{on_disk} "
+                    f"table advanced commit {expected_seq} -> {on_disk} "
                     "since this writer read it; retry on the new "
                     "snapshot")
+    manifest["commit_seq"] = (_seq(manifest) if expected_seq is None
+                              else expected_seq) + 1
     tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(table_dir))
+
+
+def _next_snapshot_id(m: dict) -> int:
+    """Allocate a fresh snapshot id: monotonic across main AND branch
+    commits (they share the snapshot namespace), never reused even
+    after a branch drop or vacuum removed the numerically-largest
+    snapshot (``last_snapshot_id`` remembers the high-water mark)."""
+    v = 1 + max(m.get("last_snapshot_id", 0),
+                *(int(k) for k in m["snapshots"]))
+    m["last_snapshot_id"] = v
+    return v
+
+
+def _head(m: dict, branch: str | None) -> int:
+    """Resolve a write target: main's head, or the branch's."""
+    if branch is None:
+        return m["version"]
+    b = m.get("branches", {})
+    if branch not in b:
+        raise ValueError(f"branch {branch!r} not in table (have: "
+                         f"{sorted(b)}); create_branch first")
+    return b[branch]["head"]
+
+
+def _advance(m: dict, branch: str | None, v: int) -> None:
+    if branch is None:
+        m["version"] = v
+    else:
+        m["branches"][branch]["head"] = v
+
+
+def _ancestry(m: dict, v: int) -> list[int]:
+    """The parent chain from snapshot ``v`` back to the oldest
+    still-recorded ancestor (newest first). Pre-branch snapshots carry
+    no ``parent`` field; for them the chain is the v-1 walk those
+    manifests actually performed."""
+    chain = []
+    cur: int | None = v
+    while cur is not None and str(cur) in m["snapshots"]:
+        chain.append(cur)
+        snap = m["snapshots"][str(cur)]
+        cur = snap.get("parent", cur - 1 if cur > 1 else None)
+    return chain
 
 
 def _write_data_files(df: DataFrame, table_dir: str, tag: str) -> list[str]:
@@ -152,13 +207,15 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
                          "data — a merge key identifies one row")
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
                 "stats", "dropped", "seq", "stats_cols", "colstats",
-                "bloom_cols", "bloomstats", "refs"}
+                "bloom_cols", "bloomstats", "refs", "branches",
+                "commit_seq", "last_snapshot_id"}
     if extra and reserved & set(extra):
         raise ValueError(f"extra fields clash with manifest fields: "
                          f"{sorted(reserved & set(extra))}")
     os.makedirs(table_dir, exist_ok=True)
     files = _write_data_files(df, table_dir, "v1")
     manifest = {"key_col": key_col, "version": 1, "applied": [],
+                "commit_seq": 0, "last_snapshot_id": 1,
                 "schema": df.schema.json(),
                 "seq": {f: 1 for f in files},
                 "snapshots": {"1": {"files": files,
@@ -183,10 +240,15 @@ def read_table(spark: SparkSession, table_dir: str,
     m = read_manifest(table_dir)
     if isinstance(version, str):
         refs = m.get("refs", {})
-        if version not in refs:
-            raise ValueError(f"tag {version!r} not in table (have: "
-                             f"{sorted(refs)})")
-        version = refs[version]
+        branches = m.get("branches", {})
+        if version in refs:
+            version = refs[version]
+        elif version in branches:
+            version = branches[version]["head"]
+        else:
+            raise ValueError(
+                f"ref {version!r} not in table (tags: {sorted(refs)}, "
+                f"branches: {sorted(branches)})")
     v = m["version"] if version is None else version
     snap = m["snapshots"].get(str(v))
     if snap is None:
@@ -646,7 +708,7 @@ def _affected_files(bounds: list[dict], keys: list) -> list[str]:
 
 def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                *, op_col: str = "op", batch_id: int | None = None,
-               strategy: str = "cow") -> dict:
+               strategy: str = "cow", branch: str | None = None) -> dict:
     """Apply a CDC batch: rows with ``op='upsert'`` replace (by key) or
     insert; ``op='delete'`` removes the key. Returns the merge stats
     dict (also recorded in the manifest): files rewritten vs carried,
@@ -673,6 +735,7 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
         raise ValueError(f"strategy must be 'cow' or 'mor', got "
                          f"{strategy!r}")
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     key_col = m["key_col"]
     if strategy == "mor" and "schema" not in m:
         raise ValueError("merge-on-read needs a schema-recording "
@@ -732,10 +795,11 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                     f"{name!r} cannot cast to the table type {want} — "
                     "refusing a merge that would write NULL over data")
 
-        prev_snap = m["snapshots"][str(m["version"])]
+        base = _head(m, branch)
+        prev_snap = m["snapshots"][str(base)]
         cur = prev_snap["files"]
         prev_deletes = _delete_entries(prev_snap)
-        v = m["version"] + 1
+        v = _next_snapshot_id(m)
         tag = f"v{v}"
 
         upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
@@ -822,9 +886,10 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
              "files_carried": len(carried),
              "files_added": len(new_files),
              "delete_files_added": len(del_files),
-             "batch_rows": batch_rows, "rows_written": rows_out}
+             "batch_rows": batch_rows, "rows_written": rows_out,
+             **({"branch": branch} if branch else {})}
     m["snapshots"][str(v)] = {"files": carried + new_files,
-                              "merge": stats}
+                              "parent": base, "merge": stats}
     new_deletes = (prev_deletes
                    + [{"file": f, "seq": v, "rows": del_rows}
                       for f in del_files])
@@ -832,10 +897,10 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
         m["snapshots"][str(v)]["deletes"] = new_deletes
     if "schema" in m:  # schema AS OF this commit (changelog replays
         m["snapshots"][str(v)]["schema"] = m["schema"]  # need history)
-    m["version"] = v
+    _advance(m, branch, v)
     if batch_id is not None:
         m["applied"].append(batch_id)
-    _commit(table_dir, m, expected_version=v - 1)
+    _commit(table_dir, m, expected_seq=seq0)
     return stats
 
 
@@ -855,12 +920,13 @@ def compact_table(spark: SparkSession, table_dir: str,
     rewrite with sort order)."""
     from pdf_parser_spark.sources.compact import plan_n_files
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     prev_snap = m["snapshots"][str(m["version"])]
     cur = prev_snap["files"]
     total = sum(os.path.getsize(os.path.join(table_dir, f)) for f in cur)
     n_out = plan_n_files(total, target_mb)
     df = read_table(spark, table_dir)  # masked: deletes applied here
-    v = m["version"] + 1
+    v = _next_snapshot_id(m)
     tag = f"v{v}"
     if cluster_by:
         # RANGE partition, not hash: hashing on the cluster columns
@@ -885,7 +951,7 @@ def compact_table(spark: SparkSession, table_dir: str,
     # compaction is ALSO the merge-on-read reconciler: masks are
     # materialized into the rewrite, so the new snapshot carries no
     # delete files and reads join-free again
-    m["snapshots"][str(v)] = {"files": files,
+    m["snapshots"][str(v)] = {"files": files, "parent": m["version"],
                               "compaction": {
                                   "in_files": len(cur),
                                   "out_files": len(files),
@@ -894,13 +960,14 @@ def compact_table(spark: SparkSession, table_dir: str,
     if "schema" in m:
         m["snapshots"][str(v)]["schema"] = m["schema"]
     m["version"] = v
-    _commit(table_dir, m, expected_version=v - 1)
+    _commit(table_dir, m, expected_seq=seq0)
     return {"version": v, "in_files": len(cur), "out_files": len(files)}
 
 
 def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
                 *, batch_id: int | None = None,
-                base_version: int | None = None) -> dict:
+                base_version: int | None = None,
+                branch: str | None = None) -> dict:
     """Append-only commit (Iceberg's append snapshot): write ``rows``
     as new data files, carry EVERY existing file by name — no pruning
     pass, no rewrite, no delete files. The caller asserts the keys are
@@ -918,11 +985,12 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
     probe and this call would pass it and let duplicate keys in
     silently. Pass the probed version to close that window."""
     m = read_manifest(table_dir)
-    if base_version is not None and m["version"] != base_version:
+    seq0 = _seq(m)
+    if base_version is not None and _head(m, branch) != base_version:
         raise ConcurrentCommitError(
-            f"table advanced v{base_version} -> v{m['version']} since "
-            "the caller's probe; its key-novelty reasoning is stale — "
-            "re-probe on the new snapshot and retry")
+            f"table advanced v{base_version} -> v{_head(m, branch)} "
+            "since the caller's probe; its key-novelty reasoning is "
+            "stale — re-probe on the new snapshot and retry")
     if batch_id is not None and batch_id in m["applied"]:
         return {"skipped": True, "batch_id": batch_id,
                 "version": m["version"]}
@@ -934,25 +1002,27 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
         fields = StructType.fromJson(json.loads(m["schema"])).fields
         rows = rows.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                              for f in fields])
-    v = m["version"] + 1
+    base = _head(m, branch)
+    v = _next_snapshot_id(m)
     new_files = _write_data_files(rows, table_dir, f"v{v}")
     rows_out = _register_new_files(m, table_dir, new_files, key_col)
     m.setdefault("seq", {}).update({f: v for f in new_files})
-    prev_snap = m["snapshots"][str(m["version"])]
+    prev_snap = m["snapshots"][str(base)]
     stats = {"version": v, "batch_id": batch_id, "strategy": "append",
              "files_carried": len(prev_snap["files"]),
-             "files_added": len(new_files), "rows_written": rows_out}
+             "files_added": len(new_files), "rows_written": rows_out,
+             **({"branch": branch} if branch else {})}
     m["snapshots"][str(v)] = {"files": prev_snap["files"] + new_files,
-                              "append": stats}
+                              "parent": base, "append": stats}
     dels = _delete_entries(prev_snap)
     if dels:
         m["snapshots"][str(v)]["deletes"] = dels
     if "schema" in m:
         m["snapshots"][str(v)]["schema"] = m["schema"]
-    m["version"] = v
+    _advance(m, branch, v)
     if batch_id is not None:
         m["applied"].append(batch_id)
-    _commit(table_dir, m, expected_version=v - 1)
+    _commit(table_dir, m, expected_seq=seq0)
     return stats
 
 
@@ -966,6 +1036,7 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
     across this snapshot correctly diffs to zero changes (rewritten
     live rows cancel against their old copies)."""
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     snap = m["snapshots"][str(m["version"])]
     dels = _delete_entries(snap)
     if not dels:
@@ -979,7 +1050,7 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
     bounds = file_key_bounds(spark, table_dir, cur, key_col, manifest=m)
     affected = sorted(set(_affected_files(bounds, keys)))
     carried = [f for f in cur if f not in set(affected)]
-    v = m["version"] + 1
+    v = _next_snapshot_id(m)
     new_files: list[str] = []
     rows_out = 0
     if affected:
@@ -993,11 +1064,11 @@ def rewrite_masked_files(spark: SparkSession, table_dir: str) -> dict:
              "delete_files_purged": len(dels),
              "rows_written": rows_out}
     m["snapshots"][str(v)] = {"files": carried + new_files,
-                              "rewrite": stats}
+                              "parent": m["version"], "rewrite": stats}
     if "schema" in m:
         m["snapshots"][str(v)]["schema"] = m["schema"]
     m["version"] = v
-    _commit(table_dir, m, expected_version=v - 1)
+    _commit(table_dir, m, expected_seq=seq0)
     return stats
 
 
@@ -1009,6 +1080,7 @@ def add_column(table_dir: str, name: str, dtype: str) -> dict:
     type string ('string', 'double', 'array<int>', ...)."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     if "schema" not in m:
         raise ValueError("pre-schema manifest: cannot evolve (rebuild "
                          "the table to record a schema first)")
@@ -1025,7 +1097,7 @@ def add_column(table_dir: str, name: str, dtype: str) -> dict:
     schema = StructType(schema.fields
                         + [StructField(name, _parse_datatype_string(dtype))])
     m["schema"] = schema.json()
-    _commit(table_dir, m, expected_version=m["version"])
+    _commit(table_dir, m, expected_seq=seq0)
     return {"columns": schema.fieldNames()}
 
 
@@ -1038,6 +1110,7 @@ def drop_column(table_dir: str, name: str) -> dict:
     data would be wrong — add + backfill + drop is the honest path."""
     from pyspark.sql.types import StructType
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     if "schema" not in m:
         raise ValueError("pre-schema manifest: cannot evolve (rebuild "
                          "the table to record a schema first)")
@@ -1049,7 +1122,7 @@ def drop_column(table_dir: str, name: str) -> dict:
     schema = StructType([f for f in schema.fields if f.name != name])
     m["schema"] = schema.json()
     m.setdefault("dropped", []).append(name)
-    _commit(table_dir, m, expected_version=m["version"])
+    _commit(table_dir, m, expected_seq=seq0)
     return {"columns": schema.fieldNames()}
 
 
@@ -1061,24 +1134,166 @@ def create_tag(table_dir: str, name: str,
     snapshot while maintenance advances the table. Re-tagging an
     existing name moves it (promote-the-new-build in one commit)."""
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     v = m["version"] if version is None else int(version)
     if str(v) not in m["snapshots"]:
         raise ValueError(f"version {v} not in table (have: "
                          f"{sorted(m['snapshots'])})")
     m.setdefault("refs", {})[name] = v
-    _commit(table_dir, m, expected_version=m["version"])
+    _commit(table_dir, m, expected_seq=seq0)
     return {"tag": name, "version": v}
 
 
 def drop_tag(table_dir: str, name: str) -> dict:
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     refs = m.get("refs", {})
     if name not in refs:
         raise ValueError(f"tag {name!r} not in table (have: "
                          f"{sorted(refs)})")
     v = refs.pop(name)
-    _commit(table_dir, m, expected_version=m["version"])
+    _commit(table_dir, m, expected_seq=seq0)
     return {"dropped": name, "version": v}
+
+
+# --- branches (write-audit-publish) ------------------------------------------
+
+def create_branch(table_dir: str, name: str,
+                  version: int | None = None) -> dict:
+    """A MUTABLE named ref (Iceberg's branch, the other half of the tag
+    model): writes targeted at it (``merge_into(..., branch=name)``,
+    ``append_rows(..., branch=name)``) advance the branch head while
+    main — what ``read_table`` serves by default — never sees them.
+    This is the write-audit-publish staging shape: stage a refresh on a
+    branch, audit the BRANCH read, and ``fast_forward`` main only on
+    green; a red audit drops the branch and main was never touched.
+
+    The branch starts at ``version`` (main's head by default) and
+    records it as ``base`` — the publish-is-fast-forward check."""
+    m = read_manifest(table_dir)
+    seq0 = _seq(m)
+    v = m["version"] if version is None else int(version)
+    if str(v) not in m["snapshots"]:
+        raise ValueError(f"version {v} not in table (have: "
+                         f"{sorted(m['snapshots'])})")
+    branches = m.setdefault("branches", {})
+    if name in branches:
+        raise ValueError(f"branch {name!r} already exists "
+                         f"(head v{branches[name]['head']}); drop it "
+                         "or pick another name")
+    if name in m.get("refs", {}):
+        raise ValueError(f"{name!r} is already a tag — tags and "
+                         "branches share the ref namespace")
+    branches[name] = {"head": v, "base": v}
+    _commit(table_dir, m, expected_seq=seq0)
+    return {"branch": name, "head": v, "base": v}
+
+
+def _branch_only_snapshots(m: dict, name: str) -> list[int]:
+    """Snapshot ids reachable ONLY from this branch's head: the walk
+    from head down to (excluding) the branch base. Snapshots at or
+    below base are shared history; snapshots on other refs' chains are
+    never in this walk because every id is written by exactly one
+    commit to exactly one chain."""
+    b = m["branches"][name]
+    own = []
+    for v in _ancestry(m, b["head"]):
+        if v == b["base"]:
+            break
+        own.append(v)
+    return own
+
+
+def drop_branch(table_dir: str, name: str) -> dict:
+    """Delete a branch: the ref, its branch-only snapshots, their
+    batch-ledger entries (an audit-failed batch must be retryable on
+    main — WAP's abort path), and any data/delete files no surviving
+    snapshot references. File deletion is manifest-first, same crash
+    order as ``vacuum``."""
+    m = read_manifest(table_dir)
+    seq0 = _seq(m)
+    branches = m.get("branches", {})
+    if name not in branches:
+        raise ValueError(f"branch {name!r} not in table (have: "
+                         f"{sorted(branches)})")
+    own = _branch_only_snapshots(m, name)
+    unapplied = []
+    for v in own:
+        snap = m["snapshots"][str(v)]
+        bid = (snap.get("merge") or snap.get("append") or {}) \
+            .get("batch_id")
+        if bid is not None and bid in m["applied"]:
+            m["applied"].remove(bid)
+            unapplied.append(bid)
+    del branches[name]
+    doomed: set[str] = set()
+    doomed_blooms: list[str] = []
+    if own:
+        live: set[str] = set()
+        for k, snap in m["snapshots"].items():
+            if int(k) in set(own):
+                continue
+            live.update(snap["files"])
+            live.update(e["file"] for e in _delete_entries(snap))
+        for v in own:
+            snap = m["snapshots"][str(v)]
+            doomed.update(f for f in snap["files"] if f not in live)
+            doomed.update(e["file"] for e in _delete_entries(snap)
+                          if e["file"] not in live)
+            del m["snapshots"][str(v)]
+        for f in doomed:
+            m.get("stats", {}).pop(f, None)
+            m.get("seq", {}).pop(f, None)
+            for cs in m.get("colstats", {}).values():
+                cs.pop(f, None)
+            for bs in m.get("bloomstats", {}).values():
+                ent = bs.pop(f, None)
+                if ent:
+                    doomed_blooms.append(ent["path"])
+    _commit(table_dir, m, expected_seq=seq0)
+    dropped_files = 0
+    for rel in sorted(doomed) + doomed_blooms:
+        p = os.path.join(table_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            dropped_files += 1
+    return {"dropped": name, "snapshots_removed": sorted(own),
+            "files_removed": dropped_files,
+            "batch_ids_unapplied": unapplied}
+
+
+def fast_forward(table_dir: str, name: str, *,
+                 drop: bool = False) -> dict:
+    """Publish a branch: move main's head to the branch head — a
+    METADATA-ONLY commit, the WAP publish step. Requires main to be an
+    ANCESTOR of the branch head (a true fast-forward; Iceberg's
+    fastForwardBranch makes the same demand): if main advanced past the
+    branch base since staging, the branch's rewrites were computed
+    against stale files and publishing them would silently drop main's
+    newer commits — raise instead; the caller re-stages on a fresh
+    branch. ``drop=True`` also retires the ref in the same commit (its
+    snapshots are now main history, so only the name goes)."""
+    m = read_manifest(table_dir)
+    seq0 = _seq(m)
+    branches = m.get("branches", {})
+    if name not in branches:
+        raise ValueError(f"branch {name!r} not in table (have: "
+                         f"{sorted(branches)})")
+    head = branches[name]["head"]
+    if m["version"] not in _ancestry(m, head):
+        raise ConcurrentCommitError(
+            f"main (v{m['version']}) is not an ancestor of branch "
+            f"{name!r} (head v{head}, base v{branches[name]['base']}) "
+            "— main advanced since the branch was staged; re-stage on "
+            "a fresh branch")
+    old = m["version"]
+    m["version"] = head
+    if drop:
+        del branches[name]
+    else:
+        branches[name]["base"] = head
+    _commit(table_dir, m, expected_seq=seq0)
+    return {"published": name, "from_version": old, "to_version": head}
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> dict:
@@ -1089,9 +1304,22 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     m = read_manifest(table_dir)
+    seq0 = _seq(m)
     versions = sorted(int(v) for v in m["snapshots"])
-    keep = set(versions[-keep_last:])
+    # "newest keep_last" means newest of MAIN's ancestry — branch
+    # snapshots share the id namespace and must not displace main's
+    # history out of the keep window
+    main_chain = _ancestry(m, m["version"])
+    keep = set(main_chain[:keep_last]) or {m["version"]}
     keep.update(m.get("refs", {}).values())  # tags survive vacuum
+    for name in m.get("branches", {}):
+        # a branch survives vacuum WHOLE (head->base chain + base):
+        # dropping an intermediate would break the publish-time
+        # ancestry walk; branches are short-lived staging by contract
+        b = m["branches"][name]
+        keep.update(_branch_only_snapshots(m, name))
+        keep.update(v for v in (b["head"], b["base"])
+                    if str(v) in m["snapshots"])
     live: set[str] = set()
     for v in keep:
         snap = m["snapshots"][str(v)]
@@ -1119,7 +1347,7 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     # Manifest-first, deletion-after (Iceberg's expire order): a crash
     # between the two leaves unreferenced files on disk (harmless
     # orphans), never a committed manifest pointing at deleted files.
-    _commit(table_dir, m, expected_version=m["version"])
+    _commit(table_dir, m, expected_seq=seq0)
     dropped_files = 0
     for f in doomed:
         p = os.path.join(table_dir, f)
@@ -1244,13 +1472,24 @@ def table_changes(spark: SparkSession, table_dir: str,
               for f in cur_fields],
             "change_type", "commit_version")
 
+    # the step sequence is the PARENT chain from to_version down to
+    # from_version (pre-branch snapshots fall back to the v-1 walk) —
+    # snapshot ids are global across branches, so consecutive ids need
+    # not be consecutive commits of this lineage
+    chain = _ancestry(m, to_version)
+    if from_version not in chain:
+        raise ValueError(
+            f"version {from_version} is not an ancestor of "
+            f"{to_version} (its chain reaches {sorted(chain)}) — "
+            "either a vacuumed gap or endpoints on different branches; "
+            "changelog is undefined there")
+    steps = list(reversed(chain[:chain.index(from_version)]))
     out: DataFrame | None = None
-    for v in range(from_version + 1, to_version + 1):
-        if str(v) not in m["snapshots"]:
-            raise ValueError(f"version {v} missing between endpoints "
-                             "(vacuumed) — changelog is broken there")
-        prev_snap = m["snapshots"][str(v - 1)]
+    parent = from_version
+    for v in steps:
+        prev_snap = m["snapshots"][str(parent)]
         snap_v = m["snapshots"][str(v)]
+        parent = v
         old = set(prev_snap["files"])
         new = set(snap_v["files"])
         removed, added = sorted(old - new), sorted(new - old)

@@ -148,7 +148,9 @@ def build_extracted_table(spark: SparkSession, src_dir: str, dst_dir: str,
 def refresh_extracted_table(spark: SparkSession, src_dir: str,
                             dst_dir: str,
                             cfg: ExtractionConfig | None = None,
-                            strategy: str = "cow") -> dict:
+                            strategy: str = "cow",
+                            branch: str | None = None,
+                            stamp: bool = True) -> dict:
     """Advance ``dst_dir`` to reflect ``src_dir``'s current version by
     re-extracting ONLY conversations the changelog names. ``cfg``
     defaults to (and must equal) the config recorded at build time.
@@ -157,7 +159,15 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
     merge-on-read commit — the right mode when refreshes fire per
     micro-batch (live maintenance): the dst table's chunk files stop
     being rewritten every trigger; run ``compact_table`` on it
-    periodically to purge the accumulated masks."""
+    periodically to purge the accumulated masks.
+
+    ``branch``: stage the merge on a cow-table branch instead of main
+    (the WAP write step — see ``wap_refresh_extracted``). The staged
+    commit reads old chunks at the BRANCH head and, with
+    ``stamp=False``, leaves the reflects-src_v marker for the publish
+    step; stage ONE refresh per branch, then publish or drop — the
+    from_v bookkeeping tracks MAIN's marker, so stacking unpublished
+    refreshes would re-extract the first batch's conversations."""
     src_v = read_manifest(src_dir)["version"]
     dst_m = read_manifest(dst_dir)
     from_v = dst_m.get("src_version")
@@ -183,24 +193,105 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
                .select("conv_id").distinct())
     convs = sorted(r[0] for r in changed.collect())
     if not convs:  # e.g. the only steps were compactions
-        _record_src_version(dst_dir, src_v)
+        if stamp:
+            _record_src_version(dst_dir, src_v)
         return {"skipped": True, "src_version": src_v,
-                "changed_convs": 0}
+                "changed_convs": 0, "convs": []}
 
     # reads pin src_v: a source commit landing mid-refresh must not leak
     # newer rows into a table that will record "reflects src_v"
     src_rows = _pruned_conv_read(spark, src_dir, convs, version=src_v)
     new_chunks = _with_chunk_key(extract(src_rows, cfg))
-    old_chunks = _pruned_conv_read(spark, dst_dir, convs)
+    dst_v = (dst_m["branches"][branch]["head"] if branch is not None
+             else None)
+    old_chunks = _pruned_conv_read(spark, dst_dir, convs, version=dst_v)
     stale = old_chunks.join(new_chunks.select(CHUNK_KEY),
                             CHUNK_KEY, "left_anti")
     batch = (new_chunks.withColumn("op", F.lit("upsert"))
              .unionByName(stale.withColumn("op", F.lit("delete"))))
     stats = merge_into(spark, dst_dir, batch, batch_id=src_v,
-                       strategy=strategy)
-    _record_src_version(dst_dir, src_v)
+                       strategy=strategy, branch=branch)
+    if stamp:
+        _record_src_version(dst_dir, src_v)
+    # convs is driver-sized by construction (it was collected to drive
+    # the pruned reads); returning it lets WAP audit exactly these rows
     return {"src_version": src_v, "from_version": from_v,
-            "changed_convs": len(convs), "merge": stats}
+            "changed_convs": len(convs), "convs": convs, "merge": stats}
+
+
+# --- write-audit-publish (WAP) refresh ---------------------------------------
+
+def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
+                          cfg: ExtractionConfig | None = None,
+                          strategy: str = "cow",
+                          audits: dict | None = None) -> dict:
+    """Write-audit-publish refresh: the refresh merge lands on a
+    throwaway BRANCH of ``dst_dir``, data-quality audits run against the
+    branch read, and main moves only on green — a red audit drops the
+    branch and main never served a single staged row. This is Iceberg's
+    WAP pattern (spark.wap.branch + fastForwardBranch) rebuilt on the
+    cow table's branch refs.
+
+    Audits read ONLY the changed conversations at the branch head — the
+    only rows this commit could have broken; every unchanged row passed
+    the same audits when its own commit landed. Built-in audits run as
+    ONE aggregation pass: duplicate chunk keys, NULL text, NULL/negative
+    char_count. ``audits`` adds named callables ``df -> violations_df``
+    over the same changed-conv branch read; each must return an empty
+    DataFrame to pass.
+
+    Returns ``{"published": True, ...}`` with the per-audit violation
+    counts on green; ``{"published": False, "audits": ...}`` with the
+    branch dropped (and the batch ledger re-opened, so a fixed extractor
+    can re-merge the same src version) on red. A crashed prior attempt's
+    leftover branch is dropped and restaged. If a concurrent writer
+    advances main between stage and publish, ``fast_forward`` raises
+    ConcurrentCommitError — retry the whole call on the new snapshot."""
+    from pdf_parser_spark.sources.cowtable import (create_branch,
+                                                   drop_branch,
+                                                   fast_forward)
+    src_v = read_manifest(src_dir)["version"]
+    name = f"wap-{src_v}"
+    if name in read_manifest(dst_dir).get("branches", {}):
+        # a crashed prior attempt: its staging was never published, and
+        # dropping it re-opens the batch ledger so this retry can merge
+        drop_branch(dst_dir, name)
+    create_branch(dst_dir, name)
+    try:
+        stats = refresh_extracted_table(spark, src_dir, dst_dir, cfg,
+                                        strategy=strategy, branch=name,
+                                        stamp=False)
+    except BaseException:
+        drop_branch(dst_dir, name)
+        raise
+    if stats.get("skipped"):
+        drop_branch(dst_dir, name)
+        if "changed_convs" in stats:  # caught up over no-data steps:
+            _record_src_version(dst_dir, src_v)  # stamp what stamp=False
+        return {**stats, "published": False}  # deferred; nothing staged
+
+    head = read_manifest(dst_dir)["branches"][name]["head"]
+    staged = _pruned_conv_read(spark, dst_dir, stats["convs"],
+                               version=head)
+    r = staged.agg(
+        (F.count("*") - F.count_distinct(F.col(CHUNK_KEY)))
+        .alias("duplicate_chunk_key"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .alias("null_text"),
+        F.sum(F.when(F.col("char_count").isNull()
+                     | (F.col("char_count") < 0), 1).otherwise(0))
+        .alias("bad_char_count")).collect()[0]
+    results = {k: int(v) for k, v in r.asDict().items()}
+    for aname, fn in (audits or {}).items():
+        results[aname] = fn(staged).count()
+    if any(results.values()):
+        dropped = drop_branch(dst_dir, name)
+        return {**stats, "published": False, "audits": results,
+                "dropped_branch": dropped}
+    pub = fast_forward(dst_dir, name, drop=True)
+    _record_src_version(dst_dir, src_v)
+    return {**stats, "published": True, "audits": results,
+            "publish": pub}
 
 
 # --- derived embeddings table (the second derivation hop) -------------------

@@ -579,13 +579,15 @@ def test_concurrent_commit_detected(spark, docs, table):
     first writer's manifest read and its commit."""
     from pdf_parser_spark.sources.cowtable import (ConcurrentCommitError,
                                                    _commit)
+    from pdf_parser_spark.sources.cowtable import _seq
     m_stale = read_manifest(table)             # writer A reads v1
+    seq0 = _seq(m_stale)
     ch = (docs.where("doc_id < 5")
           .withColumn("op", F.lit("upsert")))
     merge_into(spark, table, ch)               # writer B commits v2
     m_stale["version"] = 2                     # A builds its v2...
-    with pytest.raises(ConcurrentCommitError, match="advanced v1 -> v2"):
-        _commit(table, m_stale, expected_version=1)
+    with pytest.raises(ConcurrentCommitError, match="advanced commit"):
+        _commit(table, m_stale, expected_seq=seq0)
     assert read_manifest(table)["version"] == 2   # B's commit intact
 
 
@@ -676,7 +678,7 @@ def test_tags_pin_snapshots_through_vacuum(spark, docs, table):
     assert read_manifest(d)["version"] == 3
     # read by tag == read by pinned version
     assert _digest(read_table(spark, d, version="prod")) == v1_digest
-    with pytest.raises(ValueError, match="tag 'nope' not in table"):
+    with pytest.raises(ValueError, match="ref 'nope' not in table"):
         read_table(spark, d, version="nope")
     # vacuum keeps the tagged v1 alongside the current v3; v2 goes
     v = vacuum(d, keep_last=1)

@@ -210,6 +210,19 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert _digest(_dropc(tagged)) == _digest(_dropc(read_table(spark,
                                                                 dst)))
 
+    # --wap: the same refresh staged on a branch and published on green;
+    # no branch survives the run and the table still equals a rebuild
+    upd2 = (turns.where(F.col("conv_id") == one)
+            .withColumn("text", F.concat(F.lit("W "), "text"))
+            .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd2)
+    out = run("--wap")
+    assert out["refresh"]["published"] is True
+    assert out["refresh"]["audits"]["duplicate_chunk_key"] == 0
+    assert read_manifest(dst).get("branches", {}) == {}
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+
 
 def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
     """The full round-4 composition: a CDC stream lands on the

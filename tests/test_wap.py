@@ -1,0 +1,121 @@
+"""Write-audit-publish refresh: staged merges audit on a branch and
+publish to main only on green; a red audit leaves main bit-identical and
+re-opens the batch ledger for a retry. Reference analog: the reference
+validates extraction output before persisting (pdf_parser.py's per-page
+error handling); WAP is that contract made transactional at table
+granularity, the Iceberg spark.wap.branch pattern."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.pipeline import extract, read_transcripts
+from pdf_parser_spark.sources.cowtable import (create_branch, merge_into,
+                                               read_manifest, read_table)
+from pdf_parser_spark.sources.maintain import (CHUNK_KEY, _with_chunk_key,
+                                               build_extracted_table,
+                                               refresh_extracted_table,
+                                               wap_refresh_extracted)
+from pdf_parser_spark.sources.synth import write_transcripts_parquet
+
+
+def _digest(df):
+    df = df.withColumn("table_cells", F.col("table_cells").cast("string"))
+    canon = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                                   F.lit("\x00"))
+                                        for c in sorted(df.columns)]))
+    h = F.conv(F.substring(canon, 1, 15), 16, 10).cast("decimal(38,0)")
+    r = df.agg(F.sum(h).alias("s"), F.count("*").alias("n")).collect()[0]
+    return (int(r.s) if r.s is not None else 0), int(r.n)
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=24, seed=11)
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    from pdf_parser_spark.sources.cowtable import create_table
+    create_table(spark, turns.repartitionByRange(4, "turn_key"),
+                 src, "turn_key")
+    build_extracted_table(spark, src, dst)
+    return src, dst
+
+
+def _mutate_src(spark, src, text="edited for wap", n=3):
+    turns = read_table(spark, src)
+    keys = [r[0] for r in turns.select("turn_key").orderBy("turn_key")
+            .limit(n).collect()]
+    batch = (turns.where(F.col("turn_key").isin(keys))
+             .withColumn("text", F.lit(text))
+             .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, batch, batch_id=900 + n)
+
+
+def test_wap_green_publishes_and_equals_rebuild(spark, tables):
+    src, dst = tables
+    _mutate_src(spark, src)
+    out = wap_refresh_extracted(spark, src, dst)
+    assert out["published"] is True
+    assert out["audits"] == {"duplicate_chunk_key": 0, "null_text": 0,
+                             "bad_char_count": 0}
+    m = read_manifest(dst)
+    assert m.get("branches", {}) == {}  # publish retired the ref
+    assert m["src_version"] == read_manifest(src)["version"]
+    full = _with_chunk_key(extract(read_table(spark, src)))
+    assert _digest(read_table(spark, dst)) == _digest(full)
+
+
+def test_wap_red_leaves_main_untouched_and_retryable(spark, tables):
+    src, dst = tables
+    before_digest = _digest(read_table(spark, dst))
+    before_m = read_manifest(dst)
+    _mutate_src(spark, src)
+    # an audit that always fails: flags every changed row
+    out = wap_refresh_extracted(
+        spark, src, dst, audits={"always_red": lambda df: df})
+    assert out["published"] is False
+    assert out["audits"]["always_red"] > 0
+    m = read_manifest(dst)
+    assert m["version"] == before_m["version"]
+    assert m.get("branches", {}) == {}  # red audit dropped the branch
+    assert m["src_version"] == before_m["src_version"]  # no stamp
+    assert _digest(read_table(spark, dst)) == before_digest
+    # the ledger re-opened: a plain refresh of the SAME src version lands
+    stats = refresh_extracted_table(spark, src, dst)
+    assert not stats.get("skipped") and not stats["merge"].get("skipped")
+    full = _with_chunk_key(extract(read_table(spark, src)))
+    assert _digest(read_table(spark, dst)) == _digest(full)
+
+
+def test_wap_noop_when_caught_up(spark, tables):
+    src, dst = tables
+    out = wap_refresh_extracted(spark, src, dst)
+    assert out["published"] is False and out["skipped"] is True
+    assert read_manifest(dst).get("branches", {}) == {}
+
+
+def test_wap_retries_over_crashed_attempt(spark, tables):
+    src, dst = tables
+    _mutate_src(spark, src)
+    # simulate a crash that left the staging branch behind
+    src_v = read_manifest(src)["version"]
+    create_branch(dst, f"wap-{src_v}")
+    out = wap_refresh_extracted(spark, src, dst)
+    assert out["published"] is True
+    assert read_manifest(dst).get("branches", {}) == {}
+
+
+def test_wap_custom_audit_green_path(spark, tables):
+    src, dst = tables
+    _mutate_src(spark, src, text="custom audit text")
+    out = wap_refresh_extracted(
+        spark, src, dst,
+        audits={"no_empty_convs": lambda df:
+                df.groupBy("conv_id").count().where(F.col("count") < 1)})
+    assert out["published"] is True
+    assert out["audits"]["no_empty_convs"] == 0
