@@ -1296,6 +1296,58 @@ def fast_forward(table_dir: str, name: str, *,
     return {"published": name, "from_version": old, "to_version": head}
 
 
+def rollback_table(table_dir: str, version: int | str) -> dict:
+    """Move main back to an ANCESTOR snapshot (Iceberg's rollback):
+    a metadata-only commit — no data moves, no files are deleted.
+    ``version`` may be a snapshot id or a tag name. The rolled-over
+    snapshots stay in the manifest until vacuum reclaims them (they are
+    no longer on main's ancestry, so the next vacuum's keep-window
+    passes them by unless a tag or branch holds them); to keep a path
+    back, ``create_branch`` at the old head first — publishing that
+    branch later is a plain ``fast_forward``.
+
+    The rolled-over snapshots' batch-ledger entries are REMOVED (same
+    as ``drop_branch``): rollback says "those merges did not happen",
+    so replaying the same CDC batches must land them again — the merge
+    path is row-idempotent by key, making the replay safe even if a
+    restored branch re-exposes the old snapshots.
+
+    Changelog streams whose offset sits past the rollback point will
+    raise ("rewound ref") at their next trigger rather than silently
+    emitting history that main no longer claims — restart them from a
+    retained version."""
+    m = read_manifest(table_dir)
+    seq0 = _seq(m)
+    if isinstance(version, str):
+        refs = m.get("refs", {})
+        if version not in refs:
+            raise ValueError(f"tag {version!r} not in table (have: "
+                             f"{sorted(refs)})")
+        version = refs[version]
+    chain = _ancestry(m, m["version"])
+    if version not in chain:
+        raise ValueError(
+            f"v{version} is not an ancestor of main (v{m['version']}) "
+            "— rollback only rewinds main's own history; to adopt a "
+            "branch snapshot use fast_forward")
+    if version == m["version"]:
+        return {"skipped": True, "version": version}
+    rolled_over = chain[:chain.index(version)]
+    unapplied = []
+    for v in rolled_over:
+        snap = m["snapshots"][str(v)]
+        bid = (snap.get("merge") or snap.get("append") or {}) \
+            .get("batch_id")
+        if bid is not None and bid in m["applied"]:
+            m["applied"].remove(bid)
+            unapplied.append(bid)
+    old = m["version"]
+    m["version"] = version
+    _commit(table_dir, m, expected_seq=seq0)
+    return {"from_version": old, "to_version": version,
+            "rolled_over": rolled_over, "batch_ids_unapplied": unapplied}
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     """Drop snapshots older than the newest ``keep_last`` and delete
     data files no retained snapshot references. Time travel reaches only

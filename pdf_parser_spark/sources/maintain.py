@@ -577,23 +577,46 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
                            emb_dir: str | None = None,
                            store_dir: str | None = None,
                            ivf_dir: str | None = None,
-                           strategy: str = "cow"):
+                           strategy: str = "cow",
+                           wap: bool = False,
+                           audits: dict | None = None):
     """An ``on_commit`` hook for ``streaming/cow_sink.merge_stream``
     that refreshes the WHOLE derivation lineage after every source
     micro-batch: chunks, then (if configured) embeddings through the
     content cache, then the IVF index. Each hop is ledgered under its
     upstream's version, so the hook is idempotent under foreachBatch
     replays — the retry path merge_stream documents. Returns the
-    callable; per-hop stats accumulate on its ``.log`` attribute."""
+    callable; per-hop stats accumulate on its ``.log`` attribute.
+
+    ``wap=True`` routes the chunk hop through
+    ``wap_refresh_extracted``: every micro-batch's re-extraction is
+    audited on a branch before main moves, and a red audit QUARANTINES
+    the batch — the chunk table (and therefore every downstream hop,
+    which follows its changelog) simply does not advance, the stream
+    keeps running, and the red entry on ``.log`` carries the violation
+    counts. Because the drop re-opened the batch ledger, fixing the
+    extractor and re-running the refresh lands the same source version."""
     if (emb_dir is None) != (store_dir is None):
         raise ValueError("emb_dir and store_dir go together")
     if ivf_dir is not None and emb_dir is None:
         raise ValueError("ivf_dir needs emb_dir/store_dir")
+    if audits is not None and not wap:
+        raise ValueError("audits only apply with wap=True")
 
     def refresh(spark: SparkSession, merge_stats: dict) -> None:
-        out = {"src": merge_stats.get("version"),
-               "chunks": refresh_extracted_table(spark, src_dir, dst_dir,
-                                                 strategy=strategy)}
+        if wap:
+            chunks = wap_refresh_extracted(spark, src_dir, dst_dir,
+                                           strategy=strategy,
+                                           audits=audits)
+        else:
+            chunks = refresh_extracted_table(spark, src_dir, dst_dir,
+                                             strategy=strategy)
+        out = {"src": merge_stats.get("version"), "chunks": chunks}
+        if wap and "audits" in chunks and not chunks["published"]:
+            # red audit: the chunk table never moved, so the downstream
+            # hops would no-op this trigger — record the quarantine
+            refresh.log.append(out)
+            return
         if emb_dir is not None:
             out["embeddings"] = refresh_embedded_table(
                 spark, dst_dir, emb_dir, store_dir, strategy=strategy)

@@ -199,3 +199,63 @@ def test_branch_heads_race_detected_via_commit_seq(spark, docs, table):
     with pytest.raises(ConcurrentCommitError, match="not an ancestor"):
         fast_forward(table, "a")
     drop_branch(table, "a")
+
+
+# --- rollback (metadata-only rewind of main) ---------------------------------
+
+def test_rollback_rewinds_main_and_vacuum_reclaims(spark, docs, table):
+    from pdf_parser_spark.sources.cowtable import rollback_table
+    base = _digest(docs)
+    merge_into(spark, table, _upserts(docs, 0, 20, "R1:"), batch_id=71)
+    merge_into(spark, table, _upserts(docs, 20, 40, "R2:"), batch_id=72)
+    out = rollback_table(table, 1)
+    assert out["to_version"] == 1 and out["rolled_over"] == [3, 2]
+    assert out["batch_ids_unapplied"] == [72, 71]
+    assert _digest(read_table(spark, table)) == base
+    m = read_manifest(table)
+    assert m["version"] == 1 and m["applied"] == []
+    # the rolled-over snapshots linger for inspection until vacuum,
+    # which no longer sees them on main's ancestry
+    assert {"1", "2", "3"} <= set(m["snapshots"])
+    vacuum(table, keep_last=2)
+    m = read_manifest(table)
+    assert set(m["snapshots"]) == {"1"}
+    # the un-applied batches land again (row-idempotent replay)
+    merge_into(spark, table, _upserts(docs, 0, 20, "R1:"), batch_id=71)
+    assert read_table(spark, table).where(
+        F.col("text").startswith("R1:")).count() == \
+        docs.where("doc_id < 20").count()
+
+
+def test_rollback_to_tag_and_guardrails(spark, docs, table):
+    from pdf_parser_spark.sources.cowtable import (create_tag,
+                                                   rollback_table)
+    merge_into(spark, table, _upserts(docs, 0, 10, "T:"))
+    create_tag(table, "good")  # v2
+    merge_into(spark, table, _upserts(docs, 10, 20, "BAD:"))
+    out = rollback_table(table, "good")
+    assert out["to_version"] == 2
+    got = read_table(spark, table)
+    assert got.where(F.col("text").startswith("BAD:")).count() == 0
+    assert got.where(F.col("text").startswith("T:")).count() == \
+        docs.where("doc_id < 10").count()
+    # idempotent at the target; refuses non-ancestors (branch snapshots)
+    assert rollback_table(table, 2).get("skipped") is True
+    create_branch(table, "side")
+    merge_into(spark, table, _upserts(docs, 50, 60, "S:"), branch="side")
+    side_head = read_manifest(table)["branches"]["side"]["head"]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_table(table, side_head)
+
+
+def test_rollback_then_branch_restore_roundtrip(spark, docs, table):
+    """Keep a path back: branch at the old head before rolling back;
+    publishing that branch later is a plain fast_forward."""
+    from pdf_parser_spark.sources.cowtable import rollback_table
+    merge_into(spark, table, _upserts(docs, 0, 25, "K:"))
+    head_digest = _digest(read_table(spark, table))
+    create_branch(table, "keep")  # at v2 (old head)
+    rollback_table(table, 1)
+    assert _digest(read_table(spark, table)) == _digest(docs)
+    fast_forward(table, "keep", drop=True)
+    assert _digest(read_table(spark, table)) == head_digest

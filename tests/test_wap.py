@@ -119,3 +119,71 @@ def test_wap_custom_audit_green_path(spark, tables):
                 df.groupBy("conv_id").count().where(F.col("count") < 1)})
     assert out["published"] is True
     assert out["audits"]["no_empty_convs"] == 0
+
+
+def test_live_wap_quarantines_bad_batch_and_recovers(spark, tmp_path):
+    """Live maintenance with WAP: every micro-batch's re-extraction is
+    audited on a branch. A clean batch publishes; a poisoned batch is
+    quarantined (main never advances, the stream keeps running), and a
+    later refresh with the audit removed lands the SAME source version
+    because the drop re-opened the batch ledger."""
+    import os
+
+    from pdf_parser_spark.pipeline import read_transcripts
+    from pdf_parser_spark.sources.cowtable import create_table
+    from pdf_parser_spark.sources.maintain import (
+        build_extracted_table, make_lineage_refresher)
+    from pdf_parser_spark.streaming.cow_sink import merge_stream
+
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=10, seed=31)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    create_table(spark, turns.repartitionByRange(3, "turn_key"),
+                 src, "turn_key")
+    build_extracted_table(spark, src, dst)
+
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    stream_dir = str(tmp_path / "cdc")
+    os.makedirs(stream_dir)
+    for i, (c, mark) in enumerate(zip(convs[:2], ("CLEAN", "POISON"))):
+        (turns.where(F.col("conv_id") == c)
+         .withColumn("text", F.concat(F.lit(mark + " "), "text"))
+         .withColumn("op", F.lit("upsert"))
+         .withColumn("lsn", F.monotonically_increasing_id())
+         .write.mode("overwrite").parquet(f"{stream_dir}/f{i}"))
+
+    audits = {"no_poison": lambda df:
+              df.where(F.col("text").contains("POISON"))}
+    follow = make_lineage_refresher(src, dst, wap=True, audits=audits)
+    schema = (turns.withColumn("op", F.lit("x"))
+              .withColumn("lsn", F.lit(0).cast("long")).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{stream_dir}/f*"))
+    q = merge_stream(stream, src, str(tmp_path / "ckpt"),
+                     order_col="lsn", on_commit=follow)
+    q.awaitTermination(120)
+
+    assert len(follow.log) == 2
+    first, second = (e["chunks"] for e in follow.log)
+    assert first["published"] is True
+    assert second["published"] is False
+    assert second["audits"]["no_poison"] > 0
+    dst_read = read_table(spark, dst)
+    assert dst_read.where(F.col("text").contains("CLEAN")).count() > 0
+    assert dst_read.where(F.col("text").contains("POISON")).count() == 0
+    assert read_manifest(dst).get("branches", {}) == {}
+    # dst still reflects the CLEAN commit's source version, not HEAD
+    assert read_manifest(dst)["src_version"] < read_manifest(src)["version"]
+    # operator decision: the poison is legitimate — refresh without the
+    # audit lands the quarantined version (ledger was re-opened)
+    out = wap_refresh_extracted(spark, src, dst)
+    assert out["published"] is True
+    assert read_manifest(dst)["src_version"] == \
+        read_manifest(src)["version"]
+    full = _with_chunk_key(extract(read_table(spark, src)))
+    assert _digest(read_table(spark, dst)) == _digest(full)
