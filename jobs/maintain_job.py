@@ -81,6 +81,11 @@ def main(argv: list[str]) -> None:
                          "char_count), publish main only on green; a "
                          "red audit drops the branch, leaves every "
                          "maintained table untouched, and exits 3")
+    ap.add_argument("--wap-min-chunk-ratio", type=float, default=None,
+                    help="with --wap: fail the audit when the staged "
+                         "chunk count for the changed conversations "
+                         "drops below this fraction of their current "
+                         "count (collapse guard)")
     ap.add_argument("--tag", default=None,
                     help="after a successful run, move this tag to each"
                          " maintained table's current version (promote-"
@@ -129,11 +134,15 @@ def main(argv: list[str]) -> None:
             # refresh always uses the config RECORDED at build time —
             # mixing configs in one table breaks the digest-equal-to-
             # rebuild contract, so the flags only shape --build
-            refresh = (wap_refresh_extracted if args.wap
-                       else refresh_extracted_table)
-            out["refresh"] = refresh(
-                spark, args.src, args.dst,
-                strategy=args.merge_strategy)
+            if args.wap:
+                out["refresh"] = wap_refresh_extracted(
+                    spark, args.src, args.dst,
+                    strategy=args.merge_strategy,
+                    min_chunk_ratio=args.wap_min_chunk_ratio)
+            else:
+                out["refresh"] = refresh_extracted_table(
+                    spark, args.src, args.dst,
+                    strategy=args.merge_strategy)
             if args.wap and "audits" in out["refresh"] \
                     and not out["refresh"]["published"]:
                 # red audit: dst never moved, so the derived tables

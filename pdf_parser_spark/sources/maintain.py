@@ -224,7 +224,8 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
 def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
                           cfg: ExtractionConfig | None = None,
                           strategy: str = "cow",
-                          audits: dict | None = None) -> dict:
+                          audits: dict | None = None,
+                          min_chunk_ratio: float | None = None) -> dict:
     """Write-audit-publish refresh: the refresh merge lands on a
     throwaway BRANCH of ``dst_dir``, data-quality audits run against the
     branch read, and main moves only on green — a red audit drops the
@@ -239,6 +240,13 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
     char_count. ``audits`` adds named callables ``df -> violations_df``
     over the same changed-conv branch read; each must return an empty
     DataFrame to pass.
+
+    ``min_chunk_ratio``: the collapse guard — fail the audit when the
+    staged chunk count for the changed conversations drops below this
+    fraction of their PRE-refresh count at main (the classic silent
+    failure: a broken extractor that emits almost nothing still
+    "succeeds"; legitimate mass deletion of those conversations should
+    be published with the guard off or via a plain refresh).
 
     Returns ``{"published": True, ...}`` with the per-audit violation
     counts on green; ``{"published": False, "audits": ...}`` with the
@@ -274,6 +282,7 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
     staged = _pruned_conv_read(spark, dst_dir, stats["convs"],
                                version=head)
     r = staged.agg(
+        F.count("*").alias("__staged_rows"),
         (F.count("*") - F.count_distinct(F.col(CHUNK_KEY)))
         .alias("duplicate_chunk_key"),
         F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
@@ -282,6 +291,15 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
                      | (F.col("char_count") < 0), 1).otherwise(0))
         .alias("bad_char_count")).collect()[0]
     results = {k: int(v) for k, v in r.asDict().items()}
+    staged_rows = results.pop("__staged_rows")
+    if min_chunk_ratio is not None:
+        # main is untouched while the merge sits on the branch, so the
+        # pre-refresh chunk count for these conversations is still
+        # readable there (same pruned O(changed-files) read)
+        old_rows = _pruned_conv_read(spark, dst_dir,
+                                     stats["convs"]).count()
+        results["chunk_count_collapse"] = int(
+            old_rows > 0 and staged_rows < min_chunk_ratio * old_rows)
     for aname, fn in (audits or {}).items():
         results[aname] = fn(staged).count()
     if any(results.values()):
@@ -579,7 +597,8 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
                            ivf_dir: str | None = None,
                            strategy: str = "cow",
                            wap: bool = False,
-                           audits: dict | None = None):
+                           audits: dict | None = None,
+                           min_chunk_ratio: float | None = None):
     """An ``on_commit`` hook for ``streaming/cow_sink.merge_stream``
     that refreshes the WHOLE derivation lineage after every source
     micro-batch: chunks, then (if configured) embeddings through the
@@ -600,14 +619,16 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
         raise ValueError("emb_dir and store_dir go together")
     if ivf_dir is not None and emb_dir is None:
         raise ValueError("ivf_dir needs emb_dir/store_dir")
-    if audits is not None and not wap:
-        raise ValueError("audits only apply with wap=True")
+    if (audits is not None or min_chunk_ratio is not None) and not wap:
+        raise ValueError("audits/min_chunk_ratio only apply with "
+                         "wap=True")
 
     def refresh(spark: SparkSession, merge_stats: dict) -> None:
         if wap:
             chunks = wap_refresh_extracted(spark, src_dir, dst_dir,
                                            strategy=strategy,
-                                           audits=audits)
+                                           audits=audits,
+                                           min_chunk_ratio=min_chunk_ratio)
         else:
             chunks = refresh_extracted_table(spark, src_dir, dst_dir,
                                              strategy=strategy)

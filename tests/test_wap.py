@@ -187,3 +187,31 @@ def test_live_wap_quarantines_bad_batch_and_recovers(spark, tmp_path):
         read_manifest(src)["version"]
     full = _with_chunk_key(extract(read_table(spark, src)))
     assert _digest(read_table(spark, dst)) == _digest(full)
+
+
+def test_wap_collapse_guard_quarantines_mass_shrink(spark, tables):
+    """min_chunk_ratio: a refresh that would shrink the changed
+    conversations' chunk count below the floor is quarantined — the
+    guard against a broken extractor that emits almost nothing. A
+    legitimate mass delete publishes with the guard off (the documented
+    operator decision)."""
+    src, dst = tables
+    turns = read_table(spark, src)
+    conv = sorted(r[0] for r in
+                  turns.select("conv_id").distinct().collect())[0]
+    # delete all but one turn of the conversation: its re-extraction
+    # legitimately collapses, which is indistinguishable from extractor
+    # breakage without the operator's say-so
+    doomed = (turns.where(F.col("conv_id") == conv)
+              .orderBy("turn_key").offset(1)
+              .withColumn("op", F.lit("delete")))
+    merge_into(spark, src, doomed, batch_id=401)
+    out = wap_refresh_extracted(spark, src, dst, min_chunk_ratio=0.5)
+    assert out["published"] is False
+    assert out["audits"]["chunk_count_collapse"] == 1
+    assert read_manifest(dst).get("branches", {}) == {}
+    # operator confirms the shrink is real: republish without the guard
+    out = wap_refresh_extracted(spark, src, dst)
+    assert out["published"] is True
+    full = _with_chunk_key(extract(read_table(spark, src)))
+    assert _digest(read_table(spark, dst)) == _digest(full)
