@@ -74,6 +74,11 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--ivf-pq-m", type=int, default=None,
                     help="store residual PQ codes too (maintained "
                          "IVFADC: ADC probes scan 4+m bytes/row)")
+    ap.add_argument("--metrics-dst", default=None,
+                    help="also maintain a per-conversation extraction-"
+                         "metrics table here (incremental view "
+                         "maintenance: only changed conversations "
+                         "re-aggregate)")
     ap.add_argument("--wap", action="store_true",
                     help="write-audit-publish refresh: stage the chunk "
                          "merge on a branch, audit the changed "
@@ -112,9 +117,11 @@ def main(argv: list[str]) -> None:
     from pdf_parser_spark.sources.maintain import (build_embedded_table,
                                                    build_extracted_table,
                                                    build_ivf_table,
+                                                   build_metrics_table,
                                                    refresh_embedded_table,
                                                    refresh_extracted_table,
                                                    refresh_ivf_table,
+                                                   refresh_metrics_table,
                                                    wap_refresh_extracted)
 
     spark = SparkSession.builder.appName("pdf_parser_spark-maintain") \
@@ -172,6 +179,15 @@ def main(argv: list[str]) -> None:
                 out["ivf"] = refresh_ivf_table(
                     spark, args.embed_dst, args.ivf_dst,
                     strategy=args.merge_strategy)
+        if args.metrics_dst:
+            if args.build or not os.path.exists(
+                    os.path.join(args.metrics_dst, "manifest.json")):
+                out["metrics"] = build_metrics_table(
+                    spark, args.dst, args.metrics_dst)
+            else:
+                out["metrics"] = refresh_metrics_table(
+                    spark, args.dst, args.metrics_dst,
+                    strategy=args.merge_strategy)
         if args.rewrite_masks:
             out["rewrite"] = rewrite_masked_files(spark, args.dst)
         if args.compact_above is not None:
@@ -182,7 +198,7 @@ def main(argv: list[str]) -> None:
                     spark, args.dst, target_mb=args.target_mb)
         if args.tag:
             maintained = [d for d in (args.dst, args.embed_dst,
-                                      args.ivf_dst)
+                                      args.ivf_dst, args.metrics_dst)
                           if d and os.path.exists(
                               os.path.join(d, "manifest.json"))]
             out["tag"] = {d: create_tag(d, args.tag)
@@ -192,7 +208,8 @@ def main(argv: list[str]) -> None:
             # embed store's base_version guard deliberately strands a
             # losing writer's files) — sweep them all
             dirs = [d for d in (args.dst, args.embed_dst,
-                                args.embed_store, args.ivf_dst)
+                                args.embed_store, args.ivf_dst,
+                                args.metrics_dst)
                     if d and os.path.exists(
                         os.path.join(d, "manifest.json"))]
             out["orphan_sweep"] = {

@@ -403,6 +403,71 @@ def refresh_embedded_table(spark: SparkSession, chunks_dir: str,
             "new_embeddings": st["new_embeddings"], "merge": stats}
 
 
+# --- maintained metrics table (incremental view maintenance of an agg) ------
+
+def build_metrics_table(spark: SparkSession, chunks_dir: str,
+                        metrics_dir: str, *, n_files: int = 4) -> dict:
+    """Per-conversation extraction metrics (pipeline.extraction_metrics,
+    the reference's summary sink — chunk_statistics,
+    pdf_parser.py:338-345) as a conv-keyed cow table. A conversation's
+    metrics row is a pure function of its chunk rows, so the aggregate
+    is incrementally maintainable: the chunk changelog names exactly
+    the conversations whose rows must be re-aggregated — classic
+    incremental view maintenance, group-by-key flavor."""
+    from pdf_parser_spark.pipeline import extraction_metrics
+    src_v = read_manifest(chunks_dir)["version"]
+    m = extraction_metrics(read_table(spark, chunks_dir, version=src_v))
+    create_table(spark, m.repartitionByRange(n_files, "conv_id"),
+                 metrics_dir, "conv_id", extra={"src_version": src_v})
+    return {"src_version": src_v, "created": True}
+
+
+def refresh_metrics_table(spark: SparkSession, chunks_dir: str,
+                          metrics_dir: str,
+                          strategy: str = "cow") -> dict:
+    """Advance the metrics table to reflect the chunk table's current
+    version by re-aggregating ONLY the conversations the chunk
+    changelog names: their current chunk rows come out of a pruned
+    O(changed-files) read, one map-side-combined groupBy rebuilds their
+    rows, conversations whose every chunk vanished become deletes.
+    O(changed conversations) per refresh, never O(corpus) — the
+    summary sink stays current without a full re-aggregation."""
+    from pdf_parser_spark.pipeline import extraction_metrics
+    src_v = read_manifest(chunks_dir)["version"]
+    dst_m = read_manifest(metrics_dir)
+    from_v = dst_m.get("src_version")
+    if from_v is None:
+        raise ValueError(f"{metrics_dir} records no src_version — "
+                         "build it with build_metrics_table first")
+    if from_v >= src_v:
+        return {"skipped": True, "src_version": src_v}
+    changed = (table_changes(spark, chunks_dir, from_v, src_v)
+               .select("conv_id").distinct())
+    convs = sorted(r[0] for r in changed.collect())
+    if not convs:
+        _record_src_version(metrics_dir, src_v)
+        return {"skipped": True, "src_version": src_v,
+                "changed_convs": 0}
+    cur = _pruned_conv_read(spark, chunks_dir, convs, version=src_v)
+    fresh = extraction_metrics(cur)
+    # a changed conversation with NO surviving chunks has no fresh row:
+    # its metrics row is stale and must go
+    convs_df = spark.createDataFrame([(c,) for c in convs],
+                                     "conv_id string")
+    gone = convs_df.join(fresh.select("conv_id"), "conv_id",
+                         "left_anti")
+    cols = fresh.columns
+    dele = gone.select(*[(F.col("conv_id") if c == "conv_id"
+                          else F.lit(None)).alias(c) for c in cols])
+    batch = (fresh.withColumn("op", F.lit("upsert"))
+             .unionByName(dele.withColumn("op", F.lit("delete"))))
+    stats = merge_into(spark, metrics_dir, batch, batch_id=src_v,
+                       strategy=strategy)
+    _record_src_version(metrics_dir, src_v)
+    return {"src_version": src_v, "from_version": from_v,
+            "changed_convs": len(convs), "merge": stats}
+
+
 # --- maintained IVF index (the third derivation hop) ------------------------
 
 def build_ivf_table(spark: SparkSession, emb_dir: str, ivf_dir: str, *,
@@ -595,6 +660,7 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
                            emb_dir: str | None = None,
                            store_dir: str | None = None,
                            ivf_dir: str | None = None,
+                           metrics_dir: str | None = None,
                            strategy: str = "cow",
                            wap: bool = False,
                            audits: dict | None = None,
@@ -644,6 +710,10 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
         if ivf_dir is not None:
             out["ivf"] = refresh_ivf_table(spark, emb_dir, ivf_dir,
                                            strategy=strategy)
+        if metrics_dir is not None:
+            out["metrics"] = refresh_metrics_table(spark, dst_dir,
+                                                   metrics_dir,
+                                                   strategy=strategy)
         refresh.log.append(out)
 
     refresh.log = []

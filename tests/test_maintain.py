@@ -161,7 +161,8 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["PYSPARK_PYTHON"] = sys.executable
-    emb, store, ivf = (str(tmp_path / d) for d in ("emb", "vecs", "ivf"))
+    emb, store, ivf, met = (str(tmp_path / d)
+                            for d in ("emb", "vecs", "ivf", "met"))
     base = [SPARK_SUBMIT, "--master", "local[2]",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.sql.shuffle.partitions=4",
@@ -171,6 +172,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
             "--embed-dst", emb, "--embed-store", store,
             "--embed-dim", "16",
             "--ivf-dst", ivf, "--ivf-cells", "4", "--ivf-pq-m", "4",
+            "--metrics-dst", met,
             "--tag", "prod", "--orphan-sweep-s", "3600"]
 
     def run(*extra):
@@ -184,6 +186,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert out["build"]["created"] is True
     assert out["embed"]["created"] is True
     assert out["ivf"]["created"] is True and out["ivf"]["pq_m"] == 4
+    assert out["metrics"]["created"] is True
     assert "orphan_sweep" in out
 
     one = sorted(r[0] for r in
@@ -196,6 +199,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     out = run()
     assert out["refresh"]["changed_convs"] == 1
     assert "merge" in out["embed"] and "merge" in out["ivf"]
+    assert out["metrics"]["changed_convs"] == 1
     assert _digest(_dropc(read_table(spark, dst))) == \
         _full_rebuild_digest(spark, src)
 
@@ -203,9 +207,10 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert out["refresh"].get("skipped") is True
     assert out["embed"].get("skipped") is True
     assert out["ivf"].get("skipped") is True
+    assert out["metrics"].get("skipped") is True
     # promote-on-green: the tag follows each maintained table's current
     # version and resolves through read_table
-    assert set(out["tag"]) == {dst, emb, ivf}
+    assert set(out["tag"]) == {dst, emb, ivf, met}
     tagged = read_table(spark, dst, version="prod")
     assert _digest(_dropc(tagged)) == _digest(_dropc(read_table(spark,
                                                                 dst)))
@@ -556,7 +561,11 @@ def test_live_lineage_follows_cdc_stream(spark, tmp_path):
 
     schema = (turns.withColumn("op", F.lit("x"))
               .withColumn("lsn", F.lit(0).cast("long")).schema)
-    follow = make_lineage_refresher(src, dst, emb_dir, store, ivf_dir)
+    met_dir = str(tmp_path / "metrics")
+    from pdf_parser_spark.sources.maintain import build_metrics_table
+    build_metrics_table(spark, dst, met_dir)
+    follow = make_lineage_refresher(src, dst, emb_dir, store, ivf_dir,
+                                    metrics_dir=met_dir)
     stream = spark.readStream.schema(schema).parquet(f"{stream_dir}/f*")
     q = merge_stream(stream, src, str(tmp_path / "ckpt"),
                      order_col="lsn", on_commit=follow)
@@ -570,6 +579,11 @@ def test_live_lineage_follows_cdc_stream(spark, tmp_path):
         read_manifest(dst)["version"]
     assert read_manifest(ivf_dir)["src_version"] == \
         read_manifest(emb_dir)["version"]
+    assert read_manifest(met_dir)["src_version"] == \
+        read_manifest(dst)["version"]
+    from pdf_parser_spark.pipeline import extraction_metrics
+    assert _digest(read_table(spark, met_dir)) == \
+        _digest(extraction_metrics(read_table(spark, dst)))
     # embeddings digest-equal to a full re-embed of the current chunks
     out, _ = embed_incremental(read_table(spark, dst),
                                str(tmp_path / "vtwin"), dim=16)
@@ -688,3 +702,42 @@ def test_ivfadc_candidate_scan_prunes_embedding_column(spark, tables,
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans, plan
     assert all("embedding" not in ln for ln in scans), scans
+
+
+def test_metrics_table_follows_chunk_cdc(spark, tables, tmp_path):
+    """Incremental view maintenance of the summary sink: the per-conv
+    metrics table follows the chunk changelog — only changed
+    conversations re-aggregate — and stays digest-EQUAL to a full
+    re-aggregation through an edit, a whole-conversation delete, and a
+    replayed refresh."""
+    from pdf_parser_spark.pipeline import extraction_metrics
+    from pdf_parser_spark.sources.maintain import (build_metrics_table,
+                                                   refresh_metrics_table)
+    src, dst = tables
+    mdir = str(tmp_path / "metrics")
+    build_metrics_table(spark, dst, mdir)
+
+    def full_digest():
+        return _digest(extraction_metrics(read_table(spark, dst)))
+
+    assert _digest(read_table(spark, mdir)) == full_digest()
+
+    turns = read_table(spark, src)
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    # edit one conversation, delete another entirely
+    batch = (turns.where(F.col("conv_id") == convs[0])
+             .withColumn("text", F.concat(F.lit("M "), "text"))
+             .withColumn("op", F.lit("upsert"))
+             .unionByName(turns.where(F.col("conv_id") == convs[1])
+                          .withColumn("op", F.lit("delete"))))
+    merge_into(spark, src, batch)
+    refresh_extracted_table(spark, src, dst)
+    out = refresh_metrics_table(spark, dst, mdir)
+    assert out["changed_convs"] == 2
+    assert out["merge"]["batch_rows"] == 2  # 1 upsert + 1 delete
+    got = read_table(spark, mdir)
+    assert _digest(got) == full_digest()
+    assert got.where(F.col("conv_id") == convs[1]).count() == 0
+    # replay is a ledger no-op; caught-up refresh skips
+    assert refresh_metrics_table(spark, dst, mdir)["skipped"] is True
