@@ -1592,3 +1592,105 @@ def table_changes(spark: SparkSession, table_dir: str,
                                   .withColumn("commit_version", F.lit(0)) \
                                   .limit(0)
     return out
+
+
+# --- inspection (Iceberg's metadata tables) ----------------------------------
+
+def inspect_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The table's commit history as a DataFrame — Iceberg's
+    ``table.snapshots`` metadata table. One row per retained snapshot:
+    operation, parentage, whether it sits on MAIN's current ancestry,
+    file counts, and the commit stats' batch id / rows written. Driver-
+    built from the manifest, so its cost is O(manifest) — the same
+    position as Iceberg reading its own metadata, never a data scan."""
+    m = read_manifest(table_dir)
+    on_main = set(_ancestry(m, m["version"]))
+    rows = []
+    for k in sorted(m["snapshots"], key=int):
+        snap = m["snapshots"][k]
+        op = next((o for o in ("merge", "append", "compaction",
+                               "rewrite") if o in snap), "create")
+        st = snap.get(op, {}) if op != "create" else {}
+        rows.append({
+            "version": int(k),
+            "parent": snap.get("parent"),
+            "operation": op,
+            "on_main": int(k) in on_main,
+            "is_current": int(k) == m["version"],
+            "n_files": len(snap["files"]),
+            "n_delete_files": len(_delete_entries(snap)),
+            "batch_id": st.get("batch_id"),
+            "rows_written": st.get("rows_written"),
+            "branch": st.get("branch"),
+        })
+    return spark.createDataFrame(
+        rows, "version int, parent int, operation string, "
+              "on_main boolean, is_current boolean, n_files int, "
+              "n_delete_files int, batch_id long, rows_written long, "
+              "branch string")
+
+
+def inspect_files(spark: SparkSession, table_dir: str,
+                  version: int | str | None = None) -> DataFrame:
+    """The named snapshot's file inventory — Iceberg's ``table.files``:
+    data files with their manifest-cached key bounds, row counts, byte
+    sizes, write sequence, and bloom-sidecar presence; merge-on-read
+    delete files flagged with ``is_delete``. O(manifest) driver work."""
+    m = read_manifest(table_dir)
+    if isinstance(version, str):
+        refs, branches = m.get("refs", {}), m.get("branches", {})
+        ref = version
+        version = (refs.get(ref)
+                   or branches.get(ref, {}).get("head"))
+        if version is None:
+            raise ValueError(f"unknown ref {ref!r} (tags: "
+                             f"{sorted(refs)}, branches: "
+                             f"{sorted(branches)})")
+    v = m["version"] if version is None else version
+    snap = m["snapshots"].get(str(v))
+    if snap is None:
+        raise ValueError(f"version {v} not in table (have: "
+                         f"{sorted(m['snapshots'])})")
+    st = m.get("stats", {})
+    seq = m.get("seq", {})
+    blooms = {f for bs in m.get("bloomstats", {}).values() for f in bs}
+    rows = []
+    for f in snap["files"]:
+        p = os.path.join(table_dir, f)
+        b = st.get(f)
+        rows.append({"file": f,
+                     "bytes": os.path.getsize(p)
+                     if os.path.exists(p) else None,
+                     "rows": b[2] if b else None,
+                     "key_min": b[0] if b else None,
+                     "key_max": b[1] if b else None,
+                     "seq": seq.get(f), "has_bloom": f in blooms,
+                     "is_delete": False})
+    for e in _delete_entries(snap):
+        p = os.path.join(table_dir, e["file"])
+        rows.append({"file": e["file"],
+                     "bytes": os.path.getsize(p)
+                     if os.path.exists(p) else None,
+                     "rows": e.get("rows"), "key_min": None,
+                     "key_max": None, "seq": e["seq"],
+                     "has_bloom": False, "is_delete": True})
+    return spark.createDataFrame(
+        rows, "file string, bytes long, rows long, key_min string, "
+              "key_max string, seq int, has_bloom boolean, "
+              "is_delete boolean")
+
+
+def inspect_refs(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Every named ref — Iceberg's ``table.refs``: tags (immutable
+    pins) and branches (mutable heads with their fork base), plus main
+    itself for one-stop orientation."""
+    m = read_manifest(table_dir)
+    rows = [{"name": "main", "kind": "branch",
+             "version": m["version"], "base": None}]
+    rows += [{"name": n, "kind": "tag", "version": v, "base": None}
+             for n, v in m.get("refs", {}).items()]
+    rows += [{"name": n, "kind": "branch", "version": b["head"],
+              "base": b["base"]}
+             for n, b in m.get("branches", {}).items()]
+    return spark.createDataFrame(
+        rows, "name string, kind string, version int, base int")

@@ -259,3 +259,45 @@ def test_rollback_then_branch_restore_roundtrip(spark, docs, table):
     assert _digest(read_table(spark, table)) == _digest(docs)
     fast_forward(table, "keep", drop=True)
     assert _digest(read_table(spark, table)) == head_digest
+
+
+# --- inspection metadata tables -----------------------------------------------
+
+def test_inspect_tables_reflect_history_refs_and_files(spark, docs,
+                                                       table):
+    from pdf_parser_spark.sources.cowtable import (create_tag,
+                                                   inspect_files,
+                                                   inspect_refs,
+                                                   inspect_snapshots,
+                                                   merge_into)
+    merge_into(spark, table, _upserts(docs, 0, 10, "I:"), batch_id=61)
+    create_tag(table, "pin")
+    create_branch(table, "stage")
+    merge_into(spark, table, _upserts(docs, 10, 20, "S:"),
+               branch="stage", strategy="mor")
+
+    snaps = {r["version"]: r.asDict()
+             for r in inspect_snapshots(spark, table).collect()}
+    assert snaps[1]["operation"] == "create"
+    assert snaps[2]["operation"] == "merge" and snaps[2]["on_main"]
+    assert snaps[2]["is_current"] and snaps[2]["batch_id"] == 61
+    assert snaps[3]["branch"] == "stage" and not snaps[3]["on_main"]
+    assert snaps[3]["parent"] == 2
+
+    refs = {r["name"]: r.asDict()
+            for r in inspect_refs(spark, table).collect()}
+    assert refs["main"]["version"] == 2
+    assert refs["pin"]["kind"] == "tag" and refs["pin"]["version"] == 2
+    assert refs["stage"]["kind"] == "branch"
+    assert refs["stage"]["version"] == 3 and refs["stage"]["base"] == 2
+
+    files = inspect_files(spark, table).collect()
+    assert all(not r["is_delete"] for r in files)  # main is cow-only
+    assert sum(r["rows"] for r in files) == docs.count()
+    assert all(r["bytes"] > 0 and r["key_min"] <= r["key_max"]
+               for r in files)
+    # the branch view carries the MOR delete file; ref resolution works
+    bfiles = inspect_files(spark, table, version="stage").collect()
+    assert any(r["is_delete"] for r in bfiles)
+    with pytest.raises(ValueError, match="unknown ref"):
+        inspect_files(spark, table, version="nope")
