@@ -208,7 +208,7 @@ def create_table(spark: SparkSession, df: DataFrame, table_dir: str,
     reserved = {"key_col", "version", "applied", "schema", "snapshots",
                 "stats", "dropped", "seq", "stats_cols", "colstats",
                 "bloom_cols", "bloomstats", "refs", "branches",
-                "commit_seq", "last_snapshot_id"}
+                "commit_seq", "last_snapshot_id", "constraints"}
     if extra and reserved & set(extra):
         raise ValueError(f"extra fields clash with manifest fields: "
                          f"{sorted(reserved & set(extra))}")
@@ -778,6 +778,17 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                                    True))
                     .alias(f"badcast_{len(cast_checked)}"))
                 cast_checked.append((fld.name, str(fld.dataType)))
+    # CHECK constraints ride the same single probe pass: a violation is
+    # an upsert row where the expression is FALSE (NULL passes — SQL
+    # CHECK semantics); delete rows carry NULL payloads by design and
+    # are exempt
+    cons = list(m.get("constraints", {}).items())
+    for i, (_, cexpr) in enumerate(cons):
+        probe_cols.append(
+            F.count(F.when((F.col(op_col) == "upsert")
+                           & ~F.coalesce(F.expr(cexpr).cast("boolean"),
+                                         F.lit(True)), True))
+            .alias(f"constraint_{i}"))
     probe = changes.agg(*probe_cols).collect()[0]
     try:
         if probe["bad_ops"]:
@@ -794,6 +805,12 @@ def merge_into(spark: SparkSession, table_dir: str, changes: DataFrame,
                     f"{probe[f'badcast_{i}']} value(s) in batch column "
                     f"{name!r} cannot cast to the table type {want} — "
                     "refusing a merge that would write NULL over data")
+        for i, (cname, cexpr) in enumerate(cons):
+            if probe[f"constraint_{i}"]:
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{probe[f'constraint_{i}']} upsert row(s) — commit "
+                    "refused, table unchanged")
 
         base = _head(m, branch)
         prev_snap = m["snapshots"][str(base)]
@@ -995,6 +1012,18 @@ def append_rows(spark: SparkSession, table_dir: str, rows: DataFrame,
         return {"skipped": True, "batch_id": batch_id,
                 "version": m["version"]}
     key_col = m["key_col"]
+    cons = list(m.get("constraints", {}).items())
+    if cons:
+        probe = rows.agg(*[
+            F.count(F.when(~F.coalesce(F.expr(e).cast("boolean"),
+                                       F.lit(True)), True)).alias(f"c{i}")
+            for i, (_, e) in enumerate(cons)]).collect()[0]
+        for i, (cname, cexpr) in enumerate(cons):
+            if probe[f"c{i}"]:
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{probe[f'c{i}']} row(s) — append refused, table "
+                    "unchanged")
     if rows.where(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(f"NULL {key_col} rows cannot be appended")
     if "schema" in m:
@@ -1119,11 +1148,60 @@ def drop_column(table_dir: str, name: str) -> dict:
     schema = StructType.fromJson(json.loads(m["schema"]))
     if name not in schema.fieldNames():
         raise ValueError(f"column {name!r} does not exist")
+    import re as _re
+    holders = [c for c, e in m.get("constraints", {}).items()
+               if _re.search(rf"\b{_re.escape(name)}\b", e)]
+    if holders:  # word-boundary match: conservative, may over-match
+        raise ValueError(
+            f"column {name!r} is referenced by CHECK constraint(s) "
+            f"{holders} — drop_constraint first")
     schema = StructType([f for f in schema.fields if f.name != name])
     m["schema"] = schema.json()
     m.setdefault("dropped", []).append(name)
     _commit(table_dir, m, expected_seq=seq0)
     return {"columns": schema.fieldNames()}
+
+
+def set_constraint(spark: SparkSession, table_dir: str, name: str,
+                   expr: str, validate: bool = True) -> dict:
+    """Record a CHECK constraint (Delta's table constraints): a SQL
+    boolean expression every future upsert/append row must satisfy
+    (FALSE = violation, NULL = pass — SQL CHECK semantics; commit-path
+    delete rows are exempt since they carry NULL payloads by design).
+    Enforcement rides the merge path's existing single batch-probe
+    aggregation, so a constrained table pays no extra job per commit.
+    ``validate=True`` (default, Delta's ADD CONSTRAINT behavior) scans
+    the CURRENT snapshot first and refuses the constraint if existing
+    rows already violate it — a guarantee over history, not just new
+    writes. Complements WAP audits: constraints are always-on per-commit
+    row invariants; audits are per-refresh batch-level checks."""
+    m = read_manifest(table_dir)
+    seq0 = _seq(m)
+    cur = read_table(spark, table_dir)
+    bad = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+    if validate:
+        n = cur.where(bad).count()
+        if n:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) is violated by "
+                f"{n} EXISTING row(s) — constraint not added")
+    else:
+        cur.limit(0).where(bad).collect()  # analysis-check the expr
+    m.setdefault("constraints", {})[name] = expr
+    _commit(table_dir, m, expected_seq=seq0)
+    return {"constraint": name, "expr": expr, "validated": validate}
+
+
+def drop_constraint(table_dir: str, name: str) -> dict:
+    m = read_manifest(table_dir)
+    seq0 = _seq(m)
+    cons = m.get("constraints", {})
+    if name not in cons:
+        raise ValueError(f"constraint {name!r} not in table (have: "
+                         f"{sorted(cons)})")
+    expr = cons.pop(name)
+    _commit(table_dir, m, expected_seq=seq0)
+    return {"dropped": name, "expr": expr}
 
 
 def create_tag(table_dir: str, name: str,
