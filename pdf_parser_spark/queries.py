@@ -3566,6 +3566,94 @@ def _cow_merged_dir(spark, sf):
     return d
 
 
+def _cow_wap_dir(spark, sf):
+    """Fresh cow table over ``documents`` driven through the FULL
+    write-audit-publish ref lifecycle (sources/cowtable.py branches;
+    Iceberg's spark.wap.branch + fastForwardBranch shape): first a
+    QUARANTINED staging — a bad batch merged onto a branch and dropped
+    (the audit-red abort path, batch ledger re-opened) — then the real
+    batch staged on a second branch and published to main by
+    fast_forward. The oracle recomputes only the PUBLISHED set algebra,
+    so a hash match proves the quarantined branch left zero trace in
+    main AND the branch-write → ancestor-checked publish path produces
+    exactly the plain-merge state. Same process-private caching
+    discipline as _cow_merged_dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import (create_branch,
+                                                   create_table,
+                                                   drop_branch,
+                                                   fast_forward,
+                                                   merge_into)
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "pdf_parser_spark_wap_"
+                     + hashlib.md5(sf.encode()).hexdigest()[:8]
+                     + f"_{os.getpid()}")
+    if os.path.exists(d):
+        import json
+        try:  # complete iff published (main moved) and no branch remains
+            with open(os.path.join(d, "manifest.json")) as fh:
+                m = json.load(fh)
+                if m["version"] >= 3 and not m.get("branches"):
+                    return d
+        except (OSError, KeyError, ValueError):
+            pass
+        import shutil
+        shutil.rmtree(d)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source",
+                                             "text")
+    create_table(spark, docs.repartitionByRange(8, "doc_id"), d, "doc_id")
+    k = F.col("doc_id")
+    # audit-red staging: merged onto a branch, then aborted
+    create_branch(d, "red")
+    bad = (docs.where(k % 9 == 1)
+           .withColumn("text", F.lit("BAD: must never reach main"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, d, bad, branch="red", batch_id=7)
+    drop_branch(d, "red")
+    # the real batch: staged on a branch, audited green, published
+    create_branch(d, "wap")
+    dels = docs.where(k % 17 == 2).withColumn("op", F.lit("delete"))
+    upds = (docs.where((k % 5 == 0) & (k % 17 != 2))
+            .withColumn("text", F.concat(F.lit("W:"), "text"))
+            .withColumn("op", F.lit("upsert")))
+    ins = (docs.where(k % 19 == 4)
+           .withColumn("doc_id", k + 20_000_000)
+           .withColumn("source", F.lit("wap"))
+           .withColumn("text", F.concat(F.lit("P:"), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, d, dels.unionByName(upds).unionByName(ins),
+               branch="wap", batch_id=8)
+    fast_forward(d, "wap", drop=True)
+    return d
+
+
+def docs_cow_wap(spark, sf):
+    # write-audit-publish on the value-hash gate: main AFTER a
+    # branch-staged merge + fast-forward publish — with an earlier
+    # quarantined branch proving red batches leave no trace
+    from pdf_parser_spark.sources.cowtable import read_table
+    return read_table(spark, _cow_wap_dir(spark, sf)) \
+        .select("doc_id", "lang", "source", "text")
+
+
+DOCS_COW_WAP_SQL = """
+WITH d AS (SELECT doc_id, lang, source, text FROM documents)
+SELECT doc_id, lang, source, text FROM d
+WHERE doc_id % 17 <> 2 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, source, 'W:' || text FROM d
+WHERE doc_id % 5 = 0 AND doc_id % 17 <> 2
+UNION ALL
+SELECT doc_id + 20000000 AS doc_id, lang, 'wap' AS source,
+       'P:' || text AS text FROM d
+WHERE doc_id % 19 = 4
+"""
+
+
 def docs_cow_merge(spark, sf):
     # copy-on-write MERGE INTO (Iceberg v2 shape on plain parquet): the
     # post-merge snapshot, read through the manifest
@@ -3966,6 +4054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_cow_mor_merge": docs_cow_mor_merge,
     "docs_cow_mor_changes": docs_cow_mor_changes,
     "docs_cow_append": docs_cow_append,
+    "docs_cow_wap": docs_cow_wap,
     "docs_store_bloom_lookup": docs_store_bloom_lookup,
     # rows-only (pytest gates are the correctness check: synth transcripts
     # aren't DuckDB-visible; ANN is approximate by design with measured
@@ -4070,6 +4159,7 @@ ORACLES: dict[str, str] = {
     "docs_cow_mor_merge": DOCS_COW_MERGE_SQL,
     "docs_cow_mor_changes": DOCS_COW_CHANGES_SQL,
     "docs_cow_append": DOCS_COW_APPEND_SQL,
+    "docs_cow_wap": DOCS_COW_WAP_SQL,
     "docs_store_bloom_lookup": DOCS_STORE_BLOOM_LOOKUP_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_heavy_terms": DOCS_HEAVY_SQL,
