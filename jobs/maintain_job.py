@@ -74,6 +74,13 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--ivf-pq-m", type=int, default=None,
                     help="store residual PQ codes too (maintained "
                          "IVFADC: ADC probes scan 4+m bytes/row)")
+    ap.add_argument("--dedup-dst", default=None,
+                    help="also maintain a MinHash-LSH near-dup index "
+                         "table here (follows the chunk table's "
+                         "changelog; probe it at ingest with "
+                         "dedup_index.dup_check_batch)")
+    ap.add_argument("--dedup-bands", type=int, default=4)
+    ap.add_argument("--dedup-hashes", type=int, default=8)
     ap.add_argument("--metrics-dst", default=None,
                     help="also maintain a per-conversation extraction-"
                          "metrics table here (incremental view "
@@ -179,6 +186,19 @@ def main(argv: list[str]) -> None:
                 out["ivf"] = refresh_ivf_table(
                     spark, args.embed_dst, args.ivf_dst,
                     strategy=args.merge_strategy)
+        if args.dedup_dst:
+            from pdf_parser_spark.sources.dedup_index import (
+                build_dedup_index, refresh_dedup_index)
+            if args.build or not os.path.exists(
+                    os.path.join(args.dedup_dst, "manifest.json")):
+                out["dedup_index"] = build_dedup_index(
+                    spark, args.dst, args.dedup_dst,
+                    num_hashes=args.dedup_hashes,
+                    bands=args.dedup_bands)
+            else:
+                out["dedup_index"] = refresh_dedup_index(
+                    spark, args.dst, args.dedup_dst,
+                    strategy=args.merge_strategy)
         if args.metrics_dst:
             if args.build or not os.path.exists(
                     os.path.join(args.metrics_dst, "manifest.json")):
@@ -198,7 +218,8 @@ def main(argv: list[str]) -> None:
                     spark, args.dst, target_mb=args.target_mb)
         if args.tag:
             maintained = [d for d in (args.dst, args.embed_dst,
-                                      args.ivf_dst, args.metrics_dst)
+                                      args.ivf_dst, args.metrics_dst,
+                                      args.dedup_dst)
                           if d and os.path.exists(
                               os.path.join(d, "manifest.json"))]
             out["tag"] = {d: create_tag(d, args.tag)
@@ -209,7 +230,7 @@ def main(argv: list[str]) -> None:
             # losing writer's files) — sweep them all
             dirs = [d for d in (args.dst, args.embed_dst,
                                 args.embed_store, args.ivf_dst,
-                                args.metrics_dst)
+                                args.metrics_dst, args.dedup_dst)
                     if d and os.path.exists(
                         os.path.join(d, "manifest.json"))]
             out["orphan_sweep"] = {

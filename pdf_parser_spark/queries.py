@@ -3950,6 +3950,114 @@ WHERE content_hash IN (
 """
 
 
+def _dup_index_dir(spark, sf):
+    """Process-private CDC-maintained MinHash-LSH index
+    (sources/dedup_index.py) over ``documents``: a cow chunk table is
+    created from doc_id%17!=4 rows, indexed, then the %17==4 rows land
+    as a CDC commit and refresh_dedup_index advances the index — so the
+    final index covers ALL documents via build + incremental refresh,
+    and the oracle (pure SQL over the full table) value-hash-checks the
+    entire maintenance path. Same process-private caching discipline as
+    _cow_merged_dir. Geometry: 4 hashes x 2 bands, the DuckDB-
+    recomputable family of DOCS_MINHASH_SQL."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from pdf_parser_spark.sources.cowtable import create_table, merge_into
+    from pdf_parser_spark.sources.dedup_index import (build_dedup_index,
+                                                      refresh_dedup_index)
+
+    base = os.path.join(tempfile.gettempdir(),
+                        "pdf_parser_spark_dupidx_"
+                        + hashlib.md5(sf.encode()).hexdigest()[:8]
+                        + f"_{os.getpid()}")
+    chunks, idx = os.path.join(base, "chunks"), os.path.join(base, "idx")
+    if os.path.exists(base):
+        try:  # complete iff the index reflects the post-CDC version 2
+            with open(os.path.join(idx, "manifest.json")) as fh:
+                if json.load(fh).get("src_version", 0) >= 2:
+                    return idx
+        except (OSError, KeyError, ValueError):
+            pass
+        import shutil
+        shutil.rmtree(base)
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_key"), "text")
+    create_table(spark,
+                 docs.where(F.col("chunk_key").cast("long") % 17 != 4)
+                 .repartitionByRange(8, "chunk_key"),
+                 chunks, "chunk_key")
+    build_dedup_index(spark, chunks, idx, n=3, num_hashes=4, bands=2)
+    late = (docs.where(F.col("chunk_key").cast("long") % 17 == 4)
+            .withColumn("op", F.lit("upsert")))
+    merge_into(spark, chunks, late, batch_id=1)
+    refresh_dedup_index(spark, chunks, idx)
+    return idx
+
+
+def docs_dup_probe_maintained(spark, sf):
+    # ingest-time near-dup gate against the CDC-maintained LSH index:
+    # probes are re-keyed copies of doc_id%10==7 texts; every (probe,
+    # indexed doc) pair sharing an LSH band comes back with its shared-
+    # band count, via the file-pruned bucket-range probe read. The
+    # oracle recomputes the full LSH algebra (minhash + band md5 keys +
+    # cross join) in SQL over ALL documents — a hash match proves
+    # build + incremental refresh + pruned probe agree with the math.
+    from pdf_parser_spark.sources.dedup_index import dup_check_batch
+    idx = _dup_index_dir(spark, sf)
+    probes = (_t(spark, sf, "documents")
+              .where(F.col("doc_id") % 10 == 7)
+              .select(F.concat(F.lit("p"),
+                               F.col("doc_id").cast("string")).alias("id"),
+                      "text"))
+    got = dup_check_batch(spark, idx, probes, id_col="id")
+    return got.select(
+        F.expr("substring(probe_id, 2)").cast("long").alias("probe_doc"),
+        F.col("dup_of").cast("long").alias("dup_of_doc"),
+        "n_bands_shared")
+
+
+def _dup_probe_sql() -> str:
+    from pdf_parser_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+    coeffs = minhash_coeffs(4)
+    hs = ",\n".join(
+        f"       min(({a} * base + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), based AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_PRIME} AS base
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+{hs}
+  FROM based GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(h2::VARCHAR || '|' || h3::VARCHAR) FROM sig
+)
+SELECT p.doc_id AS probe_doc, c.doc_id AS dup_of_doc,
+       count(*) AS n_bands_shared
+FROM bands p JOIN bands c ON p.band = c.band AND p.bucket = c.bucket
+WHERE p.doc_id % 10 = 7
+GROUP BY 1, 2
+"""
+
+
+DOCS_DUP_PROBE_SQL = _dup_probe_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3999,6 +4107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "emb_cluster_prune": emb_cluster_prune,
     "docs_minhash_signatures": docs_minhash_signatures,
+    "docs_dup_probe_maintained": docs_dup_probe_maintained,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_keep_best_per_cluster": docs_keep_best_per_cluster,
@@ -4172,6 +4281,7 @@ ORACLES: dict[str, str] = {
     "emb_semantic_dedup": EMB_SEMDEDUP_SQL,
     "emb_cluster_prune": EMB_CLUSTER_PRUNE_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
+    "docs_dup_probe_maintained": DOCS_DUP_PROBE_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_SQL,
     "docs_near_dup_clusters": DOCS_CLUSTERS_SQL,
     "docs_keep_best_per_cluster": DOCS_KEEP_BEST_SQL,

@@ -161,8 +161,9 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["PYSPARK_PYTHON"] = sys.executable
-    emb, store, ivf, met = (str(tmp_path / d)
-                            for d in ("emb", "vecs", "ivf", "met"))
+    emb, store, ivf, met, dup = (str(tmp_path / d)
+                                 for d in ("emb", "vecs", "ivf", "met",
+                                           "dup"))
     base = [SPARK_SUBMIT, "--master", "local[2]",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.sql.shuffle.partitions=4",
@@ -172,7 +173,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
             "--embed-dst", emb, "--embed-store", store,
             "--embed-dim", "16",
             "--ivf-dst", ivf, "--ivf-cells", "4", "--ivf-pq-m", "4",
-            "--metrics-dst", met,
+            "--metrics-dst", met, "--dedup-dst", dup,
             "--tag", "prod", "--orphan-sweep-s", "3600"]
 
     def run(*extra):
@@ -187,6 +188,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert out["embed"]["created"] is True
     assert out["ivf"]["created"] is True and out["ivf"]["pq_m"] == 4
     assert out["metrics"]["created"] is True
+    assert out["dedup_index"]["created"] is True
     assert "orphan_sweep" in out
 
     one = sorted(r[0] for r in
@@ -199,6 +201,7 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     out = run()
     assert out["refresh"]["changed_convs"] == 1
     assert "merge" in out["embed"] and "merge" in out["ivf"]
+    assert "merge" in out["dedup_index"]
     assert out["metrics"]["changed_convs"] == 1
     assert _digest(_dropc(read_table(spark, dst))) == \
         _full_rebuild_digest(spark, src)
@@ -208,9 +211,10 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert out["embed"].get("skipped") is True
     assert out["ivf"].get("skipped") is True
     assert out["metrics"].get("skipped") is True
+    assert out["dedup_index"].get("skipped") is True
     # promote-on-green: the tag follows each maintained table's current
     # version and resolves through read_table
-    assert set(out["tag"]) == {dst, emb, ivf, met}
+    assert set(out["tag"]) == {dst, emb, ivf, met, dup}
     tagged = read_table(spark, dst, version="prod")
     assert _digest(_dropc(tagged)) == _digest(_dropc(read_table(spark,
                                                                 dst)))
