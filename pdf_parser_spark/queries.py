@@ -1842,6 +1842,25 @@ def emb_ann_topk(spark, sf):
     return ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2, n_tables=2)
 
 
+def emb_graph_topk(spark, sf):
+    # round-4 recall frontier: kNN-graph beam search (HNSW/NN-descent
+    # family, operators/graphann.py) — LSH-ring candidate generation +
+    # NN-descent refinement builds the graph linearly; search expands a
+    # beam frontier through broadcast joins, scanning entries +
+    # hops*beam*degree rows regardless of corpus size. Measured 0.96/0.90
+    # recall@10 at ~0.53 fixture scan — above the multi-probe LSH
+    # frontier (tests/test_graphann.py; BASELINE.md). Approximate by
+    # design -> rows-only, no SQL oracle.
+    from pdf_parser_spark.operators.graphann import (build_knn_graph,
+                                                     graph_beam_search)
+    emb = _t_wide(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first().embedding)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    adj = build_knn_graph(emb, dim=dim)
+    return graph_beam_search(adj, emb, q, k=10, beam=16, hops=3)
+
+
 def emb_ann_multiprobe_topk(spark, sf):
     # round-3 frontier: margin-guided multi-probe LSH (Lv et al. 2007) —
     # probes the buckets the query's hyperplane margins say are likeliest,
@@ -4172,6 +4191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_synth_cleaned": extract_synth_cleaned,
     "chunks_semantic_search": chunks_semantic_search,
     "emb_ann_topk": emb_ann_topk,
+    "emb_graph_topk": emb_graph_topk,
     "emb_ann_multiprobe_topk": emb_ann_multiprobe_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "media_payload_features": media_payload_features,
@@ -4203,6 +4223,12 @@ ROWS_ONLY: dict[str, str] = {
                     "containment pinned",
     "emb_ivf_topk": "approximate by design (IVF probing); recall gated, "
                     "exact-top-1 containment pinned",
+    "emb_graph_topk": "approximate by design (kNN-graph beam search); "
+                      "recall 0.96 avg / 0.90 min @10 measured and "
+                      "gated vs brute force in test_graphann.py, scan "
+                      "budget structurally bounded (entries + "
+                      "hops*beam*degree rows, corpus-independent), "
+                      "determinism pinned",
     "emb_ann_multiprobe_topk": "approximate by design (margin-guided "
                                "multi-probe LSH); recall gated vs brute "
                                "force AND vs blind hamming at equal "

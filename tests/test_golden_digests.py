@@ -117,4 +117,5 @@ def test_registry_guard():
     # the deterministic rows-only entries must all carry a golden digest
     assert set(GOLDEN) == set(ROWS_ONLY) - {
         "emb_ann_topk", "emb_ivf_topk", "emb_ann_multiprobe_topk",
-        "emb_pq_topk", "emb_funnel_topk", "emb_ivfpq_topk"}
+        "emb_pq_topk", "emb_funnel_topk", "emb_ivfpq_topk",
+        "emb_graph_topk"}
