@@ -225,6 +225,39 @@ def _pruned_bucket_read(spark: SparkSession, idx_dir: str,
                         _delete_entries(m["snapshots"][str(v)]))
 
 
+def near_dup_audit(spark: SparkSession, idx_dir: str, *,
+                   min_bands: int = 1, id_col: str = "chunk_key",
+                   cross_conv_only: bool = True):
+    """A WAP audit (``maintain.wap_refresh_extracted(audits=...)``) that
+    gates publication on the maintained near-dup index: staged chunks
+    are probed with ``dup_check_batch`` and any chunk sharing >=
+    ``min_bands`` LSH band buckets with an already-indexed chunk is a
+    violation — the refresh is quarantined on its branch and main never
+    serves the near-duplicate content.
+
+    ``cross_conv_only`` (default): only duplicates of a DIFFERENT
+    conversation count. A re-extraction of conversation X legitimately
+    re-emits chunks near its own pre-refresh chunks (still indexed,
+    since the index reflects main while the merge sits on the branch);
+    flagging those would quarantine every edit. The conv id is
+    recovered from the chunk key's fixed-width ``conv#%06d`` layout
+    (maintain._with_chunk_key).
+
+    Run this with the index in lockstep with the chunk table (the
+    ``make_lineage_refresher(dedup_idx_dir=...)`` wiring refreshes it
+    after every publish) — a lagging index gates against a stale
+    corpus snapshot, which fails open, never wrong-blocks."""
+    def audit(staged: DataFrame) -> DataFrame:
+        hits = dup_check_batch(spark, idx_dir, staged, id_col=id_col,
+                               min_bands=min_bands)
+        if cross_conv_only:
+            def conv(c: str):
+                return F.expr(f"substring({c}, 1, length({c}) - 7)")
+            hits = hits.where(conv("probe_id") != conv("dup_of"))
+        return hits
+    return audit
+
+
 def dup_check_batch(spark: SparkSession, idx_dir: str, batch: DataFrame,
                     *, id_col: str = "id", text_col: str | None = None,
                     min_bands: int = 1, prune: bool = True) -> DataFrame:

@@ -664,7 +664,9 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
                            strategy: str = "cow",
                            wap: bool = False,
                            audits: dict | None = None,
-                           min_chunk_ratio: float | None = None):
+                           min_chunk_ratio: float | None = None,
+                           dedup_idx_dir: str | None = None,
+                           dedup_gate_bands: int | None = None):
     """An ``on_commit`` hook for ``streaming/cow_sink.merge_stream``
     that refreshes the WHOLE derivation lineage after every source
     micro-batch: chunks, then (if configured) embeddings through the
@@ -680,7 +682,17 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
     which follows its changelog) simply does not advance, the stream
     keeps running, and the red entry on ``.log`` carries the violation
     counts. Because the drop re-opened the batch ledger, fixing the
-    extractor and re-running the refresh lands the same source version."""
+    extractor and re-running the refresh lands the same source version.
+
+    ``dedup_idx_dir``: a CDC-maintained MinHash-LSH index
+    (sources/dedup_index.py) kept in lockstep — refreshed from the
+    chunk changelog after every green chunk refresh. With
+    ``dedup_gate_bands`` set (requires ``wap=True``), the index also
+    GATES ingest: a ``near_dup`` audit quarantines any refresh whose
+    staged chunks share >= that many LSH bands with an already-indexed
+    chunk of a different conversation — duplicate content never
+    publishes, and because the index only advances after publish, the
+    gate always probes the exact pre-refresh corpus."""
     if (emb_dir is None) != (store_dir is None):
         raise ValueError("emb_dir and store_dir go together")
     if ivf_dir is not None and emb_dir is None:
@@ -688,12 +700,22 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
     if (audits is not None or min_chunk_ratio is not None) and not wap:
         raise ValueError("audits/min_chunk_ratio only apply with "
                          "wap=True")
+    if dedup_gate_bands is not None and not (wap and dedup_idx_dir):
+        raise ValueError("dedup_gate_bands needs wap=True and "
+                         "dedup_idx_dir")
 
     def refresh(spark: SparkSession, merge_stats: dict) -> None:
+        from pdf_parser_spark.sources.dedup_index import (
+            near_dup_audit, refresh_dedup_index)
+
         if wap:
+            eff_audits = dict(audits or {})
+            if dedup_gate_bands is not None:
+                eff_audits["near_dup"] = near_dup_audit(
+                    spark, dedup_idx_dir, min_bands=dedup_gate_bands)
             chunks = wap_refresh_extracted(spark, src_dir, dst_dir,
                                            strategy=strategy,
-                                           audits=audits,
+                                           audits=eff_audits,
                                            min_chunk_ratio=min_chunk_ratio)
         else:
             chunks = refresh_extracted_table(spark, src_dir, dst_dir,
@@ -704,6 +726,12 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
             # hops would no-op this trigger — record the quarantine
             refresh.log.append(out)
             return
+        if dedup_idx_dir is not None:
+            # unconditional: refresh_dedup_index no-ops when caught up,
+            # and calling it even on a skipped chunk hop heals an index
+            # a prior crash left lagging
+            out["dedup_index"] = refresh_dedup_index(
+                spark, dst_dir, dedup_idx_dir, strategy=strategy)
         if emb_dir is not None:
             out["embeddings"] = refresh_embedded_table(
                 spark, dst_dir, emb_dir, store_dir, strategy=strategy)
