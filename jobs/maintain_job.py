@@ -106,11 +106,24 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--orphan-sweep-s", type=float, default=None,
                     help="after the run, remove_orphan_files(dst) with "
                          "this mtime grace window in seconds")
+    ap.add_argument("--wap-dup-gate-bands", type=int, default=None,
+                    help="with --wap and --dedup-dst: quarantine the "
+                         "refresh when a staged chunk shares >= this "
+                         "many LSH bands with another conversation's "
+                         "already-indexed chunk (near_dup_audit)")
+    ap.add_argument("--fsck", choices=("structural", "data"),
+                    default=None,
+                    help="after the run, fsck_table every maintained "
+                         "table ('data' adds head-invariant re-proof); "
+                         "exit 4 if any table fails")
     args = ap.parse_args(argv)
     if args.ivf_dst and not args.embed_dst:
         ap.error("--ivf-dst requires --embed-dst")
     if bool(args.embed_dst) != bool(args.embed_store):
         ap.error("--embed-dst and --embed-store go together")
+    if args.wap_dup_gate_bands is not None and not (args.wap
+                                                    and args.dedup_dst):
+        ap.error("--wap-dup-gate-bands requires --wap and --dedup-dst")
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
     from pyspark.sql import SparkSession
@@ -149,9 +162,17 @@ def main(argv: list[str]) -> None:
             # mixing configs in one table breaks the digest-equal-to-
             # rebuild contract, so the flags only shape --build
             if args.wap:
+                audits = None
+                if args.wap_dup_gate_bands is not None:
+                    from pdf_parser_spark.sources.dedup_index import (
+                        near_dup_audit)
+                    audits = {"near_dup": near_dup_audit(
+                        spark, args.dedup_dst,
+                        min_bands=args.wap_dup_gate_bands)}
                 out["refresh"] = wap_refresh_extracted(
                     spark, args.src, args.dst,
                     strategy=args.merge_strategy,
+                    audits=audits,
                     min_chunk_ratio=args.wap_min_chunk_ratio)
             else:
                 out["refresh"] = refresh_extracted_table(
@@ -237,6 +258,18 @@ def main(argv: list[str]) -> None:
                 d: remove_orphan_files(
                     d, older_than_s=args.orphan_sweep_s)
                 for d in dirs}
+        if args.fsck:
+            from pdf_parser_spark.sources.fsck import fsck_table
+            dirs = [d for d in (args.dst, args.embed_dst, args.ivf_dst,
+                                args.metrics_dst, args.dedup_dst)
+                    if d and os.path.exists(
+                        os.path.join(d, "manifest.json"))]
+            out["fsck"] = {d: fsck_table(spark, d,
+                                         data_checks=args.fsck == "data")
+                           for d in dirs}
+            if not all(r["ok"] for r in out["fsck"].values()):
+                print(json.dumps(out))
+                sys.exit(4)
         print(json.dumps(out))
     finally:
         spark.stop()

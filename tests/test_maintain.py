@@ -232,6 +232,33 @@ def test_maintain_job_spark_submit(tmp_path, spark):
     assert _digest(_dropc(read_table(spark, dst))) == \
         _full_rebuild_digest(spark, src)
 
+    # --wap-dup-gate-bands + --fsck: the dup gate runs as a WAP audit
+    # (full-band threshold — an ordinary edit stays green) and the run
+    # ends with every maintained table fsck-verified. The edited conv
+    # must be one with NO natural cross-conv full-band dup (seed 33
+    # has a duplicated pair; editing one of those would correctly
+    # re-fire the gate on its unchanged chunks)
+    from pdf_parser_spark.sources.dedup_index import dup_check_batch
+    corpus = read_table(spark, dst)
+    conv_of = lambda c: F.expr(f"substring({c}, 1, length({c}) - 7)")
+    dirty = set(r[0] for r in
+                dup_check_batch(spark, dup, corpus, id_col="chunk_key",
+                                min_bands=4)
+                .where(conv_of("probe_id") != conv_of("dup_of"))
+                .select(conv_of("probe_id")).distinct().collect())
+    clean = next(c for c in sorted(
+        r[0] for r in turns.select("conv_id").distinct().collect())
+        if c not in dirty)
+    upd3 = (turns.where(F.col("conv_id") == clean)
+            .withColumn("text", F.concat(F.lit("G "), "text"))
+            .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd3)
+    out = run("--wap", "--wap-dup-gate-bands", "4", "--fsck", "data")
+    assert out["refresh"]["published"] is True
+    assert out["refresh"]["audits"]["near_dup"] == 0
+    assert set(out["fsck"]) == {dst, emb, ivf, met, dup}
+    assert all(r["ok"] for r in out["fsck"].values())
+
 
 def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
     """The full round-4 composition: a CDC stream lands on the
