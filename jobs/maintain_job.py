@@ -116,6 +116,12 @@ def main(argv: list[str]) -> None:
                     help="after the run, fsck_table every maintained "
                          "table ('data' adds head-invariant re-proof); "
                          "exit 4 if any table fails")
+    ap.add_argument("--fsck-lineage", type=int, default=None,
+                    metavar="SAMPLE_CONVS",
+                    help="after the run, fsck_lineage re-derives this "
+                         "many hash-sampled conversations per hop and "
+                         "digest-compares against the stored rows; "
+                         "exit 4 on mismatch")
     args = ap.parse_args(argv)
     if args.ivf_dst and not args.embed_dst:
         ap.error("--ivf-dst requires --embed-dst")
@@ -268,6 +274,16 @@ def main(argv: list[str]) -> None:
                                          data_checks=args.fsck == "data")
                            for d in dirs}
             if not all(r["ok"] for r in out["fsck"].values()):
+                print(json.dumps(out))
+                sys.exit(4)
+        if args.fsck_lineage:
+            from pdf_parser_spark.sources.fsck import fsck_lineage
+            out["fsck_lineage"] = fsck_lineage(
+                spark, args.src, args.dst,
+                emb_dir=args.embed_dst, idx_dir=args.dedup_dst,
+                metrics_dir=args.metrics_dst,
+                sample_convs=args.fsck_lineage)
+            if not out["fsck_lineage"]["ok"]:
                 print(json.dumps(out))
                 sys.exit(4)
         print(json.dumps(out))

@@ -310,3 +310,186 @@ def fsck_table(spark: SparkSession, table_dir: str, *,
             "files_checked": n_files,
             "snapshots": len(m.get("snapshots", {})),
             "orphans": orphans}
+
+
+# --- lineage audit: the derivation chain re-proved by sample ----------------
+
+def _digest_expr(df):
+    """Order-insensitive content digest: sum over rows of a 60-bit
+    slice of md5(json(all columns, sorted names)). Complex columns go
+    through to_json, so arrays/structs canonicalize identically on
+    both sides of a compare."""
+    cols = [F.col(c) for c in sorted(df.columns)]
+    canon = F.md5(F.to_json(F.struct(*cols)))
+    h = F.conv(F.substring(canon, 1, 15), 16, 10).cast("decimal(38,0)")
+    r = df.agg(F.sum(h).alias("s"), F.count("*").alias("n")).collect()[0]
+    return (int(r.s) if r.s is not None else 0), int(r.n)
+
+
+def _sample_convs(spark, chunks_dir: str, k: int, seed: int) -> list:
+    df = read_table(spark, chunks_dir).select("conv_id").distinct()
+    rows = (df.orderBy(F.xxhash64("conv_id", F.lit(seed)))
+            .limit(k).collect())
+    return sorted(r[0] for r in rows)
+
+
+def fsck_lineage(spark: SparkSession, src_dir: str, chunks_dir: str, *,
+                 emb_dir: str | None = None,
+                 idx_dir: str | None = None,
+                 metrics_dir: str | None = None,
+                 sample_convs: int = 8, seed: int = 17) -> dict:
+    """Audit the maintained derivation chain (transcripts -> chunks ->
+    {embeddings, metrics, dedup index}) two ways:
+
+    1. **Version consistency** (metadata-only): each derived table's
+       recorded ``src_version`` must not be AHEAD of its upstream's
+       current version (an impossible state — corruption or a manual
+       manifest edit); merely LAGGING is a warning (the normal state
+       between refreshes — run the refresher).
+    2. **Sampled recompute** (the digest-equal-to-rebuild contract,
+       re-proved at O(sample) cost): draw ``sample_convs``
+       hash-sampled conversations, re-derive each hop for JUST those
+       conversations from its upstream's pinned snapshot, and compare
+       order-insensitive digests against the stored rows. Catches
+       out-of-band writes, config drift, and maintenance bugs that
+       version stamps can't see. Chunks re-extract with the manifest's
+       recorded ``extract_cfg``; metrics re-aggregate; index rows
+       re-hash with the recorded geometry. The embeddings hop is
+       checked structurally (exactly one vector of the recorded dim
+       per sampled chunk key, no strays) — the encoder is injectable
+       at build time and deliberately not re-run by an auditor.
+
+    Errors mean some consumer of the chain reads rows that do NOT
+    equal a from-scratch rebuild; ``ok`` is ``not errors``. The
+    sampled re-extraction uses the same pruned conversation reads the
+    refresher itself uses — O(sample) files opened, never O(table)."""
+    from pdf_parser_spark.config import ExtractionConfig
+    from pdf_parser_spark.pipeline import extract, extraction_metrics
+    from pdf_parser_spark.sources.maintain import (_pruned_conv_read,
+                                                   _with_chunk_key)
+
+    errors: list = []
+    warnings: list = []
+    hops: dict = {}
+
+    def _version_gate(label: str, dir_: str, upstream_dir: str):
+        m = read_manifest(dir_)
+        up_v = read_manifest(upstream_dir)["version"]
+        sv = m.get("src_version")
+        if sv is None:
+            errors.append({"check": "lineage_version", "what": label,
+                           "detail": "no src_version recorded — not a "
+                                     "maintained table"})
+            return None, None
+        if sv > up_v:
+            errors.append({"check": "lineage_version", "what": label,
+                           "detail": f"reflects src_version {sv} but "
+                                     f"upstream is at {up_v} — "
+                                     "impossible state"})
+            return None, None
+        if sv < up_v:
+            warnings.append({"check": "lineage_lag", "what": label,
+                             "detail": f"reflects {sv}, upstream at "
+                                       f"{up_v} — run the refresher"})
+        return m, sv
+
+    cm, src_v = _version_gate("chunks", chunks_dir, src_dir)
+    if cm is None:
+        return {"ok": False, "errors": errors, "warnings": warnings,
+                "hops": hops, "sampled_convs": []}
+    convs = _sample_convs(spark, chunks_dir, sample_convs, seed)
+    hops["chunks"] = {"src_version": src_v}
+
+    # chunks hop: re-extract the sampled conversations from the PINNED
+    # source snapshot with the RECORDED config
+    if str(src_v) not in read_manifest(src_dir)["snapshots"]:
+        warnings.append({"check": "lineage_recompute", "what": "chunks",
+                         "detail": f"pinned src snapshot {src_v} was "
+                                   "vacuumed — recompute unprovable "
+                                   "until the next refresh"})
+    else:
+        cfg = ExtractionConfig(**cm["extract_cfg"])
+        src_rows = _pruned_conv_read(spark, src_dir, convs,
+                                     version=src_v)
+        want = _with_chunk_key(extract(src_rows, cfg))
+        got = _pruned_conv_read(spark, chunks_dir, convs)
+        got = got.select(*want.columns)
+        dw, dg = _digest_expr(want), _digest_expr(got)
+        hops["chunks"].update(rows=dg[1])
+        if dw != dg:
+            errors.append({"check": "lineage_recompute", "what": "chunks",
+                           "detail": f"sampled re-extraction digest "
+                                     f"{dw} != stored {dg} over "
+                                     f"{len(convs)} conversations"})
+
+    chunks_now = _pruned_conv_read(spark, chunks_dir, convs)
+
+    if metrics_dir is not None:
+        mm, mv = _version_gate("metrics", metrics_dir, chunks_dir)
+        if mm is not None and mv == read_manifest(chunks_dir)["version"]:
+            want = extraction_metrics(chunks_now)
+            got = (read_table(spark, metrics_dir)
+                   .where(F.col("conv_id").isin(convs))
+                   .select(*want.columns))
+            dw, dg = _digest_expr(want), _digest_expr(got)
+            hops["metrics"] = {"src_version": mv, "rows": dg[1]}
+            if dw != dg:
+                errors.append({"check": "lineage_recompute",
+                               "what": "metrics",
+                               "detail": f"sampled re-aggregation "
+                                         f"digest {dw} != stored {dg}"})
+
+    if idx_dir is not None:
+        im, iv = _version_gate("dedup_index", idx_dir, chunks_dir)
+        if im is not None and iv == read_manifest(chunks_dir)["version"]:
+            from pdf_parser_spark.sources.dedup_index import bucket_rows
+            g = im["dedup_cfg"]
+            want = bucket_rows(chunks_now, im["src_key_col"],
+                               g["text_col"], n=g["n"],
+                               num_hashes=g["num_hashes"],
+                               bands=g["bands"])
+            conv_of = F.expr("substring(id, 1, length(id) - 7)")
+            got = (read_table(spark, idx_dir)
+                   .where(conv_of.isin(convs)).select(*want.columns))
+            dw, dg = _digest_expr(want), _digest_expr(got)
+            hops["dedup_index"] = {"src_version": iv, "rows": dg[1]}
+            if dw != dg:
+                errors.append({"check": "lineage_recompute",
+                               "what": "dedup_index",
+                               "detail": f"sampled re-hash digest "
+                                         f"{dw} != stored {dg}"})
+
+    if emb_dir is not None:
+        em, ev = _version_gate("embeddings", emb_dir, chunks_dir)
+        if em is not None and ev == read_manifest(chunks_dir)["version"]:
+            key = read_manifest(chunks_dir)["key_col"]
+            emb = _pruned_conv_read(spark, emb_dir, convs)
+            dim = em.get("embed_dim")
+            # rows flagged has_error (e.g. empty input text) carry []
+            # by the reference's result-shape contract — exempt from
+            # the dim check, not from existence
+            r = (chunks_now.select(key)
+                 .join(emb.select(key, F.size("embedding").alias("__d"),
+                                  F.coalesce("has_error", F.lit(False))
+                                  .alias("__e")),
+                       key, "full_outer")
+                 .agg(F.sum(F.when(F.col("__d").isNull(), 1)
+                            .otherwise(0)).alias("missing"),
+                      F.sum(F.when(F.col(key).isNull(), 1)
+                            .otherwise(0)).alias("strays"),
+                      F.sum(F.when((F.col("__d") != dim)
+                                   & ~F.col("__e"), 1)
+                            .otherwise(0)).alias("wrong_dim"),
+                      F.count("*").alias("n")).collect()[0])
+            hops["embeddings"] = {"src_version": ev, "rows": int(r.n)}
+            for fld in ("missing", "strays", "wrong_dim"):
+                v = int(r[fld] or 0)
+                if v:
+                    errors.append({"check": "lineage_recompute",
+                                   "what": f"embeddings:{fld}",
+                                   "detail": f"{v} rows over "
+                                             f"{len(convs)} sampled "
+                                             "conversations"})
+
+    return {"ok": not errors, "errors": errors, "warnings": warnings,
+            "hops": hops, "sampled_convs": convs}

@@ -253,11 +253,14 @@ def test_maintain_job_spark_submit(tmp_path, spark):
             .withColumn("text", F.concat(F.lit("G "), "text"))
             .withColumn("op", F.lit("upsert")))
     merge_into(spark, src, upd3)
-    out = run("--wap", "--wap-dup-gate-bands", "4", "--fsck", "data")
+    out = run("--wap", "--wap-dup-gate-bands", "4", "--fsck", "data",
+              "--fsck-lineage", "3")
     assert out["refresh"]["published"] is True
     assert out["refresh"]["audits"]["near_dup"] == 0
     assert set(out["fsck"]) == {dst, emb, ivf, met, dup}
     assert all(r["ok"] for r in out["fsck"].values())
+    assert out["fsck_lineage"]["ok"] is True
+    assert len(out["fsck_lineage"]["sampled_convs"]) == 3
 
 
 def test_cdc_stream_to_extracted_table_end_to_end(spark, tmp_path):
