@@ -666,7 +666,8 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
                            audits: dict | None = None,
                            min_chunk_ratio: float | None = None,
                            dedup_idx_dir: str | None = None,
-                           dedup_gate_bands: int | None = None):
+                           dedup_gate_bands: int | None = None,
+                           consistent_set_path: str | None = None):
     """An ``on_commit`` hook for ``streaming/cow_sink.merge_stream``
     that refreshes the WHOLE derivation lineage after every source
     micro-batch: chunks, then (if configured) embeddings through the
@@ -692,7 +693,14 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
     staged chunks share >= that many LSH bands with an already-indexed
     chunk of a different conversation — duplicate content never
     publishes, and because the index only advances after publish, the
-    gate always probes the exact pre-refresh corpus."""
+    gate always probes the exact pre-refresh corpus.
+
+    ``consistent_set_path``: after each cycle that MOVED the chunk
+    table (and therefore ran every configured downstream hop), record
+    all maintained tables' versions as one consistent set
+    (sources/consistent.py) — readers using ``consistent_reads`` get
+    cross-table joins that line up even mid-cycle, and the set's tags
+    keep the pinned snapshots vacuum-safe until expiry."""
     if (emb_dir is None) != (store_dir is None):
         raise ValueError("emb_dir and store_dir go together")
     if ivf_dir is not None and emb_dir is None:
@@ -742,6 +750,19 @@ def make_lineage_refresher(src_dir: str, dst_dir: str,
             out["metrics"] = refresh_metrics_table(spark, dst_dir,
                                                    metrics_dir,
                                                    strategy=strategy)
+        if consistent_set_path is not None \
+                and not chunks.get("skipped"):
+            from pdf_parser_spark.sources.consistent import (
+                record_consistent_set)
+            tables = {"transcripts": src_dir, "chunks": dst_dir}
+            for name, d in (("embeddings", emb_dir), ("ivf", ivf_dir),
+                            ("metrics", metrics_dir),
+                            ("dedup_index", dedup_idx_dir)):
+                if d is not None:
+                    tables[name] = d
+            out["consistent_set"] = record_consistent_set(
+                consistent_set_path, tables,
+                extra={"src_version": chunks.get("src_version")})
         refresh.log.append(out)
 
     refresh.log = []
