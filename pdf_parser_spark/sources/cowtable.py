@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -117,6 +118,12 @@ def _commit(table_dir: str, manifest: dict,
                     "snapshot")
     manifest["commit_seq"] = (_seq(manifest) if expected_seq is None
                               else expected_seq) + 1
+    # stamp commit time on snapshots that don't carry one yet — every
+    # writer funnels through here, so this is the single point (the
+    # basis for age-based expiry, Iceberg's expire_snapshots(older_than))
+    now = time.time()
+    for snap in manifest.get("snapshots", {}).values():
+        snap.setdefault("ts", now)
     tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -1426,11 +1433,21 @@ def rollback_table(table_dir: str, version: int | str) -> dict:
             "rolled_over": rolled_over, "batch_ids_unapplied": unapplied}
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> dict:
+def vacuum(table_dir: str, keep_last: int = 1, *,
+           older_than_s: float | None = None) -> dict:
     """Drop snapshots older than the newest ``keep_last`` and delete
     data files no retained snapshot references. Time travel reaches only
     retained versions afterwards. Tagged versions (``create_tag``) are
-    always retained — drop the tag to let vacuum reclaim them."""
+    always retained — drop the tag to let vacuum reclaim them.
+
+    ``older_than_s``: age-based retention (Iceberg's
+    ``expire_snapshots(older_than)``) — additionally KEEP every
+    snapshot whose commit stamp is younger than this many seconds, so
+    ``vacuum(keep_last=1, older_than_s=7*86400)`` reads "one blessed
+    snapshot forever, plus a week of time travel". Snapshots written
+    before stamping existed carry no ``ts`` and are treated as
+    expirable by age (the count/tag/branch keeps still protect
+    them)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     m = read_manifest(table_dir)
@@ -1441,6 +1458,10 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     # history out of the keep window
     main_chain = _ancestry(m, m["version"])
     keep = set(main_chain[:keep_last]) or {m["version"]}
+    if older_than_s is not None:
+        cutoff = time.time() - older_than_s
+        keep.update(int(v) for v, snap in m["snapshots"].items()
+                    if snap.get("ts", 0) >= cutoff)
     keep.update(m.get("refs", {}).values())  # tags survive vacuum
     for name in m.get("branches", {}):
         # a branch survives vacuum WHOLE (head->base chain + base):
@@ -1700,12 +1721,13 @@ def inspect_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
             "batch_id": st.get("batch_id"),
             "rows_written": st.get("rows_written"),
             "branch": st.get("branch"),
+            "committed_at": snap.get("ts"),
         })
     return spark.createDataFrame(
         rows, "version int, parent int, operation string, "
               "on_main boolean, is_current boolean, n_files int, "
               "n_delete_files int, batch_id long, rows_written long, "
-              "branch string")
+              "branch string, committed_at double")
 
 
 def inspect_files(spark: SparkSession, table_dir: str,

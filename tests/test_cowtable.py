@@ -698,3 +698,42 @@ def test_tags_pin_snapshots_through_vacuum(spark, docs, table):
     drop_tag(d, "prod")
     with pytest.raises(ValueError, match="not in table"):
         read_table(spark, d, version="prod")
+
+
+def test_age_based_retention(spark, docs, table):
+    """vacuum(older_than_s=...): every commit stamps its snapshot, and
+    age-based retention keeps young snapshots the count alone would
+    drop — 'one blessed snapshot plus a window of time travel'."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pdf_parser_spark.sources.cowtable import inspect_snapshots
+
+    merge_into(spark, table, _changes(spark, docs, 0, 10), batch_id=41)
+    merge_into(spark, table, _changes(spark, docs, 10, 20), batch_id=42)
+    snaps = read_manifest(table)["snapshots"]
+    assert all("ts" in s for s in snaps.values())  # stamped at commit
+    ts_col = dict(inspect_snapshots(spark, table)
+                  .select("version", "committed_at").collect())
+    assert all(v is not None for v in ts_col.values())
+
+    # all three commits are seconds old: a week-long window keeps them
+    v = vacuum(table, keep_last=1, older_than_s=7 * 86400)
+    assert sorted(int(k) for k in
+                  read_manifest(table)["snapshots"]) == [1, 2, 3]
+    assert v["dropped_files"] == 0
+
+    # age v1 artificially past the window: count keeps only the head,
+    # age keeps v2+v3, so v1 goes
+    m = read_manifest(table)
+    m["snapshots"]["1"]["ts"] = _time.time() - 10 * 86400
+    with open(_os.path.join(table, "manifest.json"), "w") as fh:
+        _json.dump(m, fh)
+    vacuum(table, keep_last=1, older_than_s=7 * 86400)
+    assert sorted(int(k) for k in
+                  read_manifest(table)["snapshots"]) == [2, 3]
+    # and without the age window, plain count retention still applies
+    vacuum(table, keep_last=1)
+    assert sorted(int(k) for k in
+                  read_manifest(table)["snapshots"]) == [3]
