@@ -125,3 +125,85 @@ def test_refresher_records_sets_only_on_green_moves(spark, chain):
     assert (pinned["chunks"].select("chunk_key")
             .join(pinned["embeddings"].select("chunk_key"),
                   "chunk_key", "left_anti").count()) == 0
+
+
+def test_live_stream_full_composition(spark, tmp_path):
+    """Capstone: a CDC stream drives the WHOLE round-4 stack — each
+    micro-batch merges into the transcripts cow table, the lineage
+    refresher stages re-extraction on a WAP branch, the maintained
+    LSH index GATES publish (clone content quarantined), green cycles
+    record a consistent cross-table set, and the pinned set reads
+    join cleanly throughout."""
+    import os
+
+    from pdf_parser_spark.sources.dedup_index import build_dedup_index
+    from pdf_parser_spark.sources.maintain import make_lineage_refresher
+    from pdf_parser_spark.streaming.cow_sink import merge_stream
+
+    p = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(p, n_convs=10, seed=41)
+    src, dst, idx = (str(tmp_path / x) for x in ("src", "dst", "idx"))
+    sets = str(tmp_path / "csets.json")
+    turns = read_transcripts(spark, p).withColumn(
+        "turn_key", F.concat_ws("#", "conv_id",
+                                F.format_string("%06d", "turn_idx")))
+    create_table(spark, turns.repartitionByRange(3, "turn_key"),
+                 src, "turn_key")
+    build_extracted_table(spark, src, dst)
+    build_dedup_index(spark, dst, idx)
+
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    stream_dir = str(tmp_path / "cdc")
+    os.makedirs(stream_dir)
+    # batch 0: a clean edit; batch 1: conv B cloned into conv A (the
+    # near-dup the gate exists to stop)
+    clean = (turns.where(F.col("conv_id") == convs[0])
+             .withColumn("text", F.concat(F.lit("CLEAN zq7 "), "text")))
+    donor = turns.where(F.col("conv_id") == convs[2])
+    n_donor = donor.count()
+    clone = (donor.withColumn("conv_id", F.lit(convs[1]))
+             .withColumn("turn_key",
+                         F.concat_ws("#", "conv_id",
+                                     F.format_string("%06d", "turn_idx"))))
+    surplus = (turns.where((F.col("conv_id") == convs[1])
+                           & (F.col("turn_idx") >= n_donor)))
+    for i, batch in enumerate((clean, clone.unionByName(surplus))):
+        ops = batch.withColumn(
+            "op", F.when((F.lit(i) == 1)
+                         & (F.col("conv_id") == convs[1])
+                         & (F.col("turn_idx") >= n_donor),
+                         "delete").otherwise("upsert"))
+        (ops.withColumn("lsn", F.monotonically_increasing_id())
+         .write.mode("overwrite").parquet(f"{stream_dir}/f{i}"))
+
+    follow = make_lineage_refresher(src, dst, wap=True,
+                                    dedup_idx_dir=idx,
+                                    dedup_gate_bands=4,
+                                    consistent_set_path=sets)
+    schema = (turns.withColumn("op", F.lit("x"))
+              .withColumn("lsn", F.lit(0).cast("long")).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{stream_dir}/f*"))
+    q = merge_stream(stream, src, str(tmp_path / "ckpt"),
+                     order_col="lsn", on_commit=follow)
+    q.awaitTermination(120)
+
+    assert len(follow.log) == 2
+    first, second = follow.log
+    assert first["chunks"]["published"] is True
+    assert "consistent_set" in first
+    assert first["dedup_index"]["src_version"] == \
+        first["consistent_set"]["tables"]["chunks"]["version"]
+    assert second["chunks"]["published"] is False
+    assert second["chunks"]["audits"]["near_dup"] > 0
+    assert "consistent_set" not in second
+    # main never served the clone; the pinned set joins cleanly
+    assert (read_table(spark, dst)
+            .where(F.col("conv_id") == convs[1])
+            .where(F.col("text").contains("CLEAN")).count()) == 0
+    pinned = consistent_reads(spark, sets)
+    assert set(pinned) == {"transcripts", "chunks", "dedup_index"}
+    assert pinned["chunks"].where(
+        F.col("text").contains("CLEAN zq7")).count() > 0
