@@ -67,6 +67,10 @@ HEADLINE = [
     "docs_paragraph_dedup",
     "docs_bm25_topk",
     "emb_pq_topk",
+    # round-4 additions: the decorrelation pack's scan-pushdown stress and
+    # the oracle-checked RAG context assembly
+    "q19_disjunctive_revenue",
+    "rag_context_topk",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))

@@ -1495,6 +1495,283 @@ FROM t GROUP BY conv_id
 """
 
 
+# --- TPC-H decorrelation pack: correlated-subquery / EXISTS / disjunctive -
+# predicate shapes phrased Spark-first. TPC-H's correlated subqueries do not
+# exist in the DataFrame API; the idiomatic renditions are window functions
+# over the correlation key (per-group scalar) and one-row broadcast joins
+# (global scalar) — both decorrelations Catalyst itself would produce, and
+# both shapes that scale (the window partitions on the key; the scalar join
+# broadcasts one row). Oracles state the correlated form literally so the
+# equivalence is machine-checked, not asserted.
+
+
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (adapted: lineitem links part<->supplier; no partsupp
+    table in the testdata): per part, the supplier(s) offering the minimum
+    rounded average unit price. Correlated MIN subquery -> window min over
+    the correlation key."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    supp = _t(spark, sf, "supplier")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")),
+                       6).alias("unit")))
+    w = Window.partitionBy("l_partkey")
+    best = (ps.withColumn("min_unit", F.min("unit").over(w))
+            .where(F.col("unit") == F.col("min_unit")))
+    return (best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+            .select("p_partkey", "p_brand", "s_name", "min_unit"))
+
+
+Q2_MIN_COST_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 6) AS unit
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_brand, s_name, ps.unit AS min_unit
+FROM ps
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE ps.unit = (SELECT min(ps2.unit) FROM ps ps2
+                 WHERE ps2.l_partkey = ps.l_partkey)
+"""
+
+
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE GLOBAL
+    TOTAL. Uncorrelated scalar subquery -> one-row aggregate broadcast-cross-
+    joined into the filter (never a second scan of the grouped data)."""
+    li = _t(spark, sf, "lineitem")
+    value = (li.groupBy("l_partkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 4)
+                  .alias("part_value")))
+    total = value.agg(F.sum("part_value").alias("__total"))
+    return (value.join(F.broadcast(total))
+            .where(F.col("part_value") > 0.001 * F.col("__total"))
+            .select("l_partkey", "part_value"))
+
+
+Q11_IMPORTANT_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM v
+WHERE part_value > 0.001 * (SELECT sum(part_value) FROM v)
+"""
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. Global-max
+    scalar subquery -> unpartitioned window max over the (small, one row per
+    supplier) AGGREGATED relation — the window runs post-agg on |suppliers|
+    rows, not on lineitem."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+           .groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("total_revenue")))
+    w = Window.partitionBy()
+    best = (rev.withColumn("__max", F.max("total_revenue").over(w))
+            .where(F.col("total_revenue") == F.col("__max")))
+    return (best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q18_large_orders(spark, sf):
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, joined
+    back to customer. HAVING-filtered aggregate used as a SEMI source: the
+    heavy relation is aggregated FIRST, the join fans the survivors out."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                    "sum_qty"))
+
+
+Q18_LARGE_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 250
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19: OR-of-ANDs join predicate. Phrased as equi-join on
+    partkey + a residual disjunction so the join stays hash-based (the
+    naive rendition — OR across join keys — degenerates to a nested-loop
+    cross product); the per-branch part filters are pushed into the scan."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+               & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21))
+    branch2 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30)
+               & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+    branch3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 45)
+               & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50))
+    return (j.where(branch1 | branch2 | branch3)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+Q19_DISJUNCTIVE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size <= 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size <= 45
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q22_idle_rich_customers(spark, sf):
+    """TPC-H Q22: scalar-average threshold + NOT EXISTS, grouped. Global
+    scalar -> one-row broadcast; NOT EXISTS -> left_anti join; grouping key
+    is the account-balance band (the synthetic customer has no phone
+    country code), and "idle" means no order since 2000 (every synthetic
+    customer has SOME order, so the literal no-orders-ever rendition is
+    vacuously empty — see customers_without_orders)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    avg_bal = (cust.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg")))
+    rich = (cust.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("__avg")))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (idle.groupBy(F.floor(F.col("c_acctbal") / 1000)
+                         .cast("long").alias("bal_band"))
+            .agg(F.count("*").alias("n_custs"),
+                 F.round(F.sum("c_acctbal"), 4).alias("total_bal")))
+
+
+Q22_IDLE_RICH_SQL = """
+SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       count(*) AS n_custs,
+       round(sum(c_acctbal), 4) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY bal_band
+"""
+
+
+def rag_context_topk(spark, sf):
+    """The RAG context-assembly funnel (reference gea_rag_agent_openai.py:
+    228-292) as ONE oracle-checked plan: brute-force cosine top-5 over the
+    embeddings table, join to documents, per-hit header
+    ``[文档N] 来源: … | 轮次: … | 类型: … | 相似度: %.4f`` + a 200-char body,
+    entries joined by blank lines, C9 truncation at 4000 chars. Same
+    format contract as operators/export.build_context (whose chunk-schema
+    path is pinned by exact-string pytest); this entry proves the string
+    assembly against DuckDB printf/string_agg. Scale shape: top-k is
+    TakeOrderedAndProject; everything after runs on 5 rows."""
+    emb = _t(spark, sf, "embeddings")
+    docs = _t(spark, sf, "documents")
+    q_row = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    q = [float(x) for x in q_row[0].embedding]
+    qc = F.array(*[F.lit(x) for x in q])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(e, qc, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(qc, F.lit(0.0), lambda acc, v: acc + v * v))
+    sim = F.when(na * nb > 0, dot / (na * nb)).otherwise(0.0)
+    top = (emb.select("vec_id", F.round(sim, 6).alias("similarity"))
+           .orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5))
+    hits = (top.join(F.broadcast(docs), top.vec_id == docs.doc_id)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("similarity"), F.asc("vec_id")))))
+    entry = F.format_string(
+        "[文档%d] 来源: %s | 轮次: %d | 类型: text | 相似度: %.4f\n%s",
+        F.col("rank"), F.col("source"), F.col("doc_id"),
+        F.col("similarity"), F.substring("text", 1, 200))
+    w_all = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing)
+    ctx = (hits.select(F.col("rank"), entry.alias("entry"))
+           .withColumn("context", F.array_join(
+               F.collect_list("entry").over(w_all), "\n\n"))
+           .select("context").limit(1))
+    return ctx.select(
+        F.when(F.length("context") > 4000,
+               F.concat(F.substring("context", 1, 4000), F.lit("...")))
+         .otherwise(F.col("context")).alias("context"),
+        F.length("context").alias("raw_chars"))
+
+
+RAG_CONTEXT_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS similarity
+  FROM embeddings, q
+  ORDER BY similarity DESC, vec_id ASC
+  LIMIT 5
+),
+ranked AS (
+  SELECT vec_id, similarity,
+         row_number() OVER (ORDER BY similarity DESC, vec_id ASC) AS rank
+  FROM top
+),
+entries AS (
+  SELECT rank,
+         printf('[文档%d] 来源: %s | 轮次: %d | 类型: text | 相似度: %.4f',
+                rank, source, doc_id, similarity)
+           || chr(10) || substr(text, 1, 200) AS entry
+  FROM ranked JOIN documents ON vec_id = doc_id
+),
+joined AS (
+  SELECT string_agg(entry, chr(10) || chr(10) ORDER BY rank) AS ctx
+  FROM entries
+)
+SELECT CASE WHEN length(ctx) > 4000 THEN substr(ctx, 1, 4000) || '...'
+            ELSE ctx END AS context,
+       length(ctx) AS raw_chars
+FROM joined
+"""
+
+
 # --- rows-only entries (no SQL oracle; gate = pytest oracle suite) ---------
 
 
@@ -4085,6 +4362,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "rag_context_topk": rag_context_topk,
     "parts_supplier_profit": parts_supplier_profit,
     "customers_without_orders": customers_without_orders,
     "events_type_agg": events_type_agg,
@@ -4254,6 +4538,13 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
+    "q2_min_cost_supplier": Q2_MIN_COST_SQL,
+    "q11_important_parts": Q11_IMPORTANT_SQL,
+    "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
+    "q18_large_orders": Q18_LARGE_ORDERS_SQL,
+    "q19_disjunctive_revenue": Q19_DISJUNCTIVE_SQL,
+    "q22_idle_rich_customers": Q22_IDLE_RICH_SQL,
+    "rag_context_topk": RAG_CONTEXT_SQL,
     "parts_supplier_profit": PARTS_SUPPLIER_SQL,
     "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
     "events_type_agg": EVENTS_TYPE_SQL,

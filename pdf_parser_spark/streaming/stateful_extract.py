@@ -1,0 +1,219 @@
+"""Stateful streaming extraction: exact batch semantics across micro-batches.
+
+``streaming/incremental.stream_extract`` (the foreachBatch path) documents a
+deliberate limitation: a conversation whose turns land in DIFFERENT files
+gets per-batch chunk indices, because each micro-batch runs the batch
+extraction pipeline in isolation. This module removes that limitation with
+the Structured-Streaming-native formulation — ``applyInPandasWithState``
+keyed by ``conv_id`` — so the stream's cumulative output is row-for-row
+EQUAL to batch ``extract_chunks`` over the full input, no matter how turns
+are split (or reordered) across micro-batches.
+
+Why the state is tiny
+---------------------
+The per-turn decomposition theorem (core/merge.py docstring) means chunk
+CONTENT never spans turns — each turn's chunks are a pure function of that
+turn's text/tool. The only cross-turn coupling in the whole operator is
+index assignment:
+
+  chunk_idx   = running count of chunks emitted so far in the conversation
+  block_indices offset = running sum of prior turns' block counts
+
+so per-conversation state is just three counters plus an (almost always
+empty) reorder buffer for turns that arrive before their predecessors:
+
+  (next_turn_idx, next_chunk_idx, next_block_off, pending_json)
+
+Turns are folded strictly in ``turn_idx`` order: an out-of-order arrival
+waits in ``pending`` until the gap fills. This is what exactness REQUIRES —
+emitting turn 5's chunks before turn 4 has landed would assign wrong
+indices — and it is also the streaming analog of the batch window's
+``orderBy(turn_idx)``. Contract: ``turn_idx`` is dense per conversation
+(0..n-1), the same contract the synthetic corpus and the input_hint's
+``(conv_id:string, turn_idx:int32)`` keying carry. A turn that never
+arrives stalls ONLY its own conversation (state for it is a few bytes);
+everything else flows.
+
+Scale shape: one shuffle per micro-batch on conv_id (the engine-wide
+partitioning contract), state bounded by active conversations × ~40 bytes,
+reorder buffer bounded by the landing pipeline's disorder window. An
+OPT-IN ProcessingTimeTimeout (``ttl_sec``; always-on deployments only —
+see ``stateful_extract_stream`` on why availableNow drains must run
+TTL-less) GCs conversations idle longer than ``ttl_sec``
+(counters only — with in-order landing there is nothing buffered to lose;
+a stalled conversation's pending turns are dropped with its state and
+counted nowhere, which is the honest choice: emitting them would assign
+indices batch extraction would not).
+
+Exactly-once: the file source + state store + parquet sink are all driven
+by the ONE checkpoint, so a restart resumes the counters mid-conversation
+— pinned by the restart test (tests/test_stream_stateful_extract.py).
+
+Cleaning mode (``cfg.clean_boilerplate``) is conversation-GLOBAL (the
+repeated-line miner reads every turn before any is extracted,
+operators/boilerplate.py) and therefore cannot stream turn-by-turn;
+requesting it here raises. Reference analog: the per-file sequential loop
+(reference process_gea_pdfs.py:233-298) — which could never resume
+mid-document at all.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from pdf_parser_spark.config import ExtractionConfig
+from pdf_parser_spark.core.blocks import tokenize_turn_stats
+from pdf_parser_spark.core.merge import merge_turn
+from pdf_parser_spark.operators.merge import CHUNK_FIELDS, CHUNK_SCHEMA
+from pdf_parser_spark.streaming.incremental import TRANSCRIPT_DDL
+
+_CHUNK_COLS = [f.name for f in CHUNK_FIELDS]
+
+# (next_turn_idx, next_chunk_idx, next_block_off, pending_json)
+STATE_SCHEMA = StructType([
+    StructField("next_turn", LongType()),
+    StructField("next_chunk", LongType()),
+    StructField("next_off", LongType()),
+    StructField("pending", StringType()),
+])
+
+
+def _fold_turn(conv_id: str, turn_idx: int, text, tool,
+               cfg: ExtractionConfig, next_chunk: int, next_off: int,
+               out: list[tuple]) -> tuple[int, int]:
+    """Extract one turn and append its chunk rows with GLOBAL indices;
+    returns the advanced (next_chunk, next_off). Mirrors
+    operators/merge._turn_chunk_rows + chunks_from_local's stitch, with the
+    window's running sums replaced by the carried counters."""
+    blocks, _n_lines, _n_dropped = tokenize_turn_stats(
+        int(turn_idx), text, tool, cfg, None)
+    if blocks:
+        for c in merge_turn(blocks, cfg):
+            out.append((conv_id, next_chunk, int(turn_idx), c["chunk_type"],
+                        c["text"], c["char_count"], c["block_count"],
+                        [i + next_off for i in c["block_indices"]],
+                        c["table_index"], c["image_index"], c["table_cells"]))
+            next_chunk += 1
+        next_off += len(blocks)
+    return next_chunk, next_off
+
+
+def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None):
+    if cfg.clean_boilerplate:
+        raise ValueError(
+            "clean_boilerplate is conversation-global (the repeated-line "
+            "miner needs every turn); use the batch pipeline or the "
+            "foreachBatch stream for cleaning mode")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (conv_id,) = key
+
+        if state.hasTimedOut:
+            # GC an idle conversation: counters (and any stalled pending
+            # turns, deliberately — see module docstring) are dropped.
+            state.remove()
+            return
+
+        if state.exists:
+            next_turn, next_chunk, next_off, pending_json = state.get
+            pending = {int(k): v for k, v in json.loads(pending_json).items()}
+        else:
+            next_turn, next_chunk, next_off = 0, 0, 0
+            pending = {}
+
+        for pdf in pdfs:
+            for t_idx, text, tool in zip(pdf["turn_idx"].tolist(),
+                                         pdf["text"].tolist(),
+                                         pdf["tool"].tolist()):
+                t_idx = int(t_idx)
+                # duplicate delivery (same turn landing twice): first wins,
+                # and a turn already folded is ignored outright.
+                if t_idx >= next_turn and t_idx not in pending:
+                    pending[t_idx] = (None if text is None else str(text),
+                                      None if tool is None else str(tool))
+
+        rows: list[tuple] = []
+        while next_turn in pending:
+            text, tool = pending.pop(next_turn)
+            next_chunk, next_off = _fold_turn(
+                conv_id, next_turn, text, tool, cfg,
+                next_chunk, next_off, rows)
+            next_turn += 1
+
+        state.update((next_turn, next_chunk, next_off,
+                      json.dumps({str(k): list(v)
+                                  for k, v in pending.items()})))
+        if ttl_sec is not None:
+            state.setTimeoutDuration(ttl_sec * 1000)
+
+        if rows:
+            yield pd.DataFrame(rows, columns=_CHUNK_COLS)
+
+    return fn
+
+
+def stateful_extract_stream(transcripts: DataFrame,
+                            cfg: ExtractionConfig = ExtractionConfig(),
+                            ttl_sec: int | None = None) -> DataFrame:
+    """streaming transcripts -> streaming extracted chunks (append mode).
+
+    The cumulative output equals batch ``extract_chunks`` over the
+    cumulative input whenever every conversation's turns eventually all
+    arrive (any inter-/intra-batch split or reorder is fine).
+
+    ``ttl_sec`` (state GC for idle conversations) is OPT-IN and meant for
+    always-on deployments (continuous micro-batch trigger). Leave it None
+    for ``availableNow`` drains: AvailableNow treats pending
+    processing-time timers as available work and keeps scheduling empty
+    micro-batches until they fire, so a drain with a TTL armed never
+    terminates (observed: hundreds of empty batches). Counters are a few
+    bytes per conversation, so running TTL-less between cron drains is
+    the cheap and correct default.
+    """
+    timeout = (GroupStateTimeout.NoTimeout if ttl_sec is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (transcripts
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                make_stateful_extract_fn(cfg, ttl_sec),
+                outputStructType=CHUNK_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=timeout))
+
+
+def stream_extract_stateful(spark: SparkSession, input_dir: str,
+                            output_dir: str, checkpoint_dir: str,
+                            cfg: ExtractionConfig = ExtractionConfig(),
+                            max_files_per_trigger: int | None = None,
+                            ttl_sec: int | None = None,
+                            available_now: bool = True):
+    """Landing-directory wiring of :func:`stateful_extract_stream`.
+
+    Same contract as ``incremental.stream_extract`` (immutable landed
+    files, checkpoint = resume state) MINUS its whole-conversations-per-file
+    requirement: files may split or interleave conversations arbitrarily.
+    """
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # same null-key gate as the batch path (operators/merge._drop_null_keys)
+    transcripts = (reader.parquet(input_dir)
+                   .where("conv_id is not null and turn_idx is not null"))
+
+    chunks = stateful_extract_stream(transcripts, cfg, ttl_sec)
+
+    writer = (chunks.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", f"{output_dir}/extracted")
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

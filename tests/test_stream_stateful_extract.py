@@ -1,0 +1,131 @@
+"""Stateful streaming extraction: cumulative stream output must equal batch
+``extract_chunks`` even when conversations split/reorder across micro-batches
+— the exact case the foreachBatch path (streaming/incremental.py) documents
+as out of its scope."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_spark.config import ExtractionConfig
+from pdf_parser_spark.operators.merge import extract_chunks
+from pdf_parser_spark.sources.synth import generate_transcripts
+from pdf_parser_spark.streaming.stateful_extract import (
+    make_stateful_extract_fn, stream_extract_stateful)
+
+_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _write_landing(path, rows):
+    df = pd.DataFrame(rows, columns=_COLS)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    # all-null object columns must not let pyarrow infer a non-string type
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("role", pa.string()), ("text", pa.string()),
+                        ("tool", pa.string()), ("ts", pa.timestamp("us"))])
+    pq.write_table(pa.Table.from_pandas(df, schema=schema,
+                                        preserve_index=False), str(path))
+
+
+def _drain(spark, inp, out, ckpt):
+    q = stream_extract_stateful(spark, str(inp), str(out), str(ckpt),
+                                max_files_per_trigger=1)
+    q.awaitTermination()
+
+
+def _collect(df):
+    rows = df.collect()
+    return sorted(
+        ((r.conv_id, r.chunk_idx, r.turn_idx, r.chunk_type, r.text,
+          r.char_count, r.block_count, tuple(r.block_indices or ()),
+          r.table_index, r.image_index,
+          tuple(tuple(row or ()) for row in (r.table_cells or ())))
+         for r in rows))
+
+
+def _batch_expected(spark, rows):
+    from tests.conftest import TRANSCRIPT_SCHEMA
+    return _collect(extract_chunks(
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)))
+
+
+def test_split_reordered_duplicated_landing_equals_batch(spark, tmp_path):
+    rows = generate_transcripts(10, seed=11, max_turns=16)
+    inp = tmp_path / "landing"; inp.mkdir()
+    # round-robin split: every conversation spans all three files, and
+    # within a conversation later turns land in "earlier" files
+    splits = [rows[0::3], rows[1::3], rows[2::3]]
+    # duplicate delivery: file 2 re-ships a slice of file 0's rows
+    splits[2] = splits[2] + splits[0][:7]
+    for i, part in enumerate(splits):
+        _write_landing(inp / f"f{i}.parquet", part)
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _drain(spark, inp, out, ckpt)
+
+    got = _collect(spark.read.parquet(str(out / "extracted")))
+    assert got == _batch_expected(spark, rows)
+    assert len(got) > 0
+
+
+def test_restart_resumes_counters_mid_conversation(spark, tmp_path):
+    rows = generate_transcripts(6, seed=23, max_turns=12)
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+
+    inp = tmp_path / "landing"; inp.mkdir()
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    # phase 1: the first ceil(n/2) turns of every conversation
+    p1, p2 = [], []
+    for turns in by_conv.values():
+        cut = (len(turns) + 1) // 2
+        p1.extend(turns[:cut]); p2.extend(turns[cut:])
+    _write_landing(inp / "p1.parquet", p1)
+    _drain(spark, inp, out, ckpt)
+    phase1 = _collect(spark.read.parquet(str(out / "extracted")))
+    assert phase1 == _batch_expected(spark, p1)  # contiguous prefix: exact
+
+    # phase 2: the rest lands; a SECOND query on the same checkpoint must
+    # resume the per-conversation counters, not restart them
+    _write_landing(inp / "p2.parquet", p2)
+    _drain(spark, inp, out, ckpt)
+    got = _collect(spark.read.parquet(str(out / "extracted")))
+    assert got == _batch_expected(spark, rows)
+    assert len(got) > len(phase1)
+
+
+def test_gap_stalls_only_until_missing_turn_arrives(spark, tmp_path):
+    rows = generate_transcripts(3, seed=5, max_turns=8)
+    conv = sorted({r["conv_id"] for r in rows})[0]
+    held = [r for r in rows if r["conv_id"] == conv and r["turn_idx"] == 0]
+    assert held, "need a turn to hold back"
+    rest = [r for r in rows if not (r["conv_id"] == conv
+                                    and r["turn_idx"] == 0)]
+
+    inp = tmp_path / "landing"; inp.mkdir()
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    _write_landing(inp / "rest.parquet", rest)
+    _drain(spark, inp, out, ckpt)
+    partial = _collect(spark.read.parquet(str(out / "extracted")))
+    # the gapped conversation emitted NOTHING (turn 0 missing); others full
+    assert all(t[0] != conv for t in partial)
+    assert partial == _batch_expected(
+        spark, [r for r in rest if r["conv_id"] != conv])
+
+    _write_landing(inp / "held.parquet", held)
+    _drain(spark, inp, out, ckpt)
+    got = _collect(spark.read.parquet(str(out / "extracted")))
+    assert got == _batch_expected(spark, rows)
+
+
+def test_cleaning_mode_refused():
+    with pytest.raises(ValueError, match="clean_boilerplate"):
+        make_stateful_extract_fn(
+            ExtractionConfig(clean_boilerplate=True), ttl_sec=60)
