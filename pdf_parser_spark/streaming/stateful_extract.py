@@ -122,7 +122,9 @@ def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None):
 
         if state.exists:
             next_turn, next_chunk, next_off, pending_json = state.get
-            pending = {int(k): v for k, v in json.loads(pending_json).items()}
+            # "" encodes the (overwhelmingly common) empty reorder buffer
+            pending = ({int(k): v for k, v in json.loads(pending_json).items()}
+                       if pending_json else {})
         else:
             next_turn, next_chunk, next_off = 0, 0, 0
             pending = {}
@@ -148,12 +150,17 @@ def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None):
 
         state.update((next_turn, next_chunk, next_off,
                       json.dumps({str(k): list(v)
-                                  for k, v in pending.items()})))
+                                  for k, v in pending.items()})
+                      if pending else ""))
         if ttl_sec is not None:
             state.setTimeoutDuration(ttl_sec * 1000)
 
         if rows:
-            yield pd.DataFrame(rows, columns=_CHUNK_COLS)
+            # dict-of-lists beats list-of-tuples for frame construction at
+            # the few-rows-per-conversation group sizes this fn sees
+            yield pd.DataFrame(
+                {c: [r[i] for r in rows]
+                 for i, c in enumerate(_CHUNK_COLS)})
 
     return fn
 
