@@ -1,0 +1,107 @@
+"""spark-submit entry point for STREAMING extraction over a landing
+directory — the tailing companion to ``jobs/extract_job.py`` (backfill).
+
+Two modes, same output table:
+
+- ``--mode batchwise`` (default): ``streaming/incremental.stream_extract``
+  — foreachBatch over whole-conversation landed files; cheapest when the
+  ingestion contract (a file holds complete conversations) holds.
+- ``--mode stateful``: ``streaming/stateful_extract.stream_extract_stateful``
+  — per-conversation counters in the state store, so files may split or
+  reorder conversations arbitrarily and the cumulative output still equals
+  batch extraction (the measured trade: ~0.3 ms per conversation-touch of
+  state protocol; see BASELINE.md "Stateful streaming extraction").
+
+Default trigger is ``availableNow``: one drain of everything new, then
+exit — the cron-driven tailing shape, resumable purely from the
+checkpoint. ``--follow SECONDS`` switches to an always-on
+processing-time trigger (stateful mode then accepts ``--state-ttl`` for
+idle-conversation GC; availableNow drains run TTL-less by design — see
+stateful_extract_stream's note on AvailableNow vs processing-time
+timers).
+
+Cluster usage::
+
+    spark-submit --py-files dist/pdf_parser_spark.zip \
+        jobs/stream_extract_job.py \
+        --input  <landing dir> --output <table dir> \
+        --checkpoint <ckpt dir> [--mode stateful] \
+        [--max-files-per-trigger N] [--follow [--state-ttl 86400]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser(
+        description="landing dir -> streaming extracted chunks")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", default="batchwise",
+                    choices=["batchwise", "stateful"])
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--follow", action="store_true",
+                    help="always-on: keep micro-batching as files land "
+                         "instead of one availableNow drain")
+    ap.add_argument("--state-ttl", type=int, default=None,
+                    help="stateful mode + --follow only: GC conversations "
+                         "idle this many seconds")
+    ap.add_argument("--tokenizer", default="turn",
+                    choices=["turn", "paragraphs"])
+    ap.add_argument("--max-chars", type=int, default=800)
+    ap.add_argument("--overlap-chars", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.state_ttl is not None and not args.follow:
+        ap.error("--state-ttl requires --follow (an availableNow drain "
+                 "with processing-time timers never terminates)")
+    if args.state_ttl is not None and args.mode != "stateful":
+        ap.error("--state-ttl only applies to --mode stateful")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(
+        "pdf_parser_spark-stream-extract").getOrCreate()
+    try:
+        print(json.dumps(run_job(spark, args)))
+    finally:
+        spark.stop()
+
+
+def run_job(spark, args) -> dict:
+    """The job body on a caller-owned session (tests pass their fixture)."""
+    from pdf_parser_spark.config import ExtractionConfig
+    from pdf_parser_spark.streaming.incremental import stream_extract
+    from pdf_parser_spark.streaming.stateful_extract import \
+        stream_extract_stateful
+
+    cfg = ExtractionConfig(
+        max_chars_per_chunk=args.max_chars,
+        tokenizer_mode=args.tokenizer,
+        overlap_chars=args.overlap_chars,
+    )
+    if args.mode == "stateful":
+        q = stream_extract_stateful(
+            spark, args.input, args.output, args.checkpoint, cfg,
+            max_files_per_trigger=args.max_files_per_trigger,
+            ttl_sec=args.state_ttl,
+            available_now=not args.follow)
+    else:
+        q = stream_extract(
+            spark, args.input, args.output, args.checkpoint, cfg,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.follow)
+    q.awaitTermination()
+    progress = q.lastProgress or {}
+    return {"mode": args.mode,
+            "batches": progress.get("batchId"),
+            "run_id": progress.get("runId")}
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

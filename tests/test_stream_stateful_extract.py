@@ -129,3 +129,36 @@ def test_cleaning_mode_refused():
     with pytest.raises(ValueError, match="clean_boilerplate"):
         make_stateful_extract_fn(
             ExtractionConfig(clean_boilerplate=True), ttl_sec=60)
+
+
+def test_stream_extract_job_stateful_mode(spark, tmp_path):
+    """jobs/stream_extract_job.run_job in stateful mode: split landing
+    files, output equals batch."""
+    from argparse import Namespace
+
+    from jobs.stream_extract_job import run_job
+
+    rows = generate_transcripts(6, seed=31, max_turns=10)
+    inp = tmp_path / "landing"; inp.mkdir()
+    splits = [rows[0::2], rows[1::2]]
+    for i, part in enumerate(splits):
+        _write_landing(inp / f"f{i}.parquet", part)
+
+    out = run_job(spark, Namespace(
+        input=str(inp), output=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"), mode="stateful",
+        max_files_per_trigger=1, follow=False, state_ttl=None,
+        tokenizer="turn", max_chars=800, overlap_chars=0))
+    assert out["mode"] == "stateful"
+    got = _collect(spark.read.parquet(str(tmp_path / "out" / "extracted")))
+    assert got == _batch_expected(spark, rows)
+
+
+def test_stream_extract_job_rejects_ttl_without_follow(tmp_path):
+    """--state-ttl without --follow must refuse (the drain would never
+    terminate) BEFORE any session work."""
+    from jobs.stream_extract_job import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--checkpoint", "z",
+              "--mode", "stateful", "--state-ttl", "60"])
