@@ -14,11 +14,13 @@ Two modes, same output table:
 
 Default trigger is ``availableNow``: one drain of everything new, then
 exit — the cron-driven tailing shape, resumable purely from the
-checkpoint. ``--follow SECONDS`` switches to an always-on
-processing-time trigger (stateful mode then accepts ``--state-ttl`` for
-idle-conversation GC; availableNow drains run TTL-less by design — see
-stateful_extract_stream's note on AvailableNow vs processing-time
-timers).
+checkpoint. ``--follow`` switches to always-on micro-batching
+(``--trigger-seconds N`` paces it with a processing-time trigger;
+without it, as-fast-as-possible). Stateful mode then accepts
+``--state-ttl`` for idle-conversation GC; availableNow drains run
+TTL-less by design — see stateful_extract_stream's note on AvailableNow
+vs processing-time timers, and note the TTL is a retention boundary
+(turns of a GC'd conversation are dropped).
 
 Cluster usage::
 
@@ -26,7 +28,8 @@ Cluster usage::
         jobs/stream_extract_job.py \
         --input  <landing dir> --output <table dir> \
         --checkpoint <ckpt dir> [--mode stateful] \
-        [--max-files-per-trigger N] [--follow [--state-ttl 86400]]
+        [--max-files-per-trigger N] \
+        [--follow [--trigger-seconds 30] [--state-ttl 86400]]
 """
 
 from __future__ import annotations
@@ -48,6 +51,9 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--follow", action="store_true",
                     help="always-on: keep micro-batching as files land "
                          "instead of one availableNow drain")
+    ap.add_argument("--trigger-seconds", type=int, default=None,
+                    help="--follow only: pace micro-batches with a "
+                         "processing-time trigger")
     ap.add_argument("--state-ttl", type=int, default=None,
                     help="stateful mode + --follow only: GC conversations "
                          "idle this many seconds")
@@ -62,6 +68,8 @@ def main(argv: list[str]) -> None:
                  "with processing-time timers never terminates)")
     if args.state_ttl is not None and args.mode != "stateful":
         ap.error("--state-ttl only applies to --mode stateful")
+    if args.trigger_seconds is not None and not args.follow:
+        ap.error("--trigger-seconds requires --follow")
 
     from pyspark.sql import SparkSession
 
@@ -90,7 +98,8 @@ def run_job(spark, args) -> dict:
             spark, args.input, args.output, args.checkpoint, cfg,
             max_files_per_trigger=args.max_files_per_trigger,
             ttl_sec=args.state_ttl,
-            available_now=not args.follow)
+            available_now=not args.follow,
+            trigger_seconds=getattr(args, "trigger_seconds", None))
     else:
         q = stream_extract(
             spark, args.input, args.output, args.checkpoint, cfg,

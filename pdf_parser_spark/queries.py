@@ -1508,14 +1508,27 @@ FROM t GROUP BY conv_id
 def q2_min_cost_supplier(spark, sf):
     """TPC-H Q2 shape (adapted: lineitem links part<->supplier; no partsupp
     table in the testdata): per part, the supplier(s) offering the minimum
-    rounded average unit price. Correlated MIN subquery -> window min over
-    the correlation key."""
+    unit price (total cents / total quantity). Correlated MIN subquery ->
+    window min over the correlation key.
+
+    The unit price is INTEGER END TO END: price cents and whole
+    quantities summed as longs (order-independent), then one integer
+    division to micro-units — floats appear nowhere. An avg() of per-row
+    float ratios differs between engines in the last ulp with summation
+    order, and even integer-sum-then-float-divide dies on the FINAL
+    round's half-rule (observed at sf0.1: 133.7415625 -> Spark HALF_UP
+    .741563 vs DuckDB .741562); integer division has no rounding rule to
+    disagree on."""
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part")
     supp = _t(spark, sf, "supplier")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
     ps = (li.groupBy("l_partkey", "l_suppkey")
-          .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")),
-                       6).alias("unit")))
+          .agg(F.sum(cents).alias("__cents"), F.sum(qty).alias("__qty")))
+    # micro-units: (cents * 10^4) div qty = price * 10^6 / qty, floored
+    unit = F.expr("__cents * 10000 div __qty").cast("long")
+    ps = ps.select("l_partkey", "l_suppkey", unit.alias("unit"))
     w = Window.partitionBy("l_partkey")
     best = (ps.withColumn("min_unit", F.min("unit").over(w))
             .where(F.col("unit") == F.col("min_unit")))
@@ -1527,7 +1540,8 @@ def q2_min_cost_supplier(spark, sf):
 Q2_MIN_COST_SQL = """
 WITH ps AS (
   SELECT l_partkey, l_suppkey,
-         round(avg(l_extendedprice / l_quantity), 6) AS unit
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 10000
+              // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT p_partkey, p_brand, s_name, ps.unit AS min_unit
@@ -1542,15 +1556,22 @@ WHERE ps.unit = (SELECT min(ps2.unit) FROM ps ps2
 def q11_important_parts(spark, sf):
     """TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE GLOBAL
     TOTAL. Uncorrelated scalar subquery -> one-row aggregate broadcast-cross-
-    joined into the filter (never a second scan of the grouped data)."""
+    joined into the filter (never a second scan of the grouped data).
+    The fraction is scale-aware like TPC-H's own 0.0001/SF: 1.5x the
+    average part share (1.5/n_parts), so the entry stays non-vacuous at
+    every sf (a fixed 0.001 returned 0 rows at sf0.1's 20k parts, and the
+    synthetic part values top out at 1.89x the mean, so 2x is vacuous
+    too)."""
     li = _t(spark, sf, "lineitem")
     value = (li.groupBy("l_partkey")
              .agg(F.round(F.sum(F.col("l_extendedprice")
                                 * (1 - F.col("l_discount"))), 4)
                   .alias("part_value")))
-    total = value.agg(F.sum("part_value").alias("__total"))
+    total = value.agg(F.sum("part_value").alias("__total"),
+                      F.count("*").alias("__n"))
     return (value.join(F.broadcast(total))
-            .where(F.col("part_value") > 0.001 * F.col("__total"))
+            .where(F.col("part_value")
+                   > 1.5 / F.col("__n") * F.col("__total"))
             .select("l_partkey", "part_value"))
 
 
@@ -1562,7 +1583,8 @@ WITH v AS (
 )
 SELECT l_partkey, part_value
 FROM v
-WHERE part_value > 0.001 * (SELECT sum(part_value) FROM v)
+WHERE part_value > 1.5 / (SELECT count(*) FROM v)
+                   * (SELECT sum(part_value) FROM v)
 """
 
 
@@ -1718,13 +1740,21 @@ def rag_context_topk(spark, sf):
     sim = F.when(na * nb > 0, dot / (na * nb)).otherwise(0.0)
     top = (emb.select("vec_id", F.round(sim, 6).alias("similarity"))
            .orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5))
-    hits = (top.join(F.broadcast(docs), top.vec_id == docs.doc_id)
-            .withColumn("rank", F.row_number().over(
-                Window.orderBy(F.desc("similarity"), F.asc("vec_id")))))
+    # rank BEFORE the documents join (exactly as the oracle's ranked CTE
+    # does): a top-5 vector with no documents row must leave a rank GAP,
+    # not renumber the survivors — rank-after-join diverges from the
+    # correlated-SQL semantics whenever the 1:1 assumption breaks
+    ranked = top.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.desc("similarity"), F.asc("vec_id"))))
+    hits = ranked.join(F.broadcast(docs), ranked.vec_id == docs.doc_id)
+    # NULL text/source coalesce to '' on BOTH sides: format_string would
+    # render them as the literal 'null' while DuckDB printf(NULL) nulls
+    # the whole entry and string_agg silently drops it
     entry = F.format_string(
         "[文档%d] 来源: %s | 轮次: %d | 类型: text | 相似度: %.4f\n%s",
-        F.col("rank"), F.col("source"), F.col("doc_id"),
-        F.col("similarity"), F.substring("text", 1, 200))
+        F.col("rank"), F.coalesce(F.col("source"), F.lit("")),
+        F.col("doc_id"), F.col("similarity"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200))
     w_all = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding,
                                                Window.unboundedFollowing)
     ctx = (hits.select(F.col("rank"), entry.alias("entry"))
@@ -1742,9 +1772,12 @@ RAG_CONTEXT_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 top AS (
   SELECT vec_id,
-         round(list_dot_product(embedding::DOUBLE[], qv)
-               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(qv, qv))), 6) AS similarity
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(qv, qv)) > 0
+              THEN round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6)
+              ELSE 0.0 END AS similarity
   FROM embeddings, q
   ORDER BY similarity DESC, vec_id ASC
   LIMIT 5
@@ -1757,8 +1790,8 @@ ranked AS (
 entries AS (
   SELECT rank,
          printf('[文档%d] 来源: %s | 轮次: %d | 类型: text | 相似度: %.4f',
-                rank, source, doc_id, similarity)
-           || chr(10) || substr(text, 1, 200) AS entry
+                rank, coalesce(source, ''), doc_id, similarity)
+           || chr(10) || substr(coalesce(text, ''), 1, 200) AS entry
   FROM ranked JOIN documents ON vec_id = doc_id
 ),
 joined AS (

@@ -34,6 +34,39 @@ TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
                   "text string, tool string, ts timestamp")
 
 
+def landing_reader(spark: SparkSession, input_dir: str,
+                   max_files_per_trigger: int | None = None,
+                   drop_null_keys: bool = False) -> DataFrame:
+    """The one landing-directory readStream all three extraction streams
+    share (this module's foreachBatch path reads raw — its batch pipeline
+    drops null keys itself; the stateful paths filter before grouping)."""
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    df = reader.parquet(input_dir)
+    if drop_null_keys:
+        df = df.where("conv_id is not null and turn_idx is not null")
+    return df
+
+
+def start_parquet_sink(chunks: DataFrame, output_dir: str,
+                       checkpoint_dir: str, available_now: bool = True,
+                       trigger_seconds: int | None = None):
+    """Append-mode parquet sink shared by the stateful extraction streams:
+    availableNow drain (default) or an always-on processing-time trigger."""
+    writer = (chunks.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", f"{output_dir}/extracted")
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
                    checkpoint_dir: str,
                    cfg: ExtractionConfig = ExtractionConfig(),
@@ -50,10 +83,7 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     # files MUST be immutable (the ingestion contract above already assumes
     # append-only landing; an overwritten file would be silently re-read or
     # skipped depending on timing).
-    reader = spark.readStream.schema(TRANSCRIPT_DDL)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    transcripts = reader.parquet(input_dir)
+    transcripts = landing_reader(spark, input_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         (extract_chunks(batch_df, cfg)

@@ -39,11 +39,14 @@ partitioning contract), state bounded by active conversations × ~40 bytes,
 reorder buffer bounded by the landing pipeline's disorder window. An
 OPT-IN ProcessingTimeTimeout (``ttl_sec``; always-on deployments only —
 see ``stateful_extract_stream`` on why availableNow drains must run
-TTL-less) GCs conversations idle longer than ``ttl_sec``
-(counters only — with in-order landing there is nothing buffered to lose;
-a stalled conversation's pending turns are dropped with its state and
-counted nowhere, which is the honest choice: emitting them would assign
-indices batch extraction would not).
+TTL-less) GCs conversations idle longer than ``ttl_sec``. The TTL is a
+DATA-RETENTION BOUNDARY, not just state hygiene: once a conversation's
+counters are GC'd, a turn of it arriving LATER can never be extracted —
+a late turn_idx > 0 buffers against the reset counters (turn 0 never
+re-arrives) and is itself dropped at the next timeout; emitting it would
+assign indices batch extraction never would. Choose ``ttl_sec`` longer
+than any conversation's possible lifetime; the cost of generosity is
+~40 idle bytes per conversation.
 
 Exactly-once: the file source + state store + parquet sink are all driven
 by the ONE checkpoint, so a restart resumes the counters mid-conversation
@@ -71,7 +74,8 @@ from pdf_parser_spark.config import ExtractionConfig
 from pdf_parser_spark.core.blocks import tokenize_turn_stats
 from pdf_parser_spark.core.merge import merge_turn
 from pdf_parser_spark.operators.merge import CHUNK_FIELDS, CHUNK_SCHEMA
-from pdf_parser_spark.streaming.incremental import TRANSCRIPT_DDL
+from pdf_parser_spark.streaming.incremental import (landing_reader,
+                                                    start_parquet_sink)
 
 _CHUNK_COLS = [f.name for f in CHUNK_FIELDS]
 
@@ -200,27 +204,20 @@ def stream_extract_stateful(spark: SparkSession, input_dir: str,
                             cfg: ExtractionConfig = ExtractionConfig(),
                             max_files_per_trigger: int | None = None,
                             ttl_sec: int | None = None,
-                            available_now: bool = True):
+                            available_now: bool = True,
+                            trigger_seconds: int | None = None):
     """Landing-directory wiring of :func:`stateful_extract_stream`.
 
     Same contract as ``incremental.stream_extract`` (immutable landed
     files, checkpoint = resume state) MINUS its whole-conversations-per-file
     requirement: files may split or interleave conversations arbitrarily.
+    ``available_now=False`` runs always-on, micro-batching every
+    ``trigger_seconds`` (or as-fast-as-possible when None) — the mode a
+    ``ttl_sec`` requires.
     """
-    reader = spark.readStream.schema(TRANSCRIPT_DDL)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # same null-key gate as the batch path (operators/merge._drop_null_keys)
-    transcripts = (reader.parquet(input_dir)
-                   .where("conv_id is not null and turn_idx is not null"))
-
+    # null-key gate before grouping (operators/merge._drop_null_keys twin)
+    transcripts = landing_reader(spark, input_dir, max_files_per_trigger,
+                                 drop_null_keys=True)
     chunks = stateful_extract_stream(transcripts, cfg, ttl_sec)
-
-    writer = (chunks.writeStream
-              .outputMode("append")
-              .format("parquet")
-              .option("path", f"{output_dir}/extracted")
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_parquet_sink(chunks, output_dir, checkpoint_dir,
+                              available_now, trigger_seconds)

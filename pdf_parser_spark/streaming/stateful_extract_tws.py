@@ -11,10 +11,13 @@ supersedes ``applyInPandasWithState``:
   and a buffered out-of-order turn is touched exactly once on write and
   once on pop instead of riding every state update;
 - state TTL is a FIRST-CLASS state property (``ttlDurationMs``) enforced
-  by the store itself, decoupled from timers — so unlike the
-  applyInPandasWithState version, an idle-conversation TTL is safe under
-  ``availableNow`` drains (no processing-time timer exists to keep the
-  drain alive; expired state is simply absent on next read);
+  by the store itself — no user-registered timer exists to keep an
+  ``availableNow`` drain alive (the applyInPandasWithState version's
+  failure mode). Spark requires ``timeMode='processingTime'`` whenever a
+  TTL is configured (STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_TIME_MODE),
+  so :func:`stateful_extract_tws` switches time mode with ``ttl_sec``;
+  TTL-less callers keep ``timeMode='none'``. The TTL retention caveat is
+  the same as the other rendition's: GC'd conversations drop late turns;
 - ``transformWithState`` requires the RocksDB state store provider;
   :func:`stream_extract_tws` sets it on the session before starting the
   query (a per-query setting does not exist).
@@ -49,7 +52,8 @@ from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
 
 from pdf_parser_spark.config import ExtractionConfig
 from pdf_parser_spark.operators.merge import CHUNK_FIELDS, CHUNK_SCHEMA
-from pdf_parser_spark.streaming.incremental import TRANSCRIPT_DDL
+from pdf_parser_spark.streaming.incremental import (landing_reader,
+                                                    start_parquet_sink)
 from pdf_parser_spark.streaming.stateful_extract import _fold_turn
 
 _CHUNK_COLS = [f.name for f in CHUNK_FIELDS]
@@ -92,7 +96,12 @@ class ExtractProcessor(StatefulProcessor):
                                          pdf["text"].tolist(),
                                          pdf["tool"].tolist()):
                 t_idx = int(t_idx)
-                if t_idx >= next_turn and t_idx not in arrived:
+                # first-wins dedup must consult BOTH buffers: a duplicate
+                # of a turn already waiting in MapState would otherwise
+                # shadow the first delivery AND leak its MapState row
+                # forever (next_turn advances past it)
+                if (t_idx >= next_turn and t_idx not in arrived
+                        and not self._pending.containsKey((t_idx,))):
                     arrived[t_idx] = (None if text is None else str(text),
                                       None if tool is None else str(tool))
 
@@ -136,14 +145,21 @@ def stateful_extract_tws(transcripts: DataFrame,
                          ttl_sec: int | None = None) -> DataFrame:
     """streaming transcripts -> streaming extracted chunks, via
     transformWithStateInPandas. Caller must have the RocksDB state store
-    provider configured (see :func:`stream_extract_tws`)."""
+    provider configured (see :func:`stream_extract_tws`).
+
+    timeMode follows ttl_sec: Spark refuses a state TTL outside
+    processingTime time mode (STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_
+    TIME_MODE), and the TTL's retention caveat matches the
+    applyInPandasWithState rendition (see stateful_extract.py: GC'd
+    conversations drop their late turns by design)."""
+    time_mode = "none" if ttl_sec is None else "processingTime"
     return (transcripts
             .groupBy("conv_id")
             .transformWithStateInPandas(
                 ExtractProcessor(cfg, ttl_sec),
                 outputStructType=CHUNK_SCHEMA,
                 outputMode="append",
-                timeMode="none"))
+                timeMode=time_mode))
 
 
 def stream_extract_tws(spark: SparkSession, input_dir: str, output_dir: str,
@@ -153,20 +169,24 @@ def stream_extract_tws(spark: SparkSession, input_dir: str, output_dir: str,
                        ttl_sec: int | None = None,
                        available_now: bool = True):
     """Landing-directory wiring; sets the RocksDB provider the API
-    requires (session-level — Spark has no per-query state provider)."""
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-                   ROCKSDB_PROVIDER)
-    reader = spark.readStream.schema(TRANSCRIPT_DDL)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    transcripts = (reader.parquet(input_dir)
-                   .where("conv_id is not null and turn_idx is not null"))
-    chunks = stateful_extract_tws(transcripts, cfg, ttl_sec)
-    writer = (chunks.writeStream
-              .outputMode("append")
-              .format("parquet")
-              .option("path", f"{output_dir}/extracted")
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    requires for the duration of QUERY START only (the provider is read
+    at start; Spark has no per-query setting), then restores the
+    session's prior value so later streams on the same session keep the
+    provider they would have had."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        transcripts = landing_reader(spark, input_dir, max_files_per_trigger,
+                                     drop_null_keys=True)
+        chunks = stateful_extract_tws(transcripts, cfg, ttl_sec)
+        return start_parquet_sink(chunks, output_dir, checkpoint_dir,
+                                  available_now)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
