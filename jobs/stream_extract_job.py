@@ -54,6 +54,13 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--trigger-seconds", type=int, default=None,
                     help="--follow only: pace micro-batches with a "
                          "processing-time trigger")
+    ap.add_argument("--compact-after", type=int, default=None,
+                    metavar="TARGET_MB",
+                    help="after an availableNow drain, publish a compacted "
+                         "snapshot of the output (the streaming sink "
+                         "accretes one small file per micro-batch; this is "
+                         "the small-file rewrite, downstream of the hot "
+                         "dir so the stream keeps appending untouched)")
     ap.add_argument("--state-ttl", type=int, default=None,
                     help="stateful mode + --follow only: GC conversations "
                          "idle this many seconds")
@@ -70,6 +77,9 @@ def main(argv: list[str]) -> None:
         ap.error("--state-ttl only applies to --mode stateful")
     if args.trigger_seconds is not None and not args.follow:
         ap.error("--trigger-seconds requires --follow")
+    if args.compact_after is not None and args.follow:
+        ap.error("--compact-after is a post-drain step; it cannot run "
+                 "under --follow (the stream never ends)")
 
     from pyspark.sql import SparkSession
 
@@ -107,9 +117,16 @@ def run_job(spark, args) -> dict:
             available_now=not args.follow)
     q.awaitTermination()
     progress = q.lastProgress or {}
-    return {"mode": args.mode,
-            "batches": progress.get("batchId"),
-            "run_id": progress.get("runId")}
+    out = {"mode": args.mode,
+           "batches": progress.get("batchId"),
+           "run_id": progress.get("runId")}
+    if getattr(args, "compact_after", None):
+        from pdf_parser_spark.sources.compact import compact_parquet
+        out["compaction"] = compact_parquet(
+            spark, f"{args.output}/extracted",
+            f"{args.output}/extracted_compacted",
+            target_mb=args.compact_after)
+    return out
 
 
 if __name__ == "__main__":

@@ -162,3 +162,30 @@ def test_stream_extract_job_rejects_ttl_without_follow(tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", "x", "--output", "y", "--checkpoint", "z",
               "--mode", "stateful", "--state-ttl", "60"])
+
+
+def test_stream_extract_job_compact_after(spark, tmp_path):
+    """--compact-after publishes a compacted snapshot downstream of the
+    hot sink dir: same rows, fewer files, hot dir untouched."""
+    from argparse import Namespace
+
+    from jobs.stream_extract_job import run_job
+
+    rows = generate_transcripts(8, seed=41, max_turns=10)
+    inp = tmp_path / "landing"; inp.mkdir()
+    for i in range(4):
+        _write_landing(inp / f"f{i}.parquet", rows[i::4])
+
+    out = run_job(spark, Namespace(
+        input=str(inp), output=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"), mode="stateful",
+        max_files_per_trigger=1, follow=False, state_ttl=None,
+        trigger_seconds=None, compact_after=64,
+        tokenizer="turn", max_chars=800, overlap_chars=0))
+
+    comp = out["compaction"]
+    hot = spark.read.parquet(str(tmp_path / "out" / "extracted"))
+    cold = spark.read.parquet(str(tmp_path / "out" / "extracted_compacted"))
+    assert comp["rows"] == hot.count() == cold.count()
+    assert comp["out_files"] < comp["in_files"]
+    assert _collect(cold) == _collect(hot) == _batch_expected(spark, rows)
