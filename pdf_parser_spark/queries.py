@@ -1717,6 +1717,88 @@ GROUP BY bal_band
 """
 
 
+def q4_late_shipment_orders(spark, sf):
+    """TPC-H Q4 shape (adapted: the testdata lineitem has no
+    commit/receipt dates, so "late" = shipped >90 days after the order
+    date): count orders per priority having at least one late line.
+    Correlated EXISTS with a NON-EQUI residual -> left_semi join whose
+    condition carries the inequality alongside the key."""
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf, "lineitem")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+Q4_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q21_sole_late_supplier(spark, sf):
+    """TPC-H Q21 shape (adapted to shipdate-vs-orderdate lateness): per
+    supplier, orders where THIS supplier shipped late and NO OTHER
+    supplier on the same order did — the EXISTS + NOT EXISTS double
+    correlation on one key, decorrelated as one aggregation per order:
+    count late lines total and late lines per supplier, keep suppliers
+    owning ALL of an order's late lines. The heavy relation aggregates
+    once; no repeated correlated scans."""
+    orders = _t(spark, sf, "orders")
+    li = (_t(spark, sf, "lineitem")
+          .join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    flagged = li.withColumn(
+        "__late",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .cast("int"))
+    per_order = (flagged.groupBy("l_orderkey")
+                 .agg(F.sum("__late").alias("__order_late")))
+    per_supp = (flagged.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum("__late").alias("__supp_late")))
+    sole = (per_supp.join(per_order, "l_orderkey")
+            .where((F.col("__supp_late") > 0)
+                   & (F.col("__supp_late") == F.col("__order_late"))))
+    return (sole.groupBy("l_suppkey")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+            .limit(20))
+
+
+Q21_SOLE_LATE_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey, count(*) AS numwait
+FROM (
+  SELECT f.l_orderkey, f.l_suppkey, sum(f.late) AS supp_late
+  FROM flagged f GROUP BY f.l_orderkey, f.l_suppkey
+) s
+JOIN (
+  SELECT l_orderkey, sum(late) AS order_late
+  FROM flagged GROUP BY l_orderkey
+) o ON s.l_orderkey = o.l_orderkey
+WHERE supp_late > 0 AND supp_late = order_late
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey ASC
+LIMIT 20
+"""
+
+
 def rag_context_topk(spark, sf):
     """The RAG context-assembly funnel (reference gea_rag_agent_openai.py:
     228-292) as ONE oracle-checked plan: brute-force cosine top-5 over the
@@ -4401,6 +4483,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q4_late_shipment_orders": q4_late_shipment_orders,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     "rag_context_topk": rag_context_topk,
     "parts_supplier_profit": parts_supplier_profit,
     "customers_without_orders": customers_without_orders,
@@ -4577,6 +4661,8 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "q19_disjunctive_revenue": Q19_DISJUNCTIVE_SQL,
     "q22_idle_rich_customers": Q22_IDLE_RICH_SQL,
+    "q4_late_shipment_orders": Q4_LATE_ORDERS_SQL,
+    "q21_sole_late_supplier": Q21_SOLE_LATE_SQL,
     "rag_context_topk": RAG_CONTEXT_SQL,
     "parts_supplier_profit": PARTS_SUPPLIER_SQL,
     "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
