@@ -1837,12 +1837,16 @@ def rag_context_topk(spark, sf):
         F.col("rank"), F.coalesce(F.col("source"), F.lit("")),
         F.col("doc_id"), F.col("similarity"),
         F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200))
-    w_all = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding,
-                                               Window.unboundedFollowing)
+    # ordered assembly as ONE aggregate (collect structs, array_sort by
+    # rank, join) — an unpartitioned window here would single-task its
+    # input, and the plancheck guard rightly flags that: post-join row
+    # counts are not provably bounded even though this join is 1:1
     ctx = (hits.select(F.col("rank"), entry.alias("entry"))
-           .withColumn("context", F.array_join(
-               F.collect_list("entry").over(w_all), "\n\n"))
-           .select("context").limit(1))
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct("rank", "entry"))),
+                   lambda s: s["entry"]),
+               "\n\n").alias("context")))
     return ctx.select(
         F.when(F.length("context") > 4000,
                F.concat(F.substring("context", 1, 4000), F.lit("...")))

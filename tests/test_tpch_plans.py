@@ -1,0 +1,56 @@
+"""Plan hygiene for the round-4 decorrelation pack + RAG context entry:
+the decorrelations must not smuggle in a corpus-sized single-task
+structure, the broadcasts must actually broadcast, and the top-k entries
+must TakeOrderedAndProject rather than globally sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_spark.plancheck import unpartitioned_corpus_windows
+from pdf_parser_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+DECORRELATED = [
+    "q2_min_cost_supplier",      # window min: PARTITIONED by l_partkey
+    "q11_important_parts",       # global scalar: one-row broadcast join
+    "q15_top_supplier",          # global max window: post-Aggregate rows
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+    "q4_late_shipment_orders",
+    "rag_context_topk",          # windows run post-limit(5)
+]
+
+
+@pytest.mark.parametrize("name", DECORRELATED)
+def test_no_corpus_sized_single_task_structure(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert unpartitioned_corpus_windows(df) == []
+
+
+def test_q19_joins_by_hash_with_broadcast(spark):
+    """The OR-of-ANDs must ride an equi hash join (broadcast here), never
+    degenerate to a nested-loop cross product."""
+    plan = QUERIES["q19_disjunctive_revenue"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_semi_join_keeps_inequality_residual(spark):
+    plan = QUERIES["q4_late_shipment_orders"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT 20 must plan as TakeOrderedAndProject (per-
+    partition heaps + one merge), not a global sort of all suppliers."""
+    plan = QUERIES["q21_sole_late_supplier"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
