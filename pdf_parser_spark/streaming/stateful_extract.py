@@ -221,3 +221,60 @@ def stream_extract_stateful(spark: SparkSession, input_dir: str,
     chunks = stateful_extract_stream(transcripts, cfg, ttl_sec)
     return start_parquet_sink(chunks, output_dir, checkpoint_dir,
                               available_now, trigger_seconds)
+
+
+def stream_extract_stateful_to_cow(spark: SparkSession, input_dir: str,
+                                   table_dir: str, checkpoint_dir: str,
+                                   cfg: ExtractionConfig = ExtractionConfig(),
+                                   max_files_per_trigger: int | None = None,
+                                   ttl_sec: int | None = None,
+                                   available_now: bool = True):
+    """Stateful extraction landing in the COPY-ON-WRITE TABLE instead of
+    a bare parquet dir: every micro-batch is one ledgered
+    ``append_rows`` commit, so the extracted table gains snapshots, time
+    travel, tags/branches, fsck, and EXACTLY-ONCE appends (a replayed
+    micro-batch after a crash-before-checkpoint is a ledger no-op —
+    the same discipline as the CDC sink, streaming/cow_sink.py).
+
+    The table is keyed ``chunk_key = conv_id#%06d`` (the maintained
+    lineage's key, sources/maintain.py) and MUST exist before the first
+    trigger — call :func:`init_extracted_cow` once. Creating it inside
+    batch 0 would break exactly-once: a replay of batch 0 after a
+    crash-post-create could not tell "already created by me" from
+    "created by someone else", while a pre-created empty table lets
+    every batch ride the ledger uniformly. Append (not merge) is
+    correct because the operator's exactness contract makes every
+    emitted chunk key NEW — re-deliveries are caught by the ledger, and
+    the cow table's fsck key-uniqueness check would surface any breach.
+    """
+    from pdf_parser_spark.sources.cowtable import append_rows
+    from pdf_parser_spark.sources.maintain import _with_chunk_key
+
+    transcripts = landing_reader(spark, input_dir, max_files_per_trigger,
+                                 drop_null_keys=True)
+    chunks = stateful_extract_stream(transcripts, cfg, ttl_sec)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        rows = _with_chunk_key(batch_df)
+        if rows.limit(1).count():
+            append_rows(spark, table_dir, rows, batch_id=int(batch_id))
+
+    writer = (chunks.writeStream
+              .foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def init_extracted_cow(spark: SparkSession, table_dir: str) -> dict:
+    """Create the empty chunk-keyed cow table
+    :func:`stream_extract_stateful_to_cow` appends into (idempotent-by-
+    refusal: an existing table raises, exactly like CREATE TABLE)."""
+    from pdf_parser_spark.sources.cowtable import create_table
+    from pdf_parser_spark.sources.maintain import CHUNK_KEY, \
+        _with_chunk_key
+
+    empty = _with_chunk_key(
+        spark.createDataFrame([], CHUNK_SCHEMA))
+    return create_table(spark, empty, table_dir, CHUNK_KEY)

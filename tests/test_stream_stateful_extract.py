@@ -189,3 +189,37 @@ def test_stream_extract_job_compact_after(spark, tmp_path):
     assert comp["rows"] == hot.count() == cold.count()
     assert comp["out_files"] < comp["in_files"]
     assert _collect(cold) == _collect(hot) == _batch_expected(spark, rows)
+
+
+def test_stream_to_cow_table_exactly_once(spark, tmp_path):
+    """Stateful stream landing in the cow table: ledgered appends, rows
+    equal batch, snapshots advance per micro-batch, replay is a no-op."""
+    from pdf_parser_spark.sources.cowtable import (append_rows,
+                                                   read_manifest,
+                                                   read_table)
+    from pdf_parser_spark.streaming.stateful_extract import (
+        init_extracted_cow, stream_extract_stateful_to_cow)
+
+    rows = generate_transcripts(6, seed=47, max_turns=10)
+    inp = tmp_path / "landing"; inp.mkdir()
+    for i in range(3):
+        _write_landing(inp / f"f{i}.parquet", rows[i::3])
+
+    table = str(tmp_path / "cow")
+    init_extracted_cow(spark, table)
+    q = stream_extract_stateful_to_cow(
+        spark, str(inp), table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1)
+    q.awaitTermination()
+
+    got = read_table(spark, table).drop("chunk_key")
+    assert _collect(got) == _batch_expected(spark, rows)
+
+    # replayed micro-batch (same batch_id) must be a ledger no-op
+    m = read_manifest(table)
+    v_before = m["version"]
+    replay = append_rows(spark, table,
+                         read_table(spark, table).limit(3),
+                         batch_id=0)
+    assert replay.get("skipped") is True
+    assert read_manifest(table)["version"] == v_before
