@@ -36,7 +36,13 @@ everything else flows.
 
 Scale shape: one shuffle per micro-batch on conv_id (the engine-wide
 partitioning contract), state bounded by active conversations × ~40 bytes,
-reorder buffer bounded by the landing pipeline's disorder window. An
+reorder buffer bounded by the landing pipeline's disorder window. At
+production active-conversation counts (10^8+: tens of GB of state) run
+the RocksDB state store provider —
+``spark.sql.streaming.stateStore.providerClass`` — so per-batch state
+maintenance is an incremental changelog, not a full in-memory map
+snapshot; the operator is provider-agnostic (tests run the default
+HDFS-backed store). An
 OPT-IN ProcessingTimeTimeout (``ttl_sec``; always-on deployments only —
 see ``stateful_extract_stream`` on why availableNow drains must run
 TTL-less) GCs conversations idle longer than ``ttl_sec``. The TTL is a
