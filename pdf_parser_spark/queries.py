@@ -1799,6 +1799,66 @@ LIMIT 20
 """
 
 
+def q13_customer_order_histogram(spark, sf):
+    """TPC-H Q13: distribution of per-customer order counts INCLUDING
+    zero-order customers — the outer-join-then-double-aggregate shape.
+    The left outer join is what preserves empty groups (a plain groupBy
+    on orders would silently drop them); count(o_orderkey) counts only
+    matched rows, so unmatched customers land in the c_count = 0 bucket."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+Q13_HISTOGRAM_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17: lineitems whose quantity is below 20% of THEIR PART's
+    average quantity — the per-group correlated scalar AVG, decorrelated
+    as an aggregate joined back on the correlation key (Catalyst's own
+    rewrite; a window avg over lineitem would carry every row through a
+    shuffle that the aggregate collapses first)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((0.2 * F.avg("l_quantity")).alias("__thresh"))
+               .withColumnRenamed("l_partkey", "__pk"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(avg_qty, li.l_partkey == F.col("__pk"))
+            .where(F.col("l_quantity") < F.col("__thresh"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly"),
+                 F.count("*").alias("n_items")))
+
+
+Q17_SMALL_QTY_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
 def rag_context_topk(spark, sf):
     """The RAG context-assembly funnel (reference gea_rag_agent_openai.py:
     228-292) as ONE oracle-checked plan: brute-force cosine top-5 over the
@@ -4489,6 +4549,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "q4_late_shipment_orders": q4_late_shipment_orders,
     "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q13_customer_order_histogram": q13_customer_order_histogram,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "rag_context_topk": rag_context_topk,
     "parts_supplier_profit": parts_supplier_profit,
     "customers_without_orders": customers_without_orders,
@@ -4667,6 +4729,8 @@ ORACLES: dict[str, str] = {
     "q22_idle_rich_customers": Q22_IDLE_RICH_SQL,
     "q4_late_shipment_orders": Q4_LATE_ORDERS_SQL,
     "q21_sole_late_supplier": Q21_SOLE_LATE_SQL,
+    "q13_customer_order_histogram": Q13_HISTOGRAM_SQL,
+    "q17_small_quantity_revenue": Q17_SMALL_QTY_SQL,
     "rag_context_topk": RAG_CONTEXT_SQL,
     "parts_supplier_profit": PARTS_SUPPLIER_SQL,
     "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,

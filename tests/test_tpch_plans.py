@@ -21,6 +21,8 @@ DECORRELATED = [
     "q21_sole_late_supplier",
     "q22_idle_rich_customers",
     "q4_late_shipment_orders",
+    "q13_customer_order_histogram",
+    "q17_small_quantity_revenue",
     "rag_context_topk",          # windows run post-limit(5)
 ]
 
