@@ -47,6 +47,12 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="batchwise",
                     choices=["batchwise", "stateful"])
+    ap.add_argument("--sink", default="parquet",
+                    choices=["parquet", "cow"],
+                    help="cow: land micro-batches as ledgered exactly-once "
+                         "appends on the chunk-keyed copy-on-write table at "
+                         "--output (created empty if absent); stateful "
+                         "mode only")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--follow", action="store_true",
                     help="always-on: keep micro-batching as files land "
@@ -80,6 +86,14 @@ def main(argv: list[str]) -> None:
     if args.compact_after is not None and args.follow:
         ap.error("--compact-after is a post-drain step; it cannot run "
                  "under --follow (the stream never ends)")
+    if args.sink == "cow" and args.mode != "stateful":
+        ap.error("--sink cow requires --mode stateful (the cow append "
+                 "contract relies on the stateful path's chunk-key "
+                 "exactness)")
+    if args.sink == "cow" and args.compact_after is not None:
+        ap.error("--compact-after applies to the parquet sink; the cow "
+                 "table has its own compaction (jobs/compact_job.py / "
+                 "rewrite_masked_files)")
 
     from pyspark.sql import SparkSession
 
@@ -103,7 +117,19 @@ def run_job(spark, args) -> dict:
         tokenizer_mode=args.tokenizer,
         overlap_chars=args.overlap_chars,
     )
-    if args.mode == "stateful":
+    if getattr(args, "sink", "parquet") == "cow":
+        import os
+
+        from pdf_parser_spark.streaming.stateful_extract import (
+            init_extracted_cow, stream_extract_stateful_to_cow)
+        if not os.path.exists(os.path.join(args.output, "manifest.json")):
+            init_extracted_cow(spark, args.output)
+        q = stream_extract_stateful_to_cow(
+            spark, args.input, args.output, args.checkpoint, cfg,
+            max_files_per_trigger=args.max_files_per_trigger,
+            ttl_sec=args.state_ttl,
+            available_now=not args.follow)
+    elif args.mode == "stateful":
         q = stream_extract_stateful(
             spark, args.input, args.output, args.checkpoint, cfg,
             max_files_per_trigger=args.max_files_per_trigger,

@@ -223,3 +223,33 @@ def test_stream_to_cow_table_exactly_once(spark, tmp_path):
                          batch_id=0)
     assert replay.get("skipped") is True
     assert read_manifest(table)["version"] == v_before
+
+
+def test_stream_extract_job_cow_sink(spark, tmp_path):
+    """--sink cow through run_job: table auto-created, rows equal batch."""
+    from argparse import Namespace
+
+    from jobs.stream_extract_job import run_job
+    from pdf_parser_spark.sources.cowtable import read_table
+
+    rows = generate_transcripts(5, seed=53, max_turns=8)
+    inp = tmp_path / "landing"; inp.mkdir()
+    _write_landing(inp / "f0.parquet", rows)
+
+    table = str(tmp_path / "cowtab")
+    run_job(spark, Namespace(
+        input=str(inp), output=table,
+        checkpoint=str(tmp_path / "ckpt"), mode="stateful", sink="cow",
+        max_files_per_trigger=None, follow=False, state_ttl=None,
+        trigger_seconds=None, compact_after=None,
+        tokenizer="turn", max_chars=800, overlap_chars=0))
+    got = read_table(spark, table).drop("chunk_key")
+    assert _collect(got) == _batch_expected(spark, rows)
+
+
+def test_stream_extract_job_cow_requires_stateful(tmp_path):
+    from jobs.stream_extract_job import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--checkpoint", "z",
+              "--sink", "cow"])
