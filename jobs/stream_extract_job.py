@@ -128,7 +128,8 @@ def run_job(spark, args) -> dict:
             spark, args.input, args.output, args.checkpoint, cfg,
             max_files_per_trigger=args.max_files_per_trigger,
             ttl_sec=args.state_ttl,
-            available_now=not args.follow)
+            available_now=not args.follow,
+            trigger_seconds=getattr(args, "trigger_seconds", None))
     elif args.mode == "stateful":
         q = stream_extract_stateful(
             spark, args.input, args.output, args.checkpoint, cfg,
@@ -140,7 +141,8 @@ def run_job(spark, args) -> dict:
         q = stream_extract(
             spark, args.input, args.output, args.checkpoint, cfg,
             max_files_per_trigger=args.max_files_per_trigger,
-            available_now=not args.follow)
+            available_now=not args.follow,
+            trigger_seconds=getattr(args, "trigger_seconds", None))
     q.awaitTermination()
     progress = q.lastProgress or {}
     out = {"mode": args.mode,

@@ -71,7 +71,8 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
                    checkpoint_dir: str,
                    cfg: ExtractionConfig = ExtractionConfig(),
                    max_files_per_trigger: int | None = None,
-                   available_now: bool = True):
+                   available_now: bool = True,
+                   trigger_seconds: int | None = None):
     """Start (or resume) incremental extraction over a landing directory.
 
     Returns the StreamingQuery; with ``available_now=True`` (default) it
@@ -94,4 +95,6 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()

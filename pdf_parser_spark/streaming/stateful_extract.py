@@ -234,7 +234,8 @@ def stream_extract_stateful_to_cow(spark: SparkSession, input_dir: str,
                                    cfg: ExtractionConfig = ExtractionConfig(),
                                    max_files_per_trigger: int | None = None,
                                    ttl_sec: int | None = None,
-                                   available_now: bool = True):
+                                   available_now: bool = True,
+                                   trigger_seconds: int | None = None):
     """Stateful extraction landing in the COPY-ON-WRITE TABLE instead of
     a bare parquet dir: every micro-batch is one ledgered
     ``append_rows`` commit, so the extracted table gains snapshots, time
@@ -261,15 +262,26 @@ def stream_extract_stateful_to_cow(spark: SparkSession, input_dir: str,
     chunks = stateful_extract_stream(transcripts, cfg, ttl_sec)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        rows = _with_chunk_key(batch_df)
-        if rows.limit(1).count():
-            append_rows(spark, table_dir, rows, batch_id=int(batch_id))
+        # persist before the emptiness probe: the probe and append_rows
+        # are two actions, and without the cache each would recompute the
+        # whole stateful plan (shuffle + state-store reads) — harmless
+        # for state correctness (the store recommits the same version)
+        # but double the per-batch work.
+        batch_df.persist()
+        try:
+            rows = _with_chunk_key(batch_df)
+            if rows.limit(1).count():
+                append_rows(spark, table_dir, rows, batch_id=int(batch_id))
+        finally:
+            batch_df.unpersist()
 
     writer = (chunks.writeStream
               .foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 
 

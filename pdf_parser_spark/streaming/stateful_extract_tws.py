@@ -16,8 +16,12 @@ supersedes ``applyInPandasWithState``:
   failure mode). Spark requires ``timeMode='processingTime'`` whenever a
   TTL is configured (STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_TIME_MODE),
   so :func:`stateful_extract_tws` switches time mode with ``ttl_sec``;
-  TTL-less callers keep ``timeMode='none'``. The TTL retention caveat is
-  the same as the other rendition's: GC'd conversations drop late turns;
+  TTL-less callers keep ``timeMode='none'``. Because a MapState entry's
+  TTL refreshes only on write, every batch that touches a key rewrites
+  its surviving buffer entries so the reorder buffer expires with
+  conversation idleness, not entry age — with that refresh the TTL
+  retention caveat is the same as the other rendition's: only IDLE
+  conversations are GC'd, and GC'd conversations drop late turns;
 - ``transformWithState`` requires the RocksDB state store provider;
   :func:`stream_extract_tws` sets it on the session before starting the
   query (a per-query setting does not exist).
@@ -78,6 +82,16 @@ class ExtractProcessor(StatefulProcessor):
         self._counters = handle.getValueState(
             "counters", "next_turn long, next_chunk long, next_off long",
             ttlDurationMs=self._ttl_ms)
+        # The reorder buffer shares the counters' TTL, but a MapState
+        # entry's TTL refreshes only on WRITE while the counters refresh
+        # every batch the key appears — so without the refresh loop at
+        # the end of handleInputRows, a buffered out-of-order turn in an
+        # ACTIVE conversation would expire ttl_sec after ARRIVAL, the
+        # gap would never fill, and a turn that WAS delivered would be
+        # silently dropped. The refresh makes the buffer's lifetime
+        # track conversation idleness (matching the
+        # applyInPandasWithState rendition, where pending rides the one
+        # state value refreshed on every update).
         self._pending = handle.getMapState(
             "pending", "turn_idx int", "text string, tool string",
             ttlDurationMs=self._ttl_ms)
@@ -89,6 +103,14 @@ class ExtractProcessor(StatefulProcessor):
             next_turn, next_chunk, next_off = self._counters.get()
         else:
             next_turn, next_chunk, next_off = 0, 0, 0
+            # counters absent = fresh key OR a TTL-expired incarnation.
+            # Counters and pending refresh in lockstep (below), so they
+            # expire together, but the store gives no atomicity across
+            # state variables — clear defensively so a resurrected
+            # conv_id can't fold a previous incarnation's buffered turns
+            # into its restarted (next_turn=0) stream.
+            if self._ttl_ms is not None and self._pending.exists():
+                self._pending.clear()
 
         arrived: dict[int, tuple] = {}
         for pdf in rows:
@@ -128,6 +150,17 @@ class ExtractProcessor(StatefulProcessor):
         for t, (text, tool) in arrived.items():
             if t >= next_turn and not self._pending.containsKey((t,)):
                 self._pending.updateValue((t,), (text, tool))
+
+        if self._ttl_ms is not None:
+            # TTL refresh: rewrite every surviving buffered turn so its
+            # per-entry TTL restarts alongside the counters' — the
+            # buffer must expire with conversation IDLENESS, never with
+            # entry age (see init). Materialize before rewriting: the
+            # store's iterator is not guaranteed stable under writes.
+            # O(|gap buffer|) writes per touched key, bounded by the
+            # reorder window, not the conversation.
+            for k, v in list(self._pending.iterator()):
+                self._pending.updateValue(k, v)
 
         self._counters.update((next_turn, next_chunk, next_off))
 
