@@ -41,8 +41,13 @@ production active-conversation counts (10^8+: tens of GB of state) run
 the RocksDB state store provider —
 ``spark.sql.streaming.stateStore.providerClass`` — so per-batch state
 maintenance is an incremental changelog, not a full in-memory map
-snapshot; the operator is provider-agnostic (tests run the default
-HDFS-backed store). An
+snapshot; the operator is provider-agnostic, and PROVIDER-AGNOSTICISM IS
+TESTED: the equality/restart/gap tests run under both the default
+HDFS-backed store and RocksDBStateStoreProvider (both ship inside
+Spark 4), and the measured per-group-touch overhead is the same under
+both (~0.26-0.29 ms at 40k groups — the Arrow + state protocol
+dominates, not the store; see BASELINE.md "State-store provider
+comparison"). An
 OPT-IN ProcessingTimeTimeout (``ttl_sec``; always-on deployments only —
 see ``stateful_extract_stream`` on why availableNow drains must run
 TTL-less) GCs conversations idle longer than ``ttl_sec``. The TTL is a

@@ -18,6 +18,42 @@ from pdf_parser_spark.streaming.stateful_extract import (
 
 _COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
+# Both state-store providers ship inside Spark 4 — no network gate. The
+# default HDFS-backed store is the small-state path; RocksDB is the one
+# the module's own scale guidance names for 10^8+ active conversations
+# (streaming/stateful_extract.py), so the exactness contract must hold
+# under BOTH (round-4 verdict task #1: the last untested claim in the
+# production-story chain).
+_PROVIDERS = {
+    "hdfs": None,  # session default
+    "rocksdb": ("org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"),
+}
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=sorted(_PROVIDERS))
+def state_provider(request, spark):
+    """Set the state-store provider for the duration of one test; the
+    provider is read at QUERY START, so a conf set/restore around the
+    test body is exactly the per-query scope Spark offers."""
+    cls = _PROVIDERS[request.param]
+    if cls is None:
+        yield request.param
+        return
+    try:
+        prev = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev = None
+    spark.conf.set(_PROVIDER_KEY, cls)
+    try:
+        yield request.param
+    finally:
+        if prev is not None:
+            spark.conf.set(_PROVIDER_KEY, prev)
+        else:
+            spark.conf.unset(_PROVIDER_KEY)
+
 
 def _write_landing(path, rows):
     df = pd.DataFrame(rows, columns=_COLS)
@@ -53,7 +89,8 @@ def _batch_expected(spark, rows):
         spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)))
 
 
-def test_split_reordered_duplicated_landing_equals_batch(spark, tmp_path):
+def test_split_reordered_duplicated_landing_equals_batch(
+        spark, tmp_path, state_provider):
     rows = generate_transcripts(10, seed=11, max_turns=16)
     inp = tmp_path / "landing"; inp.mkdir()
     # round-robin split: every conversation spans all three files, and
@@ -72,7 +109,8 @@ def test_split_reordered_duplicated_landing_equals_batch(spark, tmp_path):
     assert len(got) > 0
 
 
-def test_restart_resumes_counters_mid_conversation(spark, tmp_path):
+def test_restart_resumes_counters_mid_conversation(
+        spark, tmp_path, state_provider):
     rows = generate_transcripts(6, seed=23, max_turns=12)
     by_conv: dict[str, list] = {}
     for r in rows:
@@ -100,7 +138,8 @@ def test_restart_resumes_counters_mid_conversation(spark, tmp_path):
     assert len(got) > len(phase1)
 
 
-def test_gap_stalls_only_until_missing_turn_arrives(spark, tmp_path):
+def test_gap_stalls_only_until_missing_turn_arrives(
+        spark, tmp_path, state_provider):
     rows = generate_transcripts(3, seed=5, max_turns=8)
     conv = sorted({r["conv_id"] for r in rows})[0]
     held = [r for r in rows if r["conv_id"] == conv and r["turn_idx"] == 0]
