@@ -116,6 +116,33 @@ def _pruned_conv_read(spark: SparkSession, table_dir: str,
                         convs)
 
 
+# Cap on the changed-conversation driver list. The pruned-read regime
+# collects changed conv_ids into a Python list to drive file pruning —
+# right for the CDC-delta trickles it is designed for, but a pathological
+# batch touching 10^8 conversations would OOM the driver with no
+# diagnostic. Past the cap the refreshes fall back to JOIN-BASED pruning:
+# the changed set stays a DataFrame, reads become full-snapshot scans
+# left-semi-joined on conv_id (one extra corpus scan — the right trade
+# when the delta IS corpus-sized), and the stats dict carries
+# ``convs=None`` so downstream audits recompute the changed set from the
+# changelog instead of receiving a list.
+MAX_PRUNED_CONVS = 100_000
+
+
+def _changed_conv_list(changed: DataFrame,
+                       cap: int | None) -> list[str] | None:
+    """The changed conv_ids as a sorted driver list, or None when they
+    exceed ``cap``. The probe is ``limit(cap+1).collect()``, so the
+    driver never materializes more than cap+1 ids even when the delta
+    names every conversation in the corpus."""
+    if cap is None:
+        return sorted(r[0] for r in changed.collect())
+    head = changed.limit(cap + 1).collect()
+    if len(head) > cap:
+        return None
+    return sorted(r[0] for r in head)
+
+
 def _cfg_dict(cfg: ExtractionConfig) -> dict:
     return dataclasses.asdict(cfg)
 
@@ -150,7 +177,9 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
                             cfg: ExtractionConfig | None = None,
                             strategy: str = "cow",
                             branch: str | None = None,
-                            stamp: bool = True) -> dict:
+                            stamp: bool = True,
+                            max_pruned_convs: int | None =
+                            MAX_PRUNED_CONVS) -> dict:
     """Advance ``dst_dir`` to reflect ``src_dir``'s current version by
     re-extracting ONLY conversations the changelog names. ``cfg``
     defaults to (and must equal) the config recorded at build time.
@@ -191,8 +220,8 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
 
     changed = (table_changes(spark, src_dir, from_v, src_v)
                .select("conv_id").distinct())
-    convs = sorted(r[0] for r in changed.collect())
-    if not convs:  # e.g. the only steps were compactions
+    convs = _changed_conv_list(changed, max_pruned_convs)
+    if convs is not None and not convs:  # e.g. only compaction steps
         if stamp:
             _record_src_version(dst_dir, src_v)
         return {"skipped": True, "src_version": src_v,
@@ -200,23 +229,46 @@ def refresh_extracted_table(spark: SparkSession, src_dir: str,
 
     # reads pin src_v: a source commit landing mid-refresh must not leak
     # newer rows into a table that will record "reflects src_v"
-    src_rows = _pruned_conv_read(spark, src_dir, convs, version=src_v)
-    new_chunks = _with_chunk_key(extract(src_rows, cfg))
     dst_v = (dst_m["branches"][branch]["head"] if branch is not None
              else None)
-    old_chunks = _pruned_conv_read(spark, dst_dir, convs, version=dst_v)
+    if convs is None:
+        # huge-delta fallback (> max_pruned_convs changed): join-based
+        # pruning — the changed set never touches the driver; cache it
+        # because the changelog diff (exceptAll) would otherwise re-run
+        # under both semi-joins and the count
+        changed = changed.cache()
+        n_changed = changed.count()
+        src_rows = (read_table(spark, src_dir, version=src_v)
+                    .join(changed, "conv_id", "left_semi"))
+        old_chunks = (read_table(spark, dst_dir, version=dst_v)
+                      .join(changed, "conv_id", "left_semi"))
+    else:
+        n_changed = len(convs)
+        src_rows = _pruned_conv_read(spark, src_dir, convs,
+                                     version=src_v)
+        old_chunks = _pruned_conv_read(spark, dst_dir, convs,
+                                       version=dst_v)
+    new_chunks = _with_chunk_key(extract(src_rows, cfg))
     stale = old_chunks.join(new_chunks.select(CHUNK_KEY),
                             CHUNK_KEY, "left_anti")
     batch = (new_chunks.withColumn("op", F.lit("upsert"))
              .unionByName(stale.withColumn("op", F.lit("delete"))))
-    stats = merge_into(spark, dst_dir, batch, batch_id=src_v,
-                       strategy=strategy, branch=branch)
+    try:
+        stats = merge_into(spark, dst_dir, batch, batch_id=src_v,
+                           strategy=strategy, branch=branch)
+    finally:
+        if convs is None:
+            changed.unpersist()
     if stamp:
         _record_src_version(dst_dir, src_v)
     # convs is driver-sized by construction (it was collected to drive
-    # the pruned reads); returning it lets WAP audit exactly these rows
+    # the pruned reads); returning it lets WAP audit exactly these rows.
+    # convs=None signals the join-pruned fallback: audits must recompute
+    # the changed set from the changelog (wap_refresh_extracted does).
     return {"src_version": src_v, "from_version": from_v,
-            "changed_convs": len(convs), "convs": convs, "merge": stats}
+            "changed_convs": n_changed, "convs": convs,
+            "pruning": "join" if convs is None else "list",
+            "merge": stats}
 
 
 # --- write-audit-publish (WAP) refresh ---------------------------------------
@@ -225,7 +277,9 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
                           cfg: ExtractionConfig | None = None,
                           strategy: str = "cow",
                           audits: dict | None = None,
-                          min_chunk_ratio: float | None = None) -> dict:
+                          min_chunk_ratio: float | None = None,
+                          max_pruned_convs: int | None =
+                          MAX_PRUNED_CONVS) -> dict:
     """Write-audit-publish refresh: the refresh merge lands on a
     throwaway BRANCH of ``dst_dir``, data-quality audits run against the
     branch read, and main moves only on green — a red audit drops the
@@ -268,7 +322,8 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
     try:
         stats = refresh_extracted_table(spark, src_dir, dst_dir, cfg,
                                         strategy=strategy, branch=name,
-                                        stamp=False)
+                                        stamp=False,
+                                        max_pruned_convs=max_pruned_convs)
     except BaseException:
         drop_branch(dst_dir, name)
         raise
@@ -279,8 +334,23 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
         return {**stats, "published": False}  # deferred; nothing staged
 
     head = read_manifest(dst_dir)["branches"][name]["head"]
-    staged = _pruned_conv_read(spark, dst_dir, stats["convs"],
-                               version=head)
+    if stats["convs"] is None:
+        # join-pruned refresh (huge delta): recompute the changed set
+        # from the changelog — it stays a DataFrame end-to-end; the
+        # audits then read the full branch snapshot semi-joined on it
+        # (the same one-extra-scan trade the refresh itself made)
+        changed_set = (table_changes(spark, src_dir,
+                                     stats["from_version"], src_v)
+                       .select("conv_id").distinct())
+
+        def _changed_read(version=None):
+            return (read_table(spark, dst_dir, version=version)
+                    .join(changed_set, "conv_id", "left_semi"))
+    else:
+        def _changed_read(version=None):
+            return _pruned_conv_read(spark, dst_dir, stats["convs"],
+                                     version=version)
+    staged = _changed_read(version=head)
     r = staged.agg(
         F.count("*").alias("__staged_rows"),
         (F.count("*") - F.count_distinct(F.col(CHUNK_KEY)))
@@ -296,8 +366,7 @@ def wap_refresh_extracted(spark: SparkSession, src_dir: str, dst_dir: str,
         # main is untouched while the merge sits on the branch, so the
         # pre-refresh chunk count for these conversations is still
         # readable there (same pruned O(changed-files) read)
-        old_rows = _pruned_conv_read(spark, dst_dir,
-                                     stats["convs"]).count()
+        old_rows = _changed_read().count()
         results["chunk_count_collapse"] = int(
             old_rows > 0 and staged_rows < min_chunk_ratio * old_rows)
     for aname, fn in (audits or {}).items():
@@ -424,7 +493,9 @@ def build_metrics_table(spark: SparkSession, chunks_dir: str,
 
 def refresh_metrics_table(spark: SparkSession, chunks_dir: str,
                           metrics_dir: str,
-                          strategy: str = "cow") -> dict:
+                          strategy: str = "cow",
+                          max_pruned_convs: int | None =
+                          MAX_PRUNED_CONVS) -> dict:
     """Advance the metrics table to reflect the chunk table's current
     version by re-aggregating ONLY the conversations the chunk
     changelog names: their current chunk rows come out of a pruned
@@ -443,17 +514,27 @@ def refresh_metrics_table(spark: SparkSession, chunks_dir: str,
         return {"skipped": True, "src_version": src_v}
     changed = (table_changes(spark, chunks_dir, from_v, src_v)
                .select("conv_id").distinct())
-    convs = sorted(r[0] for r in changed.collect())
-    if not convs:
+    convs = _changed_conv_list(changed, max_pruned_convs)
+    if convs is not None and not convs:
         _record_src_version(metrics_dir, src_v)
         return {"skipped": True, "src_version": src_v,
                 "changed_convs": 0}
-    cur = _pruned_conv_read(spark, chunks_dir, convs, version=src_v)
+    if convs is None:
+        # huge-delta fallback: join-based pruning, changed set stays
+        # distributed (see refresh_extracted_table)
+        changed = changed.cache()
+        n_changed = changed.count()
+        cur = (read_table(spark, chunks_dir, version=src_v)
+               .join(changed, "conv_id", "left_semi"))
+        convs_df = changed
+    else:
+        n_changed = len(convs)
+        cur = _pruned_conv_read(spark, chunks_dir, convs, version=src_v)
+        convs_df = spark.createDataFrame([(c,) for c in convs],
+                                         "conv_id string")
     fresh = extraction_metrics(cur)
     # a changed conversation with NO surviving chunks has no fresh row:
     # its metrics row is stale and must go
-    convs_df = spark.createDataFrame([(c,) for c in convs],
-                                     "conv_id string")
     gone = convs_df.join(fresh.select("conv_id"), "conv_id",
                          "left_anti")
     cols = fresh.columns
@@ -461,11 +542,17 @@ def refresh_metrics_table(spark: SparkSession, chunks_dir: str,
                           else F.lit(None)).alias(c) for c in cols])
     batch = (fresh.withColumn("op", F.lit("upsert"))
              .unionByName(dele.withColumn("op", F.lit("delete"))))
-    stats = merge_into(spark, metrics_dir, batch, batch_id=src_v,
-                       strategy=strategy)
+    try:
+        stats = merge_into(spark, metrics_dir, batch, batch_id=src_v,
+                           strategy=strategy)
+    finally:
+        if convs is None:
+            changed.unpersist()
     _record_src_version(metrics_dir, src_v)
     return {"src_version": src_v, "from_version": from_v,
-            "changed_convs": len(convs), "merge": stats}
+            "changed_convs": n_changed,
+            "pruning": "join" if convs is None else "list",
+            "merge": stats}
 
 
 # --- maintained IVF index (the third derivation hop) ------------------------

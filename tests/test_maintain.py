@@ -775,3 +775,74 @@ def test_metrics_table_follows_chunk_cdc(spark, tables, tmp_path):
     assert got.where(F.col("conv_id") == convs[1]).count() == 0
     # replay is a ledger no-op; caught-up refresh skips
     assert refresh_metrics_table(spark, dst, mdir)["skipped"] is True
+
+
+def test_huge_delta_falls_back_to_join_pruning(spark, tables):
+    """Past ``max_pruned_convs`` the refresh must NOT collect the
+    changed ids into a driver list (the 10^8-conversation OOM); it
+    falls back to join-based pruning — and still meets the
+    digest-equal-to-rebuild contract."""
+    src, dst = tables
+    turns = read_table(spark, src)
+    # touch EVERY conversation: a corpus-sized delta
+    upd = (turns.withColumn("text", F.concat(F.lit("XL "), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd)
+
+    stats = refresh_extracted_table(spark, src, dst, max_pruned_convs=5)
+    assert stats["pruning"] == "join"
+    assert stats["convs"] is None  # the list never existed
+    assert stats["changed_convs"] == 30
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+    # caught up: the next refresh skips
+    assert refresh_extracted_table(
+        spark, src, dst, max_pruned_convs=5).get("skipped") is True
+
+
+def test_small_delta_keeps_list_pruning(spark, tables):
+    """Under the cap nothing changes: list-driven pruned reads, convs
+    returned for the WAP audit."""
+    src, dst = tables
+    turns = read_table(spark, src)
+    conv = turns.select("conv_id").orderBy("conv_id").first()[0]
+    upd = (turns.where(F.col("conv_id") == conv)
+           .withColumn("text", F.concat(F.lit("S "), "text"))
+           .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, upd)
+    stats = refresh_extracted_table(spark, src, dst, max_pruned_convs=5)
+    assert stats["pruning"] == "list" and stats["convs"] == [conv]
+    assert _digest(_dropc(read_table(spark, dst))) == \
+        _full_rebuild_digest(spark, src)
+
+
+def test_metrics_huge_delta_falls_back_to_join_pruning(spark, tables,
+                                                       tmp_path):
+    """The metrics refresh has the same driver-list guard; the fallback
+    still re-aggregates exactly the changed conversations and matches a
+    full re-aggregation, including the stale-row delete."""
+    from pdf_parser_spark.pipeline import extraction_metrics
+    from pdf_parser_spark.sources.maintain import (build_metrics_table,
+                                                   refresh_metrics_table)
+    src, dst = tables
+    mdir = str(tmp_path / "metrics")
+    build_metrics_table(spark, dst, mdir)
+
+    turns = read_table(spark, src)
+    convs = sorted(r[0] for r in
+                   turns.select("conv_id").distinct().collect())
+    # rewrite every conversation AND delete one entirely
+    batch = (turns.where(F.col("conv_id") != convs[0])
+             .withColumn("text", F.concat(F.lit("M "), "text"))
+             .withColumn("op", F.lit("upsert"))
+             .unionByName(turns.where(F.col("conv_id") == convs[0])
+                          .withColumn("op", F.lit("delete"))))
+    merge_into(spark, src, batch)
+    refresh_extracted_table(spark, src, dst, max_pruned_convs=5)
+    out = refresh_metrics_table(spark, dst, mdir, max_pruned_convs=5)
+    assert out["pruning"] == "join"
+    assert out["changed_convs"] == 30
+    got = read_table(spark, mdir)
+    assert _digest(got) == _digest(
+        extraction_metrics(read_table(spark, dst)))
+    assert got.where(F.col("conv_id") == convs[0]).count() == 0

@@ -215,3 +215,24 @@ def test_wap_collapse_guard_quarantines_mass_shrink(spark, tables):
     assert out["published"] is True
     full = _with_chunk_key(extract(read_table(spark, src)))
     assert _digest(read_table(spark, dst)) == _digest(full)
+
+
+def test_wap_publishes_through_join_pruned_fallback(spark, tables):
+    """A corpus-sized delta staged through WAP: the refresh reports
+    convs=None (join-pruned), the audits recompute the changed set from
+    the changelog instead of receiving a list, and a green run
+    publishes a table digest-equal to a rebuild."""
+    src, dst = tables
+    turns = read_table(spark, src)
+    batch = (turns.withColumn("text", F.concat(F.lit("W "), "text"))
+             .withColumn("op", F.lit("upsert")))
+    merge_into(spark, src, batch)
+
+    out = wap_refresh_extracted(spark, src, dst, min_chunk_ratio=0.5,
+                                max_pruned_convs=4)
+    assert out["published"] is True
+    assert out["convs"] is None and out["pruning"] == "join"
+    assert out["audits"]["duplicate_chunk_key"] == 0
+    assert "chunk_count_collapse" in out["audits"]
+    assert _digest(read_table(spark, dst)) == \
+        _digest(_with_chunk_key(extract(read_table(spark, src))))
