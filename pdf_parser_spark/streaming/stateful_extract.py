@@ -32,7 +32,10 @@ indices — and it is also the streaming analog of the batch window's
 (0..n-1), the same contract the synthetic corpus and the input_hint's
 ``(conv_id:string, turn_idx:int32)`` keying carry. A turn that never
 arrives stalls ONLY its own conversation (state for it is a few bytes);
-everything else flows.
+everything else flows — and the stall is OBSERVABLE, not silent:
+``stall_metrics=True`` routes a per-(conversation, micro-batch)
+diagnostic row (missing turn, buffered turns, pending bytes) to a side
+table (see ``STALL_CHUNK_TYPE`` / ``split_stall_metrics``).
 
 Scale shape: one shuffle per micro-batch on conv_id (the engine-wide
 partitioning contract), state bounded by active conversations × ~40 bytes,
@@ -90,6 +93,21 @@ from pdf_parser_spark.streaming.incremental import (landing_reader,
 
 _CHUNK_COLS = [f.name for f in CHUNK_FIELDS]
 
+# In-band stall-metric marker: a conversation whose turn_idx gap never
+# fills buffers in `pending` forever (TTL-less drains) — documented as a
+# contract violation, but previously INVISIBLE (silent state growth).
+# With emit_stall_metrics on, every invocation that ends with a
+# non-empty reorder buffer emits one diagnostic row through the SAME
+# output stream (chunk_idx=-1, chunk_type=__gap_stall, turn_idx=the
+# missing turn, block_count=#buffered turns, char_count=buffered bytes,
+# block_indices=the buffered turn idxs), and split_stall_metrics /
+# stream_extract_stateful(stall_metrics=True) route them to a side
+# table. In-band is the only channel applyInPandasWithState offers
+# (one output schema per query; accumulators are re-run-inflated
+# counters, not gauges), and the sentinel chunk_idx=-1 cannot collide
+# with real chunks (chunk_idx is 0-based by construction).
+STALL_CHUNK_TYPE = "__gap_stall"
+
 # (next_turn_idx, next_chunk_idx, next_block_off, pending_json)
 STATE_SCHEMA = StructType([
     StructField("next_turn", LongType()),
@@ -119,7 +137,8 @@ def _fold_turn(conv_id: str, turn_idx: int, text, tool,
     return next_chunk, next_off
 
 
-def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None):
+def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None,
+                             emit_stall_metrics: bool = False):
     if cfg.clean_boilerplate:
         raise ValueError(
             "clean_boilerplate is conversation-global (the repeated-line "
@@ -170,6 +189,17 @@ def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None):
         if ttl_sec is not None:
             state.setTimeoutDuration(ttl_sec * 1000)
 
+        if emit_stall_metrics and pending:
+            # the invocation ends gapped: next_turn is missing while
+            # later turns sit buffered — emit one diagnostic row (see
+            # STALL_CHUNK_TYPE). Bytes/turn-list are bounded by the
+            # reorder window, not the conversation.
+            pending_bytes = sum(len(t or "") + len(o or "")
+                                for t, o in pending.values())
+            rows.append((conv_id, -1, next_turn, STALL_CHUNK_TYPE, None,
+                         pending_bytes, len(pending),
+                         sorted(pending), None, None, None))
+
         if rows:
             # dict-of-lists beats list-of-tuples for frame construction at
             # the few-rows-per-conversation group sizes this fn sees
@@ -180,9 +210,27 @@ def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None):
     return fn
 
 
+def split_stall_metrics(df: DataFrame):
+    """Split a stateful-extraction output into (chunks, stall_metrics).
+    The metrics side is re-projected to its own schema: one row per
+    (conversation, invocation) that ended gapped — ``missing_turn`` is
+    the turn the fold is waiting on, ``buffered_turns`` the out-of-order
+    turns held in state, ``pending_bytes`` their payload size."""
+    from pyspark.sql import functions as F
+    chunks = df.where(F.col("chunk_type") != STALL_CHUNK_TYPE)
+    stalls = (df.where(F.col("chunk_type") == STALL_CHUNK_TYPE)
+              .select(F.col("conv_id"),
+                      F.col("turn_idx").alias("missing_turn"),
+                      F.col("block_count").alias("n_buffered"),
+                      F.col("char_count").alias("pending_bytes"),
+                      F.col("block_indices").alias("buffered_turns")))
+    return chunks, stalls
+
+
 def stateful_extract_stream(transcripts: DataFrame,
                             cfg: ExtractionConfig = ExtractionConfig(),
-                            ttl_sec: int | None = None) -> DataFrame:
+                            ttl_sec: int | None = None,
+                            emit_stall_metrics: bool = False) -> DataFrame:
     """streaming transcripts -> streaming extracted chunks (append mode).
 
     The cumulative output equals batch ``extract_chunks`` over the
@@ -203,7 +251,8 @@ def stateful_extract_stream(transcripts: DataFrame,
     return (transcripts
             .groupBy("conv_id")
             .applyInPandasWithState(
-                make_stateful_extract_fn(cfg, ttl_sec),
+                make_stateful_extract_fn(cfg, ttl_sec,
+                                         emit_stall_metrics),
                 outputStructType=CHUNK_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
@@ -216,7 +265,8 @@ def stream_extract_stateful(spark: SparkSession, input_dir: str,
                             max_files_per_trigger: int | None = None,
                             ttl_sec: int | None = None,
                             available_now: bool = True,
-                            trigger_seconds: int | None = None):
+                            trigger_seconds: int | None = None,
+                            stall_metrics: bool = False):
     """Landing-directory wiring of :func:`stateful_extract_stream`.
 
     Same contract as ``incremental.stream_extract`` (immutable landed
@@ -225,13 +275,50 @@ def stream_extract_stateful(spark: SparkSession, input_dir: str,
     ``available_now=False`` runs always-on, micro-batching every
     ``trigger_seconds`` (or as-fast-as-possible when None) — the mode a
     ``ttl_sec`` requires.
+
+    ``stall_metrics=True`` makes gap-stalls OBSERVABLE: chunk rows land
+    in ``{output_dir}/extracted`` exactly as before, and every
+    (conversation, micro-batch) that ended waiting on a missing turn
+    appends a diagnostic row to ``{output_dir}/stall_metrics``
+    (missing_turn, n_buffered, pending_bytes, buffered_turns,
+    micro_batch_id) — a dense-turn_idx contract violation then shows up
+    as a conversation whose missing_turn stops advancing across
+    batches, instead of silent state growth. The split runs in a
+    foreachBatch sink; with it off the plain parquet sink is used and
+    the stream is byte-identical to the pre-metrics behavior.
     """
     # null-key gate before grouping (operators/merge._drop_null_keys twin)
     transcripts = landing_reader(spark, input_dir, max_files_per_trigger,
                                  drop_null_keys=True)
-    chunks = stateful_extract_stream(transcripts, cfg, ttl_sec)
-    return start_parquet_sink(chunks, output_dir, checkpoint_dir,
-                              available_now, trigger_seconds)
+    chunks = stateful_extract_stream(transcripts, cfg, ttl_sec,
+                                     emit_stall_metrics=stall_metrics)
+    if not stall_metrics:
+        return start_parquet_sink(chunks, output_dir, checkpoint_dir,
+                                  available_now, trigger_seconds)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the split writes two sinks from one stateful plan
+        batch_df.persist()
+        try:
+            out, stalls = split_stall_metrics(batch_df)
+            (out.write.mode("append")
+             .parquet(f"{output_dir}/extracted"))
+            from pyspark.sql import functions as F
+            (stalls.withColumn("micro_batch_id",
+                               F.lit(int(batch_id)))
+             .write.mode("append")
+             .parquet(f"{output_dir}/stall_metrics"))
+        finally:
+            batch_df.unpersist()
+
+    writer = (chunks.writeStream
+              .foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def stream_extract_stateful_to_cow(spark: SparkSession, input_dir: str,

@@ -292,3 +292,54 @@ def test_stream_extract_job_cow_requires_stateful(tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", "x", "--output", "y", "--checkpoint", "z",
               "--sink", "cow"])
+
+
+def test_gap_stall_metrics_report_and_clear(spark, tmp_path):
+    """stall_metrics=True: a never-filled gap emits a diagnostic row
+    naming the missing turn and the buffered turns (round-4 verdict
+    task #6 — the stall was previously invisible); once the gap fills,
+    later drains emit no new stall rows for that conversation and the
+    extracted output still equals batch."""
+    from pdf_parser_spark.streaming.stateful_extract import \
+        stream_extract_stateful
+
+    rows = generate_transcripts(3, seed=5, max_turns=8)
+    conv = sorted({r["conv_id"] for r in rows})[0]
+    held = [r for r in rows if r["conv_id"] == conv and r["turn_idx"] == 0]
+    assert held
+    rest = [r for r in rows if not (r["conv_id"] == conv
+                                    and r["turn_idx"] == 0)]
+    n_buffered = len([r for r in rest if r["conv_id"] == conv])
+
+    inp = tmp_path / "landing"; inp.mkdir()
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def drain():
+        q = stream_extract_stateful(spark, str(inp), str(out), str(ckpt),
+                                    max_files_per_trigger=1,
+                                    stall_metrics=True)
+        q.awaitTermination()
+
+    _write_landing(inp / "rest.parquet", rest)
+    drain()
+    stalls = spark.read.parquet(str(out / "stall_metrics")).collect()
+    assert len(stalls) == 1  # exactly the gapped conversation, once
+    s = stalls[0]
+    assert s.conv_id == conv
+    assert s.missing_turn == 0
+    assert s.n_buffered == n_buffered
+    assert sorted(s.buffered_turns) == sorted(
+        r["turn_idx"] for r in rest if r["conv_id"] == conv)
+    assert s.pending_bytes > 0
+
+    # no stall rows leaked into the chunk output
+    chunks = spark.read.parquet(str(out / "extracted"))
+    assert chunks.where("chunk_idx < 0").count() == 0
+
+    # the gap fills: no NEW stall rows, output equals batch
+    _write_landing(inp / "held.parquet", held)
+    drain()
+    stalls2 = spark.read.parquet(str(out / "stall_metrics")).collect()
+    assert len(stalls2) == 1  # still only the original report
+    got = _collect(spark.read.parquet(str(out / "extracted")))
+    assert got == _batch_expected(spark, rows)
