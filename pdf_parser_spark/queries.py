@@ -4549,6 +4549,34 @@ GROUP BY 1, 2
 DOCS_DUP_PROBE_SQL = _dup_probe_sql()
 
 
+# Process-private scratch roots the lakehouse entries cache their built
+# tables under (see _cow_merged_dir's caching discipline). bench.py
+# clears an entry's root before each timed pass so every invocation
+# includes the FULL build + commit + maintenance flow — otherwise the
+# per-query min would time only the cached read and a regression in the
+# merge machinery would be invisible.
+LAKEHOUSE_SCRATCH_PREFIXES: dict[str, str] = {
+    "docs_cow_merge": "pdf_parser_spark_cow_",
+    "docs_cow_mor_merge": "pdf_parser_spark_cowmor_",
+    "docs_dup_probe_maintained": "pdf_parser_spark_dupidx_",
+}
+
+
+def lakehouse_scratch_dir(entry: str, sf: str) -> str | None:
+    """The scratch root ``entry`` caches under for scale dir ``sf``
+    (None for entries with no cached scratch) — path computation only,
+    mirrors the builders' naming exactly."""
+    import hashlib
+    import os
+    import tempfile
+    prefix = LAKEHOUSE_SCRATCH_PREFIXES.get(entry)
+    if prefix is None:
+        return None
+    return os.path.join(tempfile.gettempdir(),
+                        prefix + hashlib.md5(sf.encode()).hexdigest()[:8]
+                        + f"_{os.getpid()}")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
