@@ -108,6 +108,17 @@ _CHUNK_COLS = [f.name for f in CHUNK_FIELDS]
 # with real chunks (chunk_idx is 0-based by construction).
 STALL_CHUNK_TYPE = "__gap_stall"
 
+# The retention twin: when a conversation's state TTL fires while turns
+# still sit in the reorder buffer, those DELIVERED turns are dropped by
+# design (the documented retention boundary) — with emit_stall_metrics
+# on, the timeout invocation emits one final diagnostic row (same
+# sentinel shape, chunk_type=__ttl_drop) before the state is removed,
+# so the drop is AUDITABLE instead of silent. The metrics side table's
+# ``kind`` column distinguishes the two.
+TTL_DROP_CHUNK_TYPE = "__ttl_drop"
+
+_METRIC_TYPES = (STALL_CHUNK_TYPE, TTL_DROP_CHUNK_TYPE)
+
 # (next_turn_idx, next_chunk_idx, next_block_off, pending_json)
 STATE_SCHEMA = StructType([
     StructField("next_turn", LongType()),
@@ -151,6 +162,23 @@ def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None,
         if state.hasTimedOut:
             # GC an idle conversation: counters (and any stalled pending
             # turns, deliberately — see module docstring) are dropped.
+            # With metrics on, a non-empty buffer emits one final
+            # __ttl_drop row first: delivered-but-never-folded turns
+            # must be auditable, not silently discarded.
+            if emit_stall_metrics and state.exists:
+                next_turn, _nc, _no, pending_json = state.get
+                pending = (json.loads(pending_json) if pending_json
+                           else {})
+                if pending:
+                    dropped = sorted(int(k) for k in pending)
+                    pending_bytes = sum(
+                        len(t or "") + len(o or "")
+                        for t, o in pending.values())
+                    yield pd.DataFrame(
+                        {c: [v] for c, v in zip(_CHUNK_COLS, (
+                            conv_id, -1, int(next_turn),
+                            TTL_DROP_CHUNK_TYPE, None, pending_bytes,
+                            len(dropped), dropped, None, None, None))})
             state.remove()
             return
 
@@ -213,13 +241,19 @@ def make_stateful_extract_fn(cfg: ExtractionConfig, ttl_sec: int | None,
 def split_stall_metrics(df: DataFrame):
     """Split a stateful-extraction output into (chunks, stall_metrics).
     The metrics side is re-projected to its own schema: one row per
-    (conversation, invocation) that ended gapped — ``missing_turn`` is
-    the turn the fold is waiting on, ``buffered_turns`` the out-of-order
-    turns held in state, ``pending_bytes`` their payload size."""
+    (conversation, invocation) that ended gapped (``kind`` =
+    ``__gap_stall``: ``missing_turn`` is the turn the fold is waiting
+    on, ``buffered_turns`` the out-of-order turns held in state,
+    ``pending_bytes`` their payload size) or whose TTL fired with turns
+    still buffered (``kind`` = ``__ttl_drop``: the turns were DELIVERED
+    but never folded — the retention boundary made auditable). The
+    split keys on the chunk_idx<0 sentinel, which no real chunk can
+    carry."""
     from pyspark.sql import functions as F
-    chunks = df.where(F.col("chunk_type") != STALL_CHUNK_TYPE)
-    stalls = (df.where(F.col("chunk_type") == STALL_CHUNK_TYPE)
-              .select(F.col("conv_id"),
+    chunks = df.where(F.col("chunk_idx") >= 0)
+    stalls = (df.where(F.col("chunk_idx") < 0)
+              .select(F.col("chunk_type").alias("kind"),
+                      F.col("conv_id"),
                       F.col("turn_idx").alias("missing_turn"),
                       F.col("block_count").alias("n_buffered"),
                       F.col("char_count").alias("pending_bytes"),

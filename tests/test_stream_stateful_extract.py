@@ -343,3 +343,62 @@ def test_gap_stall_metrics_report_and_clear(spark, tmp_path):
     assert len(stalls2) == 1  # still only the original report
     got = _collect(spark.read.parquet(str(out / "extracted")))
     assert got == _batch_expected(spark, rows)
+
+
+def test_ttl_drop_metric_on_timeout_with_buffered_turns():
+    """The retention twin of the gap-stall metric: a TTL firing while
+    turns sit in the reorder buffer must emit one __ttl_drop diagnostic
+    row (delivered-but-never-folded turns are auditable, not silent)
+    and then remove the state. Driven directly through the fold
+    function — Spark can't exercise processing-time timeouts under an
+    availableNow drain (the documented never-terminates trap), and the
+    fn is a plain generator, so a fake GroupState is the deterministic
+    harness."""
+    import json as _json
+
+    from pdf_parser_spark.streaming.stateful_extract import (
+        TTL_DROP_CHUNK_TYPE, make_stateful_extract_fn)
+
+    class FakeState:
+        hasTimedOut = True
+
+        def __init__(self, value):
+            self._v = value
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+    pending = {"5": ["hello world", None], "7": [None, "tool payload"]}
+    st = FakeState((3, 2, 4, _json.dumps(pending)))
+    fn = make_stateful_extract_fn(ExtractionConfig(), ttl_sec=60,
+                                  emit_stall_metrics=True)
+    frames = list(fn(("c9",), iter([]), st))
+    assert st.removed
+    assert len(frames) == 1
+    row = frames[0].iloc[0]
+    assert row["chunk_type"] == TTL_DROP_CHUNK_TYPE
+    assert row["conv_id"] == "c9" and row["chunk_idx"] == -1
+    assert row["turn_idx"] == 3            # where the fold stopped
+    assert row["block_count"] == 2         # turns dropped
+    assert list(row["block_indices"]) == [5, 7]
+    assert row["char_count"] == len("hello world") + len("tool payload")
+
+    # metrics off: same timeout is silent (pre-metrics behavior)
+    st2 = FakeState((3, 2, 4, _json.dumps(pending)))
+    fn2 = make_stateful_extract_fn(ExtractionConfig(), ttl_sec=60)
+    assert list(fn2(("c9",), iter([]), st2)) == []
+    assert st2.removed
+
+    # empty buffer: timeout emits nothing even with metrics on
+    st3 = FakeState((3, 2, 4, ""))
+    assert list(fn(("c9",), iter([]), st3)) == []
+    assert st3.removed
