@@ -42,15 +42,34 @@ def _iter_nodes(jnode):
 _BOUNDING = ("Aggregate", "GlobalLimit", "LocalLimit", "LocalRelation",
              "OneRowRelation")
 
+# A Range leaf (spark.range(n)) is generator metadata, not corpus data —
+# its row count is a plan-time literal. It counts as bounded only up to
+# a metadata-sized element count: the bucket/offset tables the
+# decomposed operators build are <= 2^20-ish rows, while an adversarial
+# range(10^12) through a global window would be exactly the single-task
+# catastrophe this guard exists to catch, so it stays flagged.
+_RANGE_BOUND = 1 << 24
+
+
+def _range_bounded(jnode) -> bool:
+    try:
+        return int(str(jnode.numElements())) <= _RANGE_BOUND
+    except Exception:  # unexpected node shape: stay conservative
+        return False
+
 
 def _bounded(jnode) -> bool:
     """True when every data path into this node passes through a
     row-bounding operator. Unary nodes inherit their child; a Join (or
     Union) is bounded only if ALL branches are — one corpus-sized branch
     makes the join output corpus-sized no matter how small the other
-    side is. Leaves (relation scans) are unbounded by definition."""
-    if jnode.nodeName() in _BOUNDING:
+    side is. Leaves (relation scans) are unbounded by definition, with
+    one exception: a small Range (see _RANGE_BOUND)."""
+    name = jnode.nodeName()
+    if name in _BOUNDING:
         return True
+    if name == "Range":
+        return _range_bounded(jnode)
     kids = _children(jnode)
     if not kids:
         return False

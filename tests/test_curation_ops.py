@@ -490,7 +490,10 @@ def test_plancheck_bounded_is_per_branch(spark):
     from pyspark.sql import Window
 
     from pdf_parser_spark.plancheck import unpartitioned_corpus_windows
-    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    # corpus stand-in: a Range ABOVE the metadata bound (plan-only —
+    # nothing here executes), since round 5 small Ranges are exempt
+    df = spark.range(1 << 33).select(F.col("id"),
+                                     (F.col("id") % 7).alias("g"))
     off = df.groupBy("g").count()
     joined = df.join(F.broadcast(off), "g")
     w = Window.orderBy("id")
@@ -504,6 +507,47 @@ def test_plancheck_bounded_is_per_branch(spark):
     assert unpartitioned_corpus_windows(
         df.orderBy("id").limit(10)
           .withColumn("rk", F.row_number().over(w))) == []
+
+
+def test_plancheck_range_bounded_by_size(spark):
+    """A Range leaf is generator metadata, not corpus data: a global
+    window over a SMALL range (the bucket/offset tables the decomposed
+    operators build, e.g. dsir_importance's full-bucket ratio table) is
+    exempt, while an adversarial range above the metadata bound stays
+    flagged — it would be the same single-task catastrophe as a corpus
+    sort. Closes the round-5 sweep's two false positives
+    (docs_dsir_importance / docs_dsir_resample) without widening the
+    guard to unbounded generators."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.plancheck import (_RANGE_BOUND,
+                                            unpartitioned_corpus_windows)
+    w = Window.partitionBy()
+    small = spark.range(100_000).withColumn("s", F.sum("id").over(w))
+    assert unpartitioned_corpus_windows(small) == []
+    huge = (spark.range(_RANGE_BOUND * 2)
+            .withColumn("s", F.sum("id").over(w)))
+    assert unpartitioned_corpus_windows(huge) != []
+    # the real shape the exemption exists for: range ⟕ aggregate ⟕
+    # aggregate feeding a global total — dsir_importance's ratio table
+    agg = (spark.range(1 << 33).select((F.col("id") % 64).alias("b"))
+           .groupBy("b").count())
+    ratio = (spark.range(64).select(F.col("id").alias("b"))
+             .join(agg, "b", "left")
+             .withColumn("tot", F.sum("count").over(w)))
+    assert unpartitioned_corpus_windows(ratio) == []
+
+
+def test_dsir_plans_have_no_corpus_global_window(spark):
+    """The DSIR entries' global bucket-total windows run over the
+    n_buckets-row ratio table (range ⟕ two aggregates), never the
+    corpus — asserted mechanically now that plancheck understands
+    bounded Ranges."""
+    from pdf_parser_spark.plancheck import unpartitioned_corpus_windows
+    from pdf_parser_spark.queries import QUERIES
+    for name in ("docs_dsir_importance", "docs_dsir_resample"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert unpartitioned_corpus_windows(df) == [], name
 
 
 def test_curriculum_rejects_bad_params(spark):
