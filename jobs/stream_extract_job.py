@@ -28,7 +28,7 @@ Cluster usage::
         jobs/stream_extract_job.py \
         --input  <landing dir> --output <table dir> \
         --checkpoint <ckpt dir> [--mode stateful] \
-        [--max-files-per-trigger N] \
+        [--max-files-per-trigger N] [--stall-metrics] \
         [--follow [--trigger-seconds 30] [--state-ttl 86400]]
 """
 
@@ -36,7 +36,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct CLI invocation (python jobs/stream_extract_job.py) runs with
+# jobs/ as sys.path[0]; under spark-submit --py-files the zip provides
+# the package instead and this insert is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str]) -> None:
@@ -70,6 +76,13 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--state-ttl", type=int, default=None,
                     help="stateful mode + --follow only: GC conversations "
                          "idle this many seconds")
+    ap.add_argument("--stall-metrics", action="store_true",
+                    help="stateful mode + parquet sink only: route "
+                         "per-(conversation, micro-batch) gap-stall / "
+                         "ttl-drop diagnostic rows to "
+                         "<output>/stall_metrics so a dense-turn_idx "
+                         "contract violation (or a TTL retention drop) "
+                         "is observable instead of silent state growth")
     ap.add_argument("--tokenizer", default="turn",
                     choices=["turn", "paragraphs"])
     ap.add_argument("--max-chars", type=int, default=800)
@@ -94,6 +107,12 @@ def main(argv: list[str]) -> None:
         ap.error("--compact-after applies to the parquet sink; the cow "
                  "table has its own compaction (jobs/compact_job.py / "
                  "rewrite_masked_files)")
+    if args.stall_metrics and (args.mode != "stateful"
+                               or args.sink == "cow"):
+        ap.error("--stall-metrics requires --mode stateful with the "
+                 "parquet sink (the batchwise path has no reorder "
+                 "buffer to report on; the cow sink's ledgered appends "
+                 "do not carry the side table)")
 
     from pyspark.sql import SparkSession
 
@@ -136,7 +155,8 @@ def run_job(spark, args) -> dict:
             max_files_per_trigger=args.max_files_per_trigger,
             ttl_sec=args.state_ttl,
             available_now=not args.follow,
-            trigger_seconds=getattr(args, "trigger_seconds", None))
+            trigger_seconds=getattr(args, "trigger_seconds", None),
+            stall_metrics=getattr(args, "stall_metrics", False))
     else:
         q = stream_extract(
             spark, args.input, args.output, args.checkpoint, cfg,

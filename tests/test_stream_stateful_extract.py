@@ -402,3 +402,40 @@ def test_ttl_drop_metric_on_timeout_with_buffered_turns():
     st3 = FakeState((3, 2, 4, ""))
     assert list(fn(("c9",), iter([]), st3)) == []
     assert st3.removed
+
+
+def test_stream_extract_job_stall_metrics_flag(spark, tmp_path):
+    """--stall-metrics through run_job: the side table lands under
+    <output>/stall_metrics and the chunk output is unchanged."""
+    from argparse import Namespace
+
+    from jobs.stream_extract_job import main, run_job
+
+    rows = generate_transcripts(3, seed=5, max_turns=8)
+    conv = sorted({r["conv_id"] for r in rows})[0]
+    rest = [r for r in rows if not (r["conv_id"] == conv
+                                    and r["turn_idx"] == 0)]
+    inp = tmp_path / "landing"; inp.mkdir()
+    _write_landing(inp / "rest.parquet", rest)
+
+    run_job(spark, Namespace(
+        input=str(inp), output=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"), mode="stateful",
+        max_files_per_trigger=None, follow=False, state_ttl=None,
+        trigger_seconds=None, compact_after=None, stall_metrics=True,
+        tokenizer="turn", max_chars=800, overlap_chars=0))
+    stalls = spark.read.parquet(
+        str(tmp_path / "out" / "stall_metrics")).collect()
+    assert [(s.kind, s.conv_id, s.missing_turn) for s in stalls] == \
+        [("__gap_stall", conv, 0)]
+    got = _collect(spark.read.parquet(str(tmp_path / "out" / "extracted")))
+    assert got == _batch_expected(
+        spark, [r for r in rest if r["conv_id"] != conv])
+
+    # flag invalid outside stateful+parquet
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--checkpoint", "z",
+              "--stall-metrics"])
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--checkpoint", "z",
+              "--mode", "stateful", "--sink", "cow", "--stall-metrics"])
