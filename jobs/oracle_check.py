@@ -91,6 +91,15 @@ def main() -> int:
 
     spark = build_session("oracle-check", cores=args.cores)
     con = duckdb.connect()
+    # Bound the oracle engine: an n-gram-explosive oracle on a large
+    # corpus (observed: the Gopher repetition SQL at a 10x-sf0.1 tiling)
+    # can otherwise grow past physical RAM and get the whole process
+    # OOM-killed mid-sweep. With a limit + temp dir DuckDB spills
+    # instead; the Spark side already spills on its own.
+    import tempfile
+    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET temp_directory='"
+                f"{tempfile.mkdtemp(prefix='oracle_duck_spill_')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf_dir}/{t}.parquet')")
