@@ -466,6 +466,16 @@ def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     dedup.minhash_lsh_pairs' star is exactly component-preserving
     because its candidates are unverified. None keeps exact clique
     output.
+
+    Recall trade, measured: EXACT duplicates always share every sign
+    bit, so exact-dup corpora recover 100% of qualifying pairs
+    (oracle-hash-exact at every standard sf). NEAR-exact pairs can lose
+    an occasional hyperplane flip: on a 10x-tiled corpus of ~90k pairs
+    at cosine ~0.99996 (per-copy ±0.001 perturbation), n_planes=6
+    recovered 89,329/90,050 = 99.2% of the exhaustive-oracle pairs
+    (ORACLE_SCALE10_FULL_r5.json, 2026-08-21). Fewer planes raise
+    recall and bucket sizes; multi-probe (lsh_topk's flip strategy)
+    is the scale path when near-exact recall must be ~1.
     """
     bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed) \
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
