@@ -448,7 +448,8 @@ def batch_search_lsh(corpus: DataFrame, queries: DataFrame, dim: int,
 def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                      emb_col: str = "embedding", id_col: str = "vec_id",
                      n_planes: int = 8, seed: int = 42,
-                     max_bucket_size: int | None = None) -> DataFrame:
+                     max_bucket_size: int | None = None,
+                     probe_flips: int = 0) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket self-join + exact cosine.
 
     Near-identical vectors share all sign bits with high probability, so
@@ -474,12 +475,52 @@ def cosine_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     at cosine ~0.99996 (per-copy ±0.001 perturbation), n_planes=6
     recovered 89,329/90,050 = 99.2% of the exhaustive-oracle pairs
     (ORACLE_SCALE10_FULL_r5.json, 2026-08-21). Fewer planes raise
-    recall and bucket sizes; multi-probe (lsh_topk's flip strategy)
-    is the scale path when near-exact recall must be ~1.
+    recall and bucket sizes; ``probe_flips=1`` is the scale path when
+    near-exact recall must be ~1: one side of the self-join additionally
+    probes every bucket at Hamming distance 1 (n_planes+1 probe rows per
+    vector, join fan still bucket-bounded), recovering every pair that
+    lost exactly one hyperplane flip. Each qualifying pair matches via
+    EXACTLY one probe mask (the pair's bucket XOR), so no dedup shuffle
+    is needed. Measured on the adversarial corpus above: 90,034/90,050
+    pairs (99.98% — the residual 16 pairs flipped >=2 planes), at
+    ~(n_planes+1)x the candidate cosine work (BASELINE.md round 5).
+    Composes with the
+    exact-clique mode only (``max_bucket_size`` caps buckets AFTER
+    candidate generation semantics change; combining them would probe
+    into star hubs and alter the stated canopy contract — refused).
     """
+    if probe_flips not in (0, 1):
+        raise ValueError(f"probe_flips supports 0 or 1, got {probe_flips}")
+    if probe_flips and max_bucket_size is not None:
+        raise ValueError(
+            "probe_flips composes with exact-clique mode only "
+            "(max_bucket_size=None): probing into star hubs would "
+            "change the canopy contract")
     bucketed = with_lsh_bucket(df, dim, emb_col, n_planes, seed) \
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
                 "lsh_bucket")
+    if probe_flips:
+        # one-sided multi-probe: the smaller-id side of each pair scans
+        # its own bucket plus every bucket one hyperplane flip away.
+        # For a pair whose buckets XOR to m, exactly one probe mask
+        # (m itself) matches — candidates are produced once, no
+        # dedup shuffle required.
+        masks = F.array(F.lit(0),
+                        *[F.lit(1 << i) for i in range(n_planes)])
+        probes = bucketed.select(
+            "id", "e",
+            F.explode(F.transform(
+                masks,
+                lambda m: F.col("lsh_bucket").bitwiseXOR(m)))
+            .alias("lsh_bucket"))
+        a, b = probes.alias("a"), bucketed.alias("b")
+        return (a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .withColumn("similarity",
+                            F.round(cosine(F.col("a.e"), F.col("b.e")), 6))
+                .where(F.col("similarity") >= threshold)
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"), "similarity"))
     if max_bucket_size is not None:
         stats = (bucketed.groupBy("lsh_bucket")
                  .agg(F.count("*").alias("__m"), F.min("id").alias("__hub")))

@@ -2381,3 +2381,44 @@ def test_append_rows_carries_everything(spark, tmp_path):
     assert m["version"] == 2
     # appended rows visible, v1 time travel intact
     assert read_table(spark, d, version=1).count() == 100
+
+
+def test_cosine_dup_pairs_probe_flips_recovers_single_flip(spark):
+    """A pair constructed to straddle exactly ONE hyperplane (cosine
+    ~0.9998, one sign bit differs) is invisible to the exact-bucket
+    self-join and recovered by probe_flips=1 — the measured 0.8% recall
+    gap on near-exact corpora (BASELINE.md round 5), closed. Also pins:
+    flips=1 output is produced once per pair (no dup candidates) and
+    remains a superset of flips=0."""
+    from pdf_parser_spark.operators.similarity import (cosine_dup_pairs,
+                                                       hyperplanes)
+    dim, n_planes, seed = 16, 6, 42
+    planes = hyperplanes(dim, n_planes, seed)
+    p0, p1 = planes[0], planes[1]
+    eps = 0.01
+    # v sits just ABOVE plane 0; w = v - 2*eps*p0 sits just below it.
+    # Both are dominated by the p1 direction, so every other sign bit
+    # (and the cosine ~ 1 - O(eps^2)) is unchanged.
+    n0 = sum(x * x for x in p0) ** 0.5
+    u0 = [x / n0 for x in p0]
+    v = [a + eps * b for a, b in zip(p1, u0)]
+    w = [a - eps * b for a, b in zip(p1, u0)]
+    rows = [(1, v), (2, w), (3, [float(i) for i in range(dim)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    flat = {(r.id_a, r.id_b)
+            for r in cosine_dup_pairs(df, dim, threshold=0.99,
+                                      n_planes=n_planes, seed=seed)
+            .collect()}
+    probed = [(r.id_a, r.id_b)
+              for r in cosine_dup_pairs(df, dim, threshold=0.99,
+                                        n_planes=n_planes, seed=seed,
+                                        probe_flips=1).collect()]
+    assert (1, 2) not in flat          # the flip hides the pair
+    assert probed.count((1, 2)) == 1   # recovered, exactly once
+    assert flat <= set(probed)
+
+    with pytest.raises(ValueError, match="probe_flips"):
+        cosine_dup_pairs(df, dim, probe_flips=2)
+    with pytest.raises(ValueError, match="clique"):
+        cosine_dup_pairs(df, dim, probe_flips=1, max_bucket_size=4)
